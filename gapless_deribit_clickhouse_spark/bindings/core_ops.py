@@ -1,0 +1,181 @@
+"""Core engine operators bound to testdata (scan/filter/sort/limit,
+dedup-at-read, OHLC resample, argMin top-1-per-group, TPC-H-style agg).
+
+Reference parity notes per binding are in each function's docstring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gapless_deribit_clickhouse_spark.core.tables import load_table
+from gapless_deribit_clickhouse_spark.operators.dedup import dedup_latest
+from gapless_deribit_clickhouse_spark.operators.resample import ohlc_resample
+from gapless_deribit_clickhouse_spark.operators.topk import ordered_limit, top1_per_group
+
+# DuckDB-exact 15-minute bucket (naive UTC timestamp); Spark side is
+# functions.timeutils.time_bucket.
+_BUCKET_SQL = "epoch_ms(((floor(epoch({ts}))::BIGINT // {step}) * {step}) * 1000)"
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+def _lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "lineitem")
+
+
+# --- S9/F1-F4/O1: scan + predicate + DESC order + limit (fetch_trades path) ---
+def scan_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``fetch_trades``-style point/range scan: equality + time-range
+    predicates pushed to the parquet scan, ORDER BY ts DESC LIMIT n
+    compiled to TakeOrderedAndProject (reference: api.py:100-182)."""
+    df = _events(spark, sf_dir)
+    df = df.filter(
+        (F.col("ts") >= F.lit("2024-01-05 00:00:00"))
+        & (F.col("ts") < F.lit("2024-01-25 00:00:00"))
+        & (F.col("event_type") != "error")
+    )
+    return ordered_limit(df, [F.col("ts").desc(), F.col("event_id").desc()], 100)
+
+
+SCAN_TOPN_SQL = """
+SELECT event_id, ts, user_id, event_type, value, props
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+  AND ts <  TIMESTAMP '2024-01-25 00:00:00'
+  AND event_type <> 'error'
+ORDER BY ts DESC, event_id DESC
+LIMIT 100
+"""
+
+
+# --- W5: ReplacingMergeTree FINAL dedup-at-read ---
+def dedup_latest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep the latest row per (user_id, event_type) — deterministic
+    FINAL semantics (reference: api.py:167-171, options_trades.yaml:26)."""
+    return dedup_latest(_events(spark, sf_dir), keys=["user_id", "event_type"], version_cols=["ts"])
+
+
+DEDUP_LATEST_SQL = """
+SELECT event_id, ts, user_id, event_type, value, props
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id, event_type
+    ORDER BY ts DESC NULLS LAST, event_id DESC NULLS LAST,
+             value DESC NULLS LAST, props DESC NULLS LAST) AS rn
+  FROM events) t
+WHERE rn = 1
+"""
+
+
+# --- A5: OHLC resample to a 15-min grid ---
+def ohlc_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Irregular events -> deterministic 15-min OHLC bars per event_type
+    (reference: features/resampler.py:74-111; min_by/max_by for
+    order-stable open/close per SURVEY §7.3.2)."""
+    return ohlc_resample(
+        _events(spark, sf_dir),
+        ts_col="ts",
+        value_col="value",
+        volume_col="value",
+        step_seconds=900,
+        keys=["event_type"],
+        tiebreak_col="event_id",
+    )
+
+
+OHLC_15M_SQL = f"""
+WITH base AS (
+  SELECT event_type, {_BUCKET_SQL.format(ts="ts", step=900)} AS bucket_ts,
+         ts, event_id, value
+  FROM events WHERE value IS NOT NULL),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY event_type, bucket_ts ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY event_type, bucket_ts ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM base)
+SELECT bucket_ts, event_type,
+       max(CASE WHEN rn_a = 1 THEN value END) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       max(CASE WHEN rn_d = 1 THEN value END) AS close,
+       sum(value) AS volume,
+       count(value) AS n_obs
+FROM ranked
+GROUP BY bucket_ts, event_type
+"""
+
+
+# --- A1: argMin top-1-per-group (front-month selection shape) ---
+def top1_min_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-row argMin per (event_type, day) via min_by(struct) — the
+    reference's argMin(tuple(...), dte) pattern
+    (contract_selector.py:34-62), deterministic via event_id tiebreak."""
+    df = _events(spark, sf_dir).withColumn("day", F.to_date("ts"))
+    return top1_per_group(
+        df,
+        group_cols=["event_type", "day"],
+        order_col=F.struct(F.col("value"), F.col("event_id")),
+        payload_cols=["event_id", "ts", "user_id", "value"],
+    )
+
+
+TOP1_MIN_VALUE_SQL = """
+SELECT event_type, day, event_id, ts, user_id, value
+FROM (
+  SELECT event_type, CAST(ts AS DATE) AS day, event_id, ts, user_id, value,
+         row_number() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                            ORDER BY value, event_id) AS rn
+  FROM events) t
+WHERE rn = 1
+"""
+
+
+# --- A-group: TPC-H Q1 pricing summary (multi-agg groupBy) ---
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan-heavy multi-aggregate groupBy — the canonical partial-agg +
+    exchange + final-agg shape; all 8 aggregates in one pass."""
+    li = _lineitem(spark, sf_dir)
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc_price).alias("sum_disc_price"),
+            F.sum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+            F.avg("l_quantity").alias("avg_qty"),
+            F.avg("l_extendedprice").alias("avg_price"),
+            F.avg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty,
+       sum(l_extendedprice) AS sum_base_price,
+       sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+       sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
+       avg(l_quantity) AS avg_qty,
+       avg(l_extendedprice) AS avg_price,
+       avg(l_discount) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+BINDINGS = [
+    ("scan_topn", scan_topn, SCAN_TOPN_SQL),
+    ("dedup_latest", dedup_latest_events, DEDUP_LATEST_SQL),
+    ("ohlc_15m", ohlc_15m, OHLC_15M_SQL),
+    ("top1_min_value", top1_min_value, TOP1_MIN_VALUE_SQL),
+    ("q1_pricing_summary", q1_pricing_summary, Q1_SQL),
+]
