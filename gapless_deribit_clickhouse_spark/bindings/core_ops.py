@@ -114,7 +114,10 @@ def top1_min_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whole-row argMin per (event_type, day) via min_by(struct) — the
     reference's argMin(tuple(...), dte) pattern
     (contract_selector.py:34-62), deterministic via event_id tiebreak."""
-    df = _events(spark, sf_dir).withColumn("day", F.to_date("ts"))
+    # day kept as timestamp (not date): Spark DateType surfaces as
+    # python date objects while DuckDB DATE surfaces as datetime64 —
+    # casting both sides to timestamp removes the representation skew.
+    df = _events(spark, sf_dir).withColumn("day", F.to_date("ts").cast("timestamp"))
     return top1_per_group(
         df,
         group_cols=["event_type", "day"],
@@ -126,7 +129,7 @@ def top1_min_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 TOP1_MIN_VALUE_SQL = """
 SELECT event_type, day, event_id, ts, user_id, value
 FROM (
-  SELECT event_type, CAST(ts AS DATE) AS day, event_id, ts, user_id, value,
+  SELECT event_type, CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day, event_id, ts, user_id, value,
          row_number() OVER (PARTITION BY event_type, CAST(ts AS DATE)
                             ORDER BY value, event_id) AS rn
   FROM events) t

@@ -1,0 +1,95 @@
+"""Spot-price enrichment: broadcast dimension join + hybrid fallback.
+
+Reference: ``/root/reference/src/gapless_deribit_clickhouse/features/
+spot_provider.py:43-141`` — a ClickHouse ``dictGet`` hash lookup keyed
+on (symbol, 15-min bucket) with a LEFT-JOIN fallback when the
+dictionary is absent, then ``spot_price = coalesce(index_price,
+binance_spot)`` and ``moneyness = strike / spot_price``.
+
+Spark design: ONE implementation — a broadcast left equi-join. The
+spot dimension (15-min bars, ~2M rows/yr per the reference's own
+sizing, spot_prices_dict.sql:33) is megabytes — broadcast to every
+executor, the fact table never shuffles. This IS Spark's dictGet.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from gapless_deribit_clickhouse_spark.features.config import DEFAULT, FeatureConfig
+from gapless_deribit_clickhouse_spark.functions.timeutils import time_bucket
+
+# reference spot_provider.py:37-40
+UNDERLYING_TO_SYMBOL = {"BTC": "BTCUSDT", "ETH": "ETHUSDT"}
+
+
+def symbol_col(underlying):  # Column -> Column
+    expr = None
+    for k, v in UNDERLYING_TO_SYMBOL.items():
+        expr = F.when(underlying == k, F.lit(v)) if expr is None else expr.when(
+            underlying == k, F.lit(v)
+        )
+    return expr.otherwise(F.concat(underlying, F.lit("USDT")))
+
+
+def enrich_with_spot(
+    trades: DataFrame,
+    spot: DataFrame,
+    ts_col: str = "timestamp",
+    underlying_col: str = "underlying",
+    index_price_col: str = "index_price",
+    strike_col: str = "strike",
+    spot_symbol_col: str = "symbol",
+    spot_ts_col: str = "timestamp",
+    spot_close_col: str = "close",
+    config: FeatureConfig = DEFAULT,
+) -> DataFrame:
+    """Left-join trades to the spot dimension on (symbol, 15-min
+    bucket); output adds ``binance_spot``, ``spot_price`` (hybrid
+    coalesce), ``moneyness``.
+
+    The spot side is pre-bucketed + deduplicated (one close per key,
+    latest wins) then broadcast.
+    """
+    dim = (
+        spot.select(
+            F.col(spot_symbol_col).alias("__sym"),
+            time_bucket(F.col(spot_ts_col), config.resample_seconds).alias("__w"),
+            F.col(spot_close_col).alias("binance_spot"),
+            F.col(spot_ts_col).alias("__sts"),
+        )
+        .groupBy("__sym", "__w")
+        .agg(F.max_by("binance_spot", F.col("__sts")).alias("binance_spot"))
+    )
+    joined = trades.withColumn("__sym", symbol_col(F.col(underlying_col))).withColumn(
+        "__w", time_bucket(F.col(ts_col), config.resample_seconds)
+    )
+    out = joined.join(F.broadcast(dim), on=["__sym", "__w"], how="left")
+    return (
+        out.withColumn(
+            "spot_price", F.coalesce(F.col(index_price_col), F.col("binance_spot"))
+        )
+        .withColumn("moneyness", F.col(strike_col) / F.col("spot_price"))
+        .drop("__sym", "__w")
+    )
+
+
+def spot_coverage(
+    enriched: DataFrame, index_price_col: str = "index_price"
+) -> DataFrame:
+    """Coverage-rate diagnostics after enrichment (reference
+    spot_provider.py:313-364): index-price rate, fallback rate, total
+    coalesce rate — one aggregate pass."""
+    n = F.count(F.lit(1))
+    has_idx = F.count(F.when(F.col(index_price_col).isNotNull(), F.lit(1)))
+    has_fb = F.count(
+        F.when(F.col(index_price_col).isNull() & F.col("binance_spot").isNotNull(), F.lit(1))
+    )
+    has_spot = F.count(F.when(F.col("spot_price").isNotNull(), F.lit(1)))
+    return enriched.agg(
+        n.alias("total_rows"),
+        (has_idx.cast("double") / n).alias("index_price_rate"),
+        (has_fb.cast("double") / n).alias("fallback_rate"),
+        (has_spot.cast("double") / n).alias("spot_coverage_rate"),
+    )

@@ -52,6 +52,8 @@ def compare(name: str, spark_df, oracle_df: pd.DataFrame) -> tuple[bool, str]:
         return False, f"columns spark={list(sp.columns)} duck={list(du.columns)}"
     for c in sp.columns:
         a, b = sp[c], du[c]
+        if str(a.dtype) != str(b.dtype):
+            return False, f"dtype mismatch col={c}: spark={a.dtype} duck={b.dtype}"
         if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
             ok = np.allclose(
                 a.astype(float), b.astype(float), rtol=1e-9, atol=1e-9, equal_nan=True
