@@ -1,0 +1,127 @@
+"""Event-time rolling analytics: trailing percentile rank and min-max
+rank over a time-based lookback.
+
+Reference: ``/root/reference/src/gapless_deribit_clickhouse/features/
+iv_percentile.py:25-152`` — pandas converts a day lookback to a ROW
+count via the inferred median sampling interval, then runs an O(n·w)
+numpy kernel (``raw=True``). Spark-side we use TRUE event-time
+windows (``rangeBetween`` on epoch seconds) — semantically cleaner on
+irregular grids (SURVEY §7.3.1 documents the deviation); a row-count
+mode is available for bit-parity with the reference.
+
+Two implementations of the percentile rank (same semantics, pinned to
+each other by tests):
+
+- ``rolling_percentile_rank``: grouped ``applyInPandas`` — Arrow-
+  batched numpy kernel per series, O(n·w) with a searchsorted window
+  start. The scale path: series are partitioned by key, each key's
+  bars fit one task (a 6-year 15-min series is ~2·10^5 rows).
+- ``rolling_percentile_rank_join``: pure-DataFrame range self-join —
+  what the DuckDB oracle runs; quadratic-in-window but fully
+  declarative.
+
+``rolling_minmax_rank`` (IV Rank) is a pure window aggregate — no UDF,
+no join.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from gapless_deribit_clickhouse_spark.functions.conditional import nullif_zero
+
+
+def rolling_percentile_rank(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    keys: Sequence[str],
+    lookback_seconds: int,
+    min_periods: int = 1,
+    out_col: str = "pct_rank",
+) -> DataFrame:
+    """Trailing event-time percentile: % of values in
+    ``[ts − lookback, ts]`` (inclusive) that are <= the current value,
+    ×100; null when fewer than ``min_periods`` observations."""
+    # copy the fields: StructType.add mutates in place, and we must not
+    # modify the input DataFrame's schema object
+    schema = T.StructType(list(df.schema.fields) + [T.StructField(out_col, T.DoubleType())])
+    lb = float(lookback_seconds)
+    mp = int(min_periods)
+    ts_name, v_name = ts_col, value_col
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([ts_name]).reset_index(drop=True)
+        ts = pdf[ts_name].to_numpy(dtype="datetime64[us]").astype("int64") / 1e6
+        v = pdf[v_name].to_numpy(dtype="float64")
+        n = len(pdf)
+        out = np.full(n, np.nan)
+        starts = np.searchsorted(ts, ts - lb, side="left")
+        for i in range(n):
+            w = v[starts[i] : i + 1]
+            if len(w) >= mp:
+                out[i] = 100.0 * np.count_nonzero(w <= v[i]) / len(w)
+        pdf[out_col] = out
+        return pdf
+
+    return df.groupBy(*keys).applyInPandas(kernel, schema=schema)
+
+
+def rolling_percentile_rank_join(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    keys: Sequence[str],
+    lookback_seconds: int,
+    min_periods: int = 1,
+    out_col: str = "pct_rank",
+) -> DataFrame:
+    """Declarative twin of ``rolling_percentile_rank``: range self-join
+    + conditional count. Used as the oracle shape and for plans where
+    the optimizer's range-join handling wins."""
+    left = df.alias("l")
+    right = df.select(*keys, ts_col, value_col).alias("r")
+    on = [F.col(f"l.{k}") == F.col(f"r.{k}") for k in keys] + [
+        F.col(f"r.{ts_col}") >= F.col(f"l.{ts_col}") - F.expr(f"INTERVAL {lookback_seconds} SECOND"),
+        F.col(f"r.{ts_col}") <= F.col(f"l.{ts_col}"),
+    ]
+    joined = left.join(right, on=on, how="inner")
+    group_cols = [F.col(f"l.{c}") for c in df.columns]
+    cnt = F.count(F.lit(1))
+    leq = F.count(F.when(F.col(f"r.{value_col}") <= F.col(f"l.{value_col}"), F.lit(1)))
+    return (
+        joined.groupBy(*group_cols)
+        .agg(
+            F.when(cnt >= min_periods, 100.0 * leq / cnt).alias(out_col),
+        )
+        .toDF(*df.columns, out_col)
+    )
+
+
+def rolling_minmax_rank(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    keys: Sequence[str],
+    lookback_seconds: int,
+    min_periods: int = 1,
+    out_col: str = "minmax_rank",
+) -> DataFrame:
+    """IV-Rank: (v − rolling_min) / (rolling_max − rolling_min) × 100
+    over the trailing event-time window; degenerate window (max==min)
+    -> null (reference iv_percentile.py:142-147, inf -> NaN)."""
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(ts_col).cast("long"))
+        .rangeBetween(-int(lookback_seconds), 0)
+    )
+    v = F.col(value_col)
+    lo, hi, cnt = F.min(v).over(w), F.max(v).over(w), F.count(v).over(w)
+    rank = (v - lo) / nullif_zero(hi - lo) * 100.0
+    return df.withColumn(out_col, F.when(cnt >= min_periods, rank))
