@@ -1,0 +1,338 @@
+"""LLM-data-pipeline bindings: dedup (exact / n-gram Jaccard /
+MinHash-LSH / SimHash), embedding similarity (brute-force + IVF +
+near-dup), and text analysis — each with a DuckDB oracle built from
+the SAME deterministic md5/arithmetic primitives."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gapless_deribit_clickhouse_spark.core.tables import load_table
+from gapless_deribit_clickhouse_spark.pipelines.embeddings import (
+    cosine_topk,
+    embedding_near_dup_pairs,
+    ivf_topk,
+)
+from gapless_deribit_clickhouse_spark.pipelines.text_dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+)
+from gapless_deribit_clickhouse_spark.pipelines.text_stats import (
+    bpe_ish_token_count,
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+)
+
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_TOKS = f"SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents"
+_GRAMS3 = (
+    "SELECT doc_id, unnest(list_distinct("
+    "CASE WHEN len(t) >= 3 THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' ')) "
+    "ELSE [array_to_string(t, ' ')] END)) AS shingle FROM toks"
+)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+# --- exact dedup (hash groupBy) ---
+def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(_docs(spark, sf_dir))
+
+
+DEDUP_EXACT_SQL = f"""
+SELECT md5({_NORM}) AS text_hash, min(doc_id) AS doc_id, count(*) AS dup_count
+FROM documents GROUP BY 1
+"""
+
+
+# --- exact n-gram Jaccard near-dup pairs ---
+def ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.5)
+
+
+NGRAM_JACCARD_SQL = f"""
+WITH toks AS ({_TOKS}),
+grams AS ({_GRAMS3}),
+sz AS (SELECT doc_id, count(*) AS c FROM grams GROUP BY doc_id),
+j AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM grams a JOIN grams b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b, inter / (sa.c + sb.c - inter) AS jaccard
+FROM j JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+WHERE inter / (sa.c + sb.c - inter) >= 0.5
+"""
+
+
+# --- MinHash-LSH near-dup pairs (banded bucket join + verify) ---
+_NUM_HASHES, _BANDS, _R = 32, 8, 4
+
+
+def minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_pairs(
+        _docs(spark, sf_dir), n=3, num_hashes=_NUM_HASHES, bands=_BANDS, threshold=0.5
+    )
+
+
+def _minhash_sql() -> str:
+    mins = ",\n         ".join(
+        f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(_NUM_HASHES)
+    )
+    band_eq = " OR ".join(
+        "("
+        + " AND ".join(f"a.h{b * _R + i} = b.h{b * _R + i}" for i in range(_R))
+        + ")"
+        for b in range(_BANDS)
+    )
+    return f"""
+WITH toks AS ({_TOKS}),
+grams AS ({_GRAMS3}),
+sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM grams GROUP BY doc_id),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+  WHERE {band_eq}),
+sz AS (SELECT doc_id, count(*) AS c FROM grams GROUP BY doc_id),
+j AS (
+  SELECT c.id_a, c.id_b, count(*) AS inter
+  FROM cand c
+  JOIN grams ga ON ga.doc_id = c.id_a
+  JOIN grams gb ON gb.doc_id = c.id_b AND gb.shingle = ga.shingle
+  GROUP BY 1, 2)
+SELECT id_a, id_b, inter / (sa.c + sb.c - inter) AS jaccard
+FROM j JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+WHERE inter / (sa.c + sb.c - inter) >= 0.5
+"""
+
+
+MINHASH_LSH_SQL = _minhash_sql()
+
+
+# --- SimHash near-dup pairs (15-bit chunk buckets, hamming <= 3) ---
+def simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_near_pairs(_docs(spark, sf_dir), max_hamming=3)
+
+
+def _simhash_sql() -> str:
+    # bit b of the 60-bit value parsed from the first 15 hex chars of
+    # md5('0:' || tok): hex digit (from the right) jr = b//4 lives at
+    # string position 15 - jr; bit (b % 4) of that digit.
+    votes = []
+    for b in range(60):
+        pos = 15 - b // 4
+        shift = b % 4
+        bit = (
+            f"((strpos('0123456789abcdef', substr(md5('0:' || tok), {pos}, 1)) - 1) >> {shift}) & 1"
+        )
+        votes.append(f"sum(CASE WHEN ({bit}) = 1 THEN 1 ELSE -1 END) AS v{b}")
+    votes_sql = ",\n         ".join(votes)
+    sh = " + ".join(f"(CASE WHEN v{b} > 0 THEN CAST({2**b} AS BIGINT) ELSE 0 END)" for b in range(60))
+    chunk_eq = " OR ".join(
+        f"(((a.simhash >> {c * 15}) & 32767) = ((b.simhash >> {c * 15}) & 32767))" for c in range(4)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split({_NORM}, ' '))) AS tok
+  FROM documents),
+votes AS (
+  SELECT doc_id,
+         {votes_sql}
+  FROM toks GROUP BY doc_id),
+sig AS (SELECT doc_id, {sh} AS simhash FROM votes)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE ({chunk_eq}) AND bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+SIMHASH_SQL = _simhash_sql()
+
+
+# --- embedding cosine top-k (brute force, exact) ---
+_COS = (
+    "list_sum(list_transform(range(1, len(e.embedding) + 1), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))"
+    " / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    " * sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+)
+
+
+def cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return cosine_topk(emb, queries, k=10)
+
+
+COSINE_TOPK_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, e.vec_id, {_COS} AS cosine_sim
+  FROM embeddings e CROSS JOIN q),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id) AS rank
+  FROM scored)
+SELECT query_id, vec_id, rank, cosine_sim FROM r WHERE rank <= 10
+"""
+
+
+# --- embedding near-dup pairs (coarse-cell candidates) ---
+def emb_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_near_dup_pairs(_emb(spark, sf_dir), threshold=0.35)
+
+
+_CELL = " + ".join(f"(CASE WHEN embedding[{d + 1}] > 0 THEN {2 ** d} ELSE 0 END)" for d in range(4))
+
+_COS_XY = (
+    "list_sum(list_transform(range(1, len(x.embedding) + 1), i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)))"
+    " / (sqrt(list_sum(list_transform(x.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))"
+    " * sqrt(list_sum(list_transform(y.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))))"
+)
+
+EMB_NEAR_DUP_SQL = f"""
+WITH c AS (SELECT vec_id AS id, embedding, {_CELL} AS cell FROM embeddings)
+SELECT x.id AS id_a, y.id AS id_b, {_COS_XY} AS cosine_sim
+FROM c x JOIN c y ON x.cell = y.cell AND x.id < y.id
+WHERE {_COS_XY} >= 0.35
+"""
+
+
+# --- IVF ANN (approximate; recall pinned by tests, rows-only here) ---
+def ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ivf_topk(emb, queries, k=10)
+
+
+IVF_TOPK_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv, {_CELL} AS cell
+           FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id, embedding, {_CELL} AS cell FROM embeddings),
+scored AS (
+  SELECT q.query_id, e.vec_id, {_COS} AS cosine_sim
+  FROM c e JOIN q ON e.cell = q.cell),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id) AS rank
+  FROM scored)
+SELECT query_id, vec_id, rank, cosine_sim FROM r WHERE rank <= 10
+"""
+
+
+# --- text analysis ---
+def quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_score(_docs(spark, sf_dir))
+
+
+_NT = f"CASE WHEN length({_NORM}) = 0 THEN 0 ELSE len(string_split({_NORM}, ' ')) END"
+_STOP_HITS = " + ".join(
+    f"len(list_filter(string_split({_NORM}, ' '), x -> x = '{w}'))"
+    for w in ("the", "and", "of", "to", "in")
+)
+
+QUALITY_SQL = f"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS char_count,
+       CAST({_NT} AS BIGINT) AS n_tokens,
+       CAST(CASE WHEN {_NT} > 0 THEN length({_NORM}) / {_NT} ELSE 0.0 END AS DOUBLE) AS mean_token_len,
+       CAST(CASE WHEN length(text) > 0 THEN length(regexp_replace({_NORM}, '[a-z0-9 ]', '', 'g')) / length(text) ELSE 0.0 END AS DOUBLE) AS punct_ratio,
+       CAST(CASE WHEN {_NT} > 0 THEN ({_STOP_HITS}) / {_NT} ELSE 0.0 END AS DOUBLE) AS stopword_ratio,
+       CAST(CASE WHEN length(text) > 0 THEN length(regexp_replace(text, '[^A-Z]', '', 'g')) / length(text) ELSE 0.0 END AS DOUBLE) AS upper_ratio,
+       CAST(least({_NT} / 100.0, 1.0) * 0.4
+          + least(CASE WHEN {_NT} > 0 THEN ({_STOP_HITS}) / {_NT} ELSE 0.0 END * 5.0, 1.0) * 0.3
+          + (1.0 - least(CASE WHEN length(text) > 0 THEN length(regexp_replace({_NORM}, '[a-z0-9 ]', '', 'g')) / length(text) ELSE 0.0 END * 4.0, 1.0)) * 0.2
+          + (1.0 - least(CASE WHEN length(text) > 0 THEN length(regexp_replace(text, '[^A-Z]', '', 'g')) / length(text) ELSE 0.0 END * 5.0, 1.0)) * 0.1 AS DOUBLE) AS quality_score
+FROM documents
+"""
+
+
+def lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lang_id(_docs(spark, sf_dir))
+
+
+def _lang_sql() -> str:
+    from gapless_deribit_clickhouse_spark.pipelines.text_stats import LANG_MARKERS
+
+    hits = {
+        lang: " + ".join(
+            f"len(list_filter(string_split({_NORM}, ' '), x -> x = '{w}'))" for w in words
+        )
+        for lang, words in LANG_MARKERS.items()
+    }
+    best = "greatest(" + ", ".join(f"hits_{lang}" for lang in sorted(hits)) + ")"
+    pred = "CASE " + " ".join(
+        f"WHEN hits_{lang} = {best} AND {best} > 0 THEN '{lang}'" for lang in sorted(hits)
+    ) + " ELSE 'und' END"
+    cols = ",\n       ".join(f"CAST({hits[lang]} AS BIGINT) AS hits_{lang}" for lang in sorted(hits))
+    return f"""
+WITH h AS (
+  SELECT doc_id,
+       {cols}
+  FROM documents)
+SELECT doc_id, {', '.join(f'hits_{lang}' for lang in sorted(hits))}, {pred} AS lang_pred
+FROM h
+"""
+
+
+LANG_ID_SQL = _lang_sql()
+
+
+def fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fingerprint(_docs(spark, sf_dir))
+
+
+FINGERPRINT_SQL = f"""
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct(string_split({_NORM}, ' '))), ' ')) AS fingerprint,
+       CAST(len(list_distinct(string_split({_NORM}, ' '))) AS BIGINT) AS n_distinct_tokens
+FROM documents
+"""
+
+
+def token_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).cast("bigint").alias("ws_tokens"),
+        bpe_ish_token_count(F.col("text")).cast("bigint").alias("bpe_tokens"),
+    )
+
+
+TOKEN_COUNTS_SQL = f"""
+SELECT doc_id,
+       CAST({_NT} AS BIGINT) AS ws_tokens,
+       CAST(len(list_filter(regexp_split_to_array({_NORM}, '[^a-z0-9]+'), x -> len(x) > 0))
+            + length(regexp_replace({_NORM}, '[a-z0-9 ]', '', 'g')) AS BIGINT) AS bpe_tokens
+FROM documents
+"""
+
+
+BINDINGS = [
+    ("dedup_exact", dedup_exact_q, DEDUP_EXACT_SQL),
+    ("ngram_jaccard_pairs", ngram_jaccard_q, NGRAM_JACCARD_SQL),
+    ("minhash_lsh_pairs", minhash_lsh_q, MINHASH_LSH_SQL),
+    ("simhash_near_pairs", simhash_q, SIMHASH_SQL),
+    ("cosine_topk", cosine_topk_q, COSINE_TOPK_SQL),
+    ("embedding_near_dup", emb_near_dup_q, EMB_NEAR_DUP_SQL),
+    ("ivf_topk", ivf_topk_q, IVF_TOPK_SQL),
+    ("text_quality", quality_q, QUALITY_SQL),
+    ("lang_id", lang_id_q, LANG_ID_SQL),
+    ("doc_fingerprint", fingerprint_q, FINGERPRINT_SQL),
+    ("token_counts", token_counts_q, TOKEN_COUNTS_SQL),
+]

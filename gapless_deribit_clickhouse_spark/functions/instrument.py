@@ -1,0 +1,130 @@
+"""Option instrument-name parsing: ``BTC-27DEC24-100000-C`` ->
+(underlying, expiry, strike, option_type), plus formatting back.
+
+Reference: ``/root/reference/src/gapless_deribit_clickhouse/utils/
+instrument_parser.py:20-186`` — regex parse, upper-case month-name map
+(pandas can't parse ``7MAR25`` directly either), format roundtrip,
+validity check.
+
+Two tiers:
+- Column expressions (``parse_instrument_cols``) for the engine path —
+  regexp_extract + a month ``when`` chain, all codegen'd.
+- A plain-Python ``parse_instrument`` for API parity with the
+  reference's scalar helper.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from datetime import date
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from gapless_deribit_clickhouse_spark.exceptions import InstrumentParseError
+
+INSTRUMENT_RE = r"^([A-Z]+)-(\d{1,2})([A-Z]{3})(\d{2})-(\d+)-([CP])$"
+
+MONTHS = {
+    "JAN": 1, "FEB": 2, "MAR": 3, "APR": 4, "MAY": 5, "JUN": 6,
+    "JUL": 7, "AUG": 8, "SEP": 9, "OCT": 10, "NOV": 11, "DEC": 12,
+}
+_MONTH_NAMES = {v: k for k, v in MONTHS.items()}
+
+
+@dataclass(frozen=True)
+class Instrument:
+    underlying: str
+    expiry: date
+    strike: float
+    option_type: str
+
+    def format(self) -> str:
+        e = self.expiry
+        return (
+            f"{self.underlying}-{e.day}{_MONTH_NAMES[e.month]}{e.year % 100:02d}"
+            f"-{int(self.strike)}-{self.option_type}"
+        )
+
+
+def parse_instrument(name: str) -> Instrument:
+    """Scalar parser (API parity with reference
+    instrument_parser.py:65-96)."""
+    m = re.match(INSTRUMENT_RE, name or "")
+    if not m:
+        raise InstrumentParseError(f"unparseable instrument name: {name!r}")
+    und, day, mon, yy, strike, opt = m.groups()
+    if mon not in MONTHS:
+        raise InstrumentParseError(f"unknown month {mon!r} in {name!r}")
+    try:
+        expiry = date(2000 + int(yy), MONTHS[mon], int(day))
+    except ValueError as exc:
+        raise InstrumentParseError(f"invalid date in {name!r}: {exc}") from exc
+    return Instrument(und, expiry, float(strike), opt)
+
+
+def is_valid_instrument(name: str) -> bool:
+    try:
+        parse_instrument(name)
+        return True
+    except InstrumentParseError:
+        return False
+
+
+def month_num_col(mon: Column) -> Column:
+    expr = None
+    for name, num in MONTHS.items():
+        expr = F.when(mon == name, num) if expr is None else expr.when(mon == name, num)
+    return expr.otherwise(F.lit(None))
+
+
+def parse_instrument_cols(name: Column) -> dict[str, Column]:
+    """Column-level parse; invalid names yield nulls in every field
+    (filter with ``underlying IS NULL`` for rejects)."""
+    und = F.regexp_extract(name, INSTRUMENT_RE, 1)
+    day = F.regexp_extract(name, INSTRUMENT_RE, 2)
+    mon = F.regexp_extract(name, INSTRUMENT_RE, 3)
+    yy = F.regexp_extract(name, INSTRUMENT_RE, 4)
+    strike = F.regexp_extract(name, INSTRUMENT_RE, 5)
+    opt = F.regexp_extract(name, INSTRUMENT_RE, 6)
+    valid = und != ""
+    expiry = F.make_date(
+        F.lit(2000) + yy.cast("int"), month_num_col(mon), day.cast("int")
+    )
+    return {
+        "underlying": F.when(valid, und),
+        "expiry": F.when(valid, expiry),
+        "strike": F.when(valid, strike.cast("double")),
+        "option_type": F.when(valid, opt),
+    }
+
+
+def with_parsed_instrument(df: DataFrame, name_col: str = "instrument_name") -> DataFrame:
+    cols = parse_instrument_cols(F.col(name_col))
+    for cname, col in cols.items():
+        df = df.withColumn(cname, col)
+    return df
+
+
+def format_instrument_col(
+    underlying: Column, expiry: Column, strike: Column, option_type: Column
+) -> Column:
+    """Format back (roundtrip parity, reference
+    instrument_parser.py:99-136)."""
+    mon = None
+    for num, name in _MONTH_NAMES.items():
+        mon = F.when(F.month(expiry) == num, name) if mon is None else mon.when(
+            F.month(expiry) == num, name
+        )
+    return F.concat_ws(
+        "-",
+        underlying,
+        F.concat(
+            F.dayofmonth(expiry).cast("string"),
+            mon,
+            F.format_string("%02d", F.year(expiry) % 100),
+        ),
+        strike.cast("long").cast("string"),
+        option_type,
+    )

@@ -1,0 +1,135 @@
+"""Text analysis: language-ID heuristic, quality scoring, token
+counting, document fingerprinting.
+
+All pure column expressions (whole-stage codegen; no UDFs) with exact
+ANSI-SQL equivalents, so every operator is oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from gapless_deribit_clickhouse_spark.pipelines.text_dedup import normalized_text
+
+# Tiny stop-word markers per language for the n-gram/function-word
+# heuristic language ID (the classic stopword-profile approach).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in"),
+    "de": ("der", "die", "und", "nicht", "das"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "es": ("el", "la", "los", "que", "de"),
+}
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count of the normalized text."""
+    t = normalized_text(col)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, " ")))
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """BPE-ish proxy: count of word pieces + punctuation marks, via a
+    regex token class (letters/digits runs or single non-space
+    symbols)."""
+    # count matches of [a-z0-9]+ plus individual punctuation
+    t = normalized_text(col)
+    words = F.size(F.filter(F.split(t, "[^a-z0-9]+"), lambda x: F.length(x) > 0))
+    punct = F.length(F.regexp_replace(t, "[a-z0-9 ]", ""))
+    return words + punct
+
+
+def quality_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc quality features + composite score:
+    n_chars, n_tokens, mean token length, punctuation ratio, stopword
+    ratio, uppercase ratio; score = weighted combination in [0,1]."""
+    raw = F.col(text_col)
+    t = normalized_text(raw)
+    n_chars = F.length(raw)
+    n_tokens = token_count(raw)
+    mean_tok_len = F.when(n_tokens > 0, F.length(t) / n_tokens).otherwise(F.lit(0.0))
+    punct_ratio = F.when(
+        n_chars > 0, F.length(F.regexp_replace(t, "[a-z0-9 ]", "")) / n_chars
+    ).otherwise(F.lit(0.0))
+    upper_ratio = F.when(
+        n_chars > 0, F.length(F.regexp_replace(raw, "[^A-Z]", "")) / n_chars
+    ).otherwise(F.lit(0.0))
+    stop_hits = None
+    for w in LANG_MARKERS["en"]:
+        hit = F.size(F.filter(F.split(t, " "), lambda x: x == w))
+        stop_hits = hit if stop_hits is None else stop_hits + hit
+    stop_ratio = F.when(n_tokens > 0, stop_hits / n_tokens).otherwise(F.lit(0.0))
+    # composite: long-enough docs with moderate punctuation and some
+    # stopwords score higher (shape follows published quality filters)
+    score = (
+        F.least(n_tokens / 100.0, F.lit(1.0)) * 0.4
+        + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.3
+        + (1.0 - F.least(punct_ratio * 4.0, F.lit(1.0))) * 0.2
+        + (1.0 - F.least(upper_ratio * 5.0, F.lit(1.0))) * 0.1
+    )
+    return df.select(
+        F.col(id_col),
+        n_chars.cast("bigint").alias("char_count"),
+        n_tokens.cast("bigint").alias("n_tokens"),
+        mean_tok_len.cast("double").alias("mean_token_len"),
+        punct_ratio.cast("double").alias("punct_ratio"),
+        stop_ratio.cast("double").alias("stopword_ratio"),
+        upper_ratio.cast("double").alias("upper_ratio"),
+        score.cast("double").alias("quality_score"),
+    )
+
+
+def lang_id(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Heuristic language ID: count function-word hits per language
+    profile, argmax wins ('und' = undetermined when all zero).
+    Deterministic tie-break by language code order."""
+    t = normalized_text(F.col(text_col))
+    toks = F.split(t, " ")
+
+    def _eq(word: str):
+        # NB: a 2-arg lambda would be treated as (element, index) by
+        # Spark's higher-order functions — keep it unary via closure
+        return lambda x: x == word
+
+    hits = {}
+    for lang, words in LANG_MARKERS.items():
+        h = None
+        for w in words:
+            c = F.size(F.filter(toks, _eq(w)))
+            h = c if h is None else h + c
+        hits[lang] = h
+    # argmax via greatest + chained when (ties -> first in sorted order)
+    best = F.greatest(*[hits[lang] for lang in sorted(hits)])
+    pred = F.lit("und")
+    for lang in sorted(hits, reverse=True):
+        pred = F.when((hits[lang] == best) & (best > 0), F.lit(lang)).otherwise(pred)
+    out = df.select(
+        F.col(id_col),
+        *[hits[lang].cast("bigint").alias(f"hits_{lang}") for lang in sorted(hits)],
+        pred.alias("lang_pred"),
+    )
+    return out
+
+
+def fingerprint(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Order-insensitive document fingerprint: md5 of the sorted
+    distinct token set (the classic 'fingerprint' clustering key —
+    robust to token reordering/duplication)."""
+    toks = F.array_sort(F.array_distinct(F.split(normalized_text(F.col(text_col)), " ")))
+    return df.select(
+        F.col(id_col),
+        F.md5(F.concat_ws(" ", toks)).alias("fingerprint"),
+        F.size(toks).cast("bigint").alias("n_distinct_tokens"),
+    )
