@@ -1,0 +1,322 @@
+"""EGARCH volatility modelling.
+
+Reference: ``/root/reference/src/gapless_deribit_clickhouse/features/
+egarch.py:36-310`` — fits EGARCH(p,q) (arch package) on a REGULAR IV
+series with guards (>=100 obs at :85-89; <=3 unique inter-sample
+intervals at :92-101; std-rescale with the factor stashed at
+:124-128), grid auto-selection over p,q in {1,2} by AIC/BIC, analytic/
+simulation forecasting, residuals and conditional vol, and the
+IV-minus-model spread.
+
+This environment has no ``arch``/``scipy``, so the model is a
+self-contained numpy MLE (normal innovations; the reference's
+Student-t option is a documented deviation): Nelder-Mead on the exact
+EGARCH log-likelihood. Deterministic — fixed initialization, no RNG in
+fitting.
+
+Spark integration: model fitting is inherently sequential per series,
+so it runs at the ``applyInPandas`` boundary (one group = one series —
+a 6-year 15-min series is ~2·10^5 rows, trivially in-task), exactly
+as SURVEY §2.8 prescribes. Everything upstream (resampling) stays in
+the Catalyst plan.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+
+from gapless_deribit_clickhouse_spark.exceptions import (
+    ConfigurationError,
+    InsufficientDataError,
+)
+
+MIN_OBS = 100  # reference egarch.py:33
+MAX_UNIQUE_INTERVALS = 3  # reference egarch.py:92-101
+E_ABS_Z = float(np.sqrt(2.0 / np.pi))  # E|z| for standard normal
+
+
+@dataclass
+class EgarchResult:
+    params: dict[str, float]
+    p: int
+    q: int
+    loglik: float
+    aic: float
+    bic: float
+    scale_factor: float
+    conditional_volatility: np.ndarray
+    residuals: np.ndarray
+    returns: np.ndarray
+    n_obs: int
+
+
+def _check_regular(ts: pd.Series, max_unique: int = MAX_UNIQUE_INTERVALS) -> None:
+    diffs = pd.Series(ts).sort_values().diff().dropna()
+    uniq = diffs.unique()
+    if len(uniq) > max_unique:
+        raise ConfigurationError(
+            f"series is irregular: {len(uniq)} unique sampling intervals "
+            f"(max {max_unique}); resample first"
+        )
+
+
+def _neg_loglik(theta: np.ndarray, r: np.ndarray, p: int, q: int) -> float:
+    mu, omega = theta[0], theta[1]
+    alphas = theta[2 : 2 + q]
+    gammas = theta[2 + q : 2 + 2 * q]
+    betas = theta[2 + 2 * q : 2 + 2 * q + p]
+    if np.sum(np.abs(betas)) >= 0.999:
+        return 1e12
+    e = r - mu
+    n = len(r)
+    lh = np.empty(n)
+    lh0 = np.log(np.var(e) + 1e-12)
+    z_hist = np.zeros(q)
+    lh_hist = np.full(p, lh0)
+    for t in range(n):
+        val = omega
+        for j in range(q):
+            zj = z_hist[j]
+            val += alphas[j] * (abs(zj) - E_ABS_Z) + gammas[j] * zj
+        for i in range(p):
+            val += betas[i] * lh_hist[i]
+        val = min(max(val, -50.0), 50.0)
+        lh[t] = val
+        sigma = np.exp(0.5 * val)
+        z_t = e[t] / sigma
+        if q > 1:
+            z_hist[1:] = z_hist[:-1]
+        z_hist[0] = z_t
+        if p > 1:
+            lh_hist[1:] = lh_hist[:-1]
+        lh_hist[0] = val
+    ll = -0.5 * np.sum(np.log(2 * np.pi) + lh + (e * e) / np.exp(lh))
+    if not np.isfinite(ll):
+        return 1e12
+    return -ll
+
+
+def _nelder_mead(f, x0: np.ndarray, max_iter: int = 2000, tol: float = 1e-8) -> np.ndarray:
+    """Deterministic Nelder-Mead (standard reflect/expand/contract/
+    shrink coefficients)."""
+    n = len(x0)
+    sim = [x0]
+    for i in range(n):
+        x = x0.copy()
+        x[i] = x[i] + (0.05 if x[i] == 0 else 0.1 * abs(x[i]) + 0.02)
+        sim.append(x)
+    sim = np.array(sim)
+    fval = np.array([f(x) for x in sim])
+    for _ in range(max_iter):
+        order = np.argsort(fval, kind="stable")
+        sim, fval = sim[order], fval[order]
+        if abs(fval[-1] - fval[0]) < tol:
+            break
+        centroid = sim[:-1].mean(axis=0)
+        xr = centroid + (centroid - sim[-1])
+        fr = f(xr)
+        if fr < fval[0]:
+            xe = centroid + 2.0 * (centroid - sim[-1])
+            fe = f(xe)
+            if fe < fr:
+                sim[-1], fval[-1] = xe, fe
+            else:
+                sim[-1], fval[-1] = xr, fr
+        elif fr < fval[-2]:
+            sim[-1], fval[-1] = xr, fr
+        else:
+            xc = centroid + 0.5 * (sim[-1] - centroid)
+            fc = f(xc)
+            if fc < fval[-1]:
+                sim[-1], fval[-1] = xc, fc
+            else:
+                sim = sim[0] + 0.5 * (sim - sim[0])
+                fval = np.array([f(x) for x in sim])
+    return sim[np.argmin(fval)]
+
+
+def fit_egarch(
+    series: pd.Series,
+    ts: pd.Series | None = None,
+    p: int = 1,
+    q: int = 1,
+    min_obs: int = MIN_OBS,
+) -> EgarchResult:
+    """Fit EGARCH(p,q) on log-returns (×100, std-rescaled) of a
+    REGULAR series. Raises InsufficientDataError below ``min_obs`` and
+    ConfigurationError on irregular grids — the reference's guards."""
+    if p not in (1, 2) or q not in (1, 2):
+        raise ConfigurationError("p and q must be in {1, 2}")
+    vals = pd.Series(series).dropna().astype(float)
+    if len(vals) < min_obs:
+        raise InsufficientDataError(
+            f"need >= {min_obs} observations, got {len(vals)}"
+        )
+    if ts is not None:
+        _check_regular(pd.Series(ts).iloc[-len(vals):])
+    r = 100.0 * np.diff(np.log(vals.to_numpy()))
+    std = float(np.std(r))
+    if std <= 0:
+        raise InsufficientDataError("zero-variance series")
+    # rescale into arch's preferred [1, 1000] variance band and stash
+    # the factor (reference egarch.py:124-128)
+    scale = 1.0
+    while std * scale < 1.0:
+        scale *= 10.0
+    while std * scale > 100.0:
+        scale /= 10.0
+    r = r * scale
+    x0 = np.concatenate(
+        [
+            [float(np.mean(r)), float(np.log(np.var(r)) * 0.1)],
+            np.full(q, 0.1),
+            np.full(q, -0.05),
+            np.full(p, 0.8 / p),
+        ]
+    )
+    theta = _nelder_mead(lambda th: _neg_loglik(th, r, p, q), x0)
+    nll = _neg_loglik(theta, r, p, q)
+    k = len(theta)
+    n = len(r)
+    ll = -nll
+    aic = 2 * k - 2 * ll
+    bic = k * np.log(n) - 2 * ll
+    # reconstruct conditional vol path
+    mu = theta[0]
+    e = r - mu
+    lh = np.empty(n)
+    z_hist = np.zeros(q)
+    lh_hist = np.full(p, np.log(np.var(e) + 1e-12))
+    alphas = theta[2 : 2 + q]
+    gammas = theta[2 + q : 2 + 2 * q]
+    betas = theta[2 + 2 * q : 2 + 2 * q + p]
+    omega = theta[1]
+    for t in range(n):
+        val = omega
+        for j in range(q):
+            val += alphas[j] * (abs(z_hist[j]) - E_ABS_Z) + gammas[j] * z_hist[j]
+        for i in range(p):
+            val += betas[i] * lh_hist[i]
+        val = min(max(val, -50.0), 50.0)
+        lh[t] = val
+        sigma = np.exp(0.5 * val)
+        if q > 1:
+            z_hist[1:] = z_hist[:-1]
+        z_hist[0] = e[t] / sigma
+        if p > 1:
+            lh_hist[1:] = lh_hist[:-1]
+        lh_hist[0] = val
+    sigma_path = np.exp(0.5 * lh) / scale
+    params = {"mu": float(mu), "omega": float(omega)}
+    params |= {f"alpha{j+1}": float(alphas[j]) for j in range(q)}
+    params |= {f"gamma{j+1}": float(gammas[j]) for j in range(q)}
+    params |= {f"beta{i+1}": float(betas[i]) for i in range(p)}
+    return EgarchResult(
+        params=params,
+        p=p,
+        q=q,
+        loglik=float(ll),
+        aic=float(aic),
+        bic=float(bic),
+        scale_factor=scale,
+        conditional_volatility=sigma_path,
+        residuals=e / scale,
+        returns=r / scale,
+        n_obs=n,
+    )
+
+
+def auto_select_egarch(
+    series: pd.Series,
+    ts: pd.Series | None = None,
+    criterion: str = "aic",
+    grid: tuple[tuple[int, int], ...] = ((1, 1), (1, 2), (2, 1), (2, 2)),
+) -> EgarchResult:
+    """Grid search over (p, q) by AIC/BIC (reference egarch.py:133-208)."""
+    if criterion not in ("aic", "bic"):
+        raise ConfigurationError("criterion must be 'aic' or 'bic'")
+    best: EgarchResult | None = None
+    for p, q in grid:
+        try:
+            res = fit_egarch(series, ts, p=p, q=q)
+        except (InsufficientDataError, ConfigurationError):
+            raise
+        except Exception:  # noqa: BLE001 — a non-converged cell is skipped
+            continue
+        if best is None or getattr(res, criterion) < getattr(best, criterion):
+            best = res
+    if best is None:
+        raise InsufficientDataError("no EGARCH fit converged")
+    return best
+
+
+def forecast_volatility(result: EgarchResult, horizon: int = 10) -> np.ndarray:
+    """Analytic multi-step forecast of sigma: E[ln h_{t+k}] follows
+    omega + beta * prev (shock expectations are zero under normality),
+    reference egarch.py:211-244 'analytic' method."""
+    if horizon < 1:
+        raise ConfigurationError("horizon must be >= 1")
+    omega = result.params["omega"]
+    betas = [result.params[f"beta{i+1}"] for i in range(result.p)]
+    lh_hist = list(
+        np.log(np.square(result.conditional_volatility[-result.p:] * result.scale_factor))
+    )[::-1]
+    out = []
+    for _ in range(horizon):
+        val = omega + sum(b * h for b, h in zip(betas, lh_hist))
+        out.append(val)
+        lh_hist = [val] + lh_hist[:-1]
+    return np.exp(0.5 * np.array(out)) / result.scale_factor
+
+
+def iv_model_spread(iv: pd.Series, result: EgarchResult) -> pd.Series:
+    """Observed IV minus model conditional vol, inner-aligned on the
+    trailing window (reference egarch.py:282-310)."""
+    iv = pd.Series(iv).dropna().astype(float)
+    n = min(len(iv) - 1, len(result.conditional_volatility))
+    aligned_iv = iv.iloc[-n:].reset_index(drop=True)
+    model = pd.Series(result.conditional_volatility[-n:])
+    return aligned_iv - model
+
+
+def egarch_params_by_group(df, keys, ts_col="ts", value_col="iv_close", p=1, q=1):
+    """Distributed per-group fit via applyInPandas: one row per group
+    with params + fit stats; groups failing the guards yield an
+    ``error`` string instead of aborting the job."""
+    out_schema = (
+        ", ".join(f"{k} string" for k in keys)
+        + ", mu double, omega double, alpha1 double, gamma1 double, beta1 double"
+        + ", loglik double, aic double, bic double, n_obs long, scale_factor double, error string"
+    )
+
+    def fit_one(pdf: pd.DataFrame) -> pd.DataFrame:
+        base = {k: pdf[k].iloc[0] for k in keys}
+        try:
+            pdf = pdf.sort_values(ts_col)
+            res = fit_egarch(pdf[value_col], pdf[ts_col], p=p, q=q)
+            row = base | {
+                "mu": res.params["mu"],
+                "omega": res.params["omega"],
+                "alpha1": res.params.get("alpha1"),
+                "gamma1": res.params.get("gamma1"),
+                "beta1": res.params.get("beta1"),
+                "loglik": res.loglik,
+                "aic": res.aic,
+                "bic": res.bic,
+                "n_obs": res.n_obs,
+                "scale_factor": res.scale_factor,
+                "error": None,
+            }
+        except Exception as exc:  # noqa: BLE001
+            row = base | {
+                "mu": None, "omega": None, "alpha1": None, "gamma1": None,
+                "beta1": None, "loglik": None, "aic": None, "bic": None,
+                "n_obs": len(pdf), "scale_factor": None,
+                "error": f"{type(exc).__name__}: {exc}",
+            }
+        return pd.DataFrame([row])
+
+    return df.groupBy(*keys).applyInPandas(fit_one, schema=out_schema)

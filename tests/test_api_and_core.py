@@ -1,0 +1,162 @@
+"""API contract, dedup semantics, instrument parser, validation layer."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from gapless_deribit_clickhouse_spark.api import describe, fetch_trades
+from gapless_deribit_clickhouse_spark.exceptions import (
+    InstrumentParseError,
+    QueryError,
+)
+from gapless_deribit_clickhouse_spark.functions.instrument import (
+    Instrument,
+    format_instrument_col,
+    is_valid_instrument,
+    parse_instrument,
+    with_parsed_instrument,
+)
+from gapless_deribit_clickhouse_spark.operators.dedup import dedup_latest
+from gapless_deribit_clickhouse_spark.validation import (
+    coverage_by_group,
+    gap_analysis,
+    quality_metrics,
+)
+
+
+# --- fetch_trades parameter contract (reference api.py:29-64) ---
+def test_fetch_requires_a_bound(trades_df):
+    with pytest.raises(QueryError):
+        fetch_trades(trades_df)
+    with pytest.raises(QueryError):
+        fetch_trades(trades_df, start="  ")
+    with pytest.raises(QueryError):
+        fetch_trades(trades_df, limit=0)
+    with pytest.raises(QueryError):
+        fetch_trades(trades_df, start="2024-12-02", end="2024-12-01")
+
+
+def test_fetch_desc_order_and_limit(trades_df):
+    out = fetch_trades(trades_df, underlying="BTC", limit=10).toPandas()
+    assert len(out) == 10
+    ts = out.timestamp.tolist()
+    assert ts == sorted(ts, reverse=True)
+
+
+def test_fetch_day_inclusive_end(trades_df):
+    # date-only end expands to next midnight (reference api.py:67-97)
+    out = fetch_trades(trades_df, start="2024-12-01", end="2024-12-01")
+    assert out.count() == trades_df.count()  # all fixture trades are on 12-01
+
+
+def test_fetch_equality_predicates(trades_df):
+    out = fetch_trades(trades_df, option_type="P", start="2024-12-01").toPandas()
+    assert (out.option_type == "P").all()
+
+
+def test_dedup_keeps_latest(spark):
+    rows = [
+        ("t1", dt.datetime(2024, 1, 1, 10), 1.0),
+        ("t1", dt.datetime(2024, 1, 1, 11), 2.0),
+        ("t2", dt.datetime(2024, 1, 1, 9), 3.0),
+    ]
+    df = spark.createDataFrame(rows, "trade_id string, timestamp timestamp, price double")
+    out = dedup_latest(df, ["trade_id"], ["timestamp"]).toPandas().set_index("trade_id")
+    assert len(out) == 2
+    assert out.loc["t1"].price == 2.0
+
+
+def test_use_final_flag(spark):
+    rows = [("t1", dt.datetime(2024, 1, 1, 10), 1.0), ("t1", dt.datetime(2024, 1, 1, 11), 2.0)]
+    df = spark.createDataFrame(rows, "trade_id string, timestamp timestamp, price double")
+    df = (
+        df.withColumn("underlying", F.lit("BTC"))
+        .withColumn("option_type", F.lit("C"))
+        .withColumn("expiry", F.lit("2024-02-01").cast("date"))
+        .withColumn("strike", F.lit(1.0))
+    )
+    assert fetch_trades(df, limit=10, use_final=True).count() == 1
+    assert fetch_trades(df, limit=10, use_final=False).count() == 2
+
+
+# --- instrument parser (reference tests/test_instrument_parser.py) ---
+def test_parse_roundtrip_all_months():
+    for i, mon in enumerate(
+        ["JAN", "FEB", "MAR", "APR", "MAY", "JUN", "JUL", "AUG", "SEP", "OCT", "NOV", "DEC"], 1
+    ):
+        name = f"BTC-7{mon}25-100000-C"
+        inst = parse_instrument(name)
+        assert inst.expiry.month == i and inst.expiry.day == 7
+        assert inst.format() == name
+
+
+def test_parse_single_and_double_digit_days():
+    assert parse_instrument("ETH-1JAN25-3000-P").expiry.day == 1
+    assert parse_instrument("ETH-27DEC24-3000-C").expiry.day == 27
+
+
+def test_parse_invalid_inputs():
+    for bad in ("", "BTC", "BTC-99XYZ25-1-C", "BTC-27DEC24-1000-X", "btc-27dec24-1000-c"):
+        assert not is_valid_instrument(bad)
+        with pytest.raises(InstrumentParseError):
+            parse_instrument(bad)
+
+
+def test_column_parser_matches_scalar(spark):
+    names = ["BTC-27DEC24-100000-C", "ETH-7MAR25-3000-P", "garbage", "BTC-1JAN25-50000-P"]
+    df = spark.createDataFrame([(n,) for n in names], "instrument_name string")
+    out = with_parsed_instrument(df).toPandas()
+    for _, row in out.iterrows():
+        if is_valid_instrument(row.instrument_name):
+            inst = parse_instrument(row.instrument_name)
+            assert row.underlying == inst.underlying
+            assert row.expiry == inst.expiry
+            assert row.strike == inst.strike
+            assert row.option_type == inst.option_type
+        else:
+            assert pd.isna(row.underlying)
+
+
+def test_format_instrument_col_roundtrip(spark, trades_df):
+    out = trades_df.select(
+        "instrument_name",
+        format_instrument_col(
+            F.col("underlying"), F.col("expiry"), F.col("strike"), F.col("option_type")
+        ).alias("formatted"),
+    ).toPandas()
+    assert (out.instrument_name == out.formatted).all()
+
+
+# --- validation layer ---
+def test_quality_metrics_shape(trades_df):
+    m = quality_metrics(trades_df).toPandas().iloc[0]
+    assert m.total_rows == 200
+    assert m.unique_ids == 200
+    assert m.dedup_rate == 1.0
+    assert m.iv_null_or_zero_rate == 0.0
+
+
+def test_coverage_by_group(trades_df):
+    c = coverage_by_group(trades_df).toPandas()
+    assert set(c.underlying) == {"BTC"}
+    assert c.total_rows.sum() == 200
+
+
+def test_gap_analysis_finds_planted_gap(spark):
+    ts = [dt.datetime(2024, 1, 1, 0) + dt.timedelta(minutes=5 * i) for i in range(20)]
+    ts += [ts[-1] + dt.timedelta(hours=5)]  # planted 5h gap
+    df = spark.createDataFrame([(t,) for t in ts], "timestamp timestamp")
+    gaps = gap_analysis(df, threshold_hours=1.0).toPandas()
+    assert len(gaps) == 1
+    assert abs(gaps.gap_hours.iloc[0] - 5.0) < 1e-9
+
+
+def test_describe_capabilities():
+    d = describe()
+    assert d["execution"] == "pyspark"
+    assert "fetch_trades" in d["capabilities"]["query"]
+    assert "egarch" in d["capabilities"]["features"]

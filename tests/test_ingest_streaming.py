@@ -1,0 +1,165 @@
+"""Collector (pagination/continuity/idempotency/resume) + Structured
+Streaming (watermark dedup, windowed bars, exactly-once sink)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from gapless_deribit_clickhouse_spark.exceptions import SourceError
+from gapless_deribit_clickhouse_spark.sources.rest_collector import (
+    SyntheticTradePages,
+    batch_token,
+    collect_trades,
+    validate_page_continuity,
+)
+from gapless_deribit_clickhouse_spark.streaming.ingest import (
+    dedup_stream,
+    read_trade_stream,
+    streaming_ohlc,
+    write_stream_idempotent,
+)
+
+HOUR_MS = 3600 * 1000
+T0 = 1_700_000_000_000
+
+
+# --- S3: continuity validation matrix (reference tests/unit/
+#     test_pagination_validation.py:9-118) ---
+def _page(ids_ts):
+    return [{"trade_id": i, "timestamp": t} for i, t in ids_ts]
+
+
+def test_continuity_ok():
+    ok, w = validate_page_continuity(
+        _page([("b", 2000), ("a", 1500)]), _page([("z", 1400), ("y", 900)])
+    )
+    assert ok and not w
+
+
+def test_continuity_gap_flagged():
+    ok, w = validate_page_continuity(
+        _page([("b", 10_000)]), _page([("a", 1000)])
+    )
+    assert not ok and "gap" in w[0]
+
+
+def test_continuity_duplicates_flagged():
+    ok, w = validate_page_continuity(
+        _page([("x", 2000)]), _page([("x", 1999)])
+    )
+    assert not ok and "duplicate" in w[0]
+
+
+def test_continuity_custom_threshold():
+    ok, _ = validate_page_continuity(
+        _page([("b", 5000)]), _page([("a", 1000)]), gap_threshold_ms=10_000
+    )
+    assert ok
+
+
+def test_continuity_empty_pages():
+    assert validate_page_continuity([], _page([("a", 1)]))[0]
+
+
+def test_batch_token_stable():
+    assert batch_token("BTC", 1, 2, 3) == batch_token("BTC", 1, 2, 3)
+    assert batch_token("BTC", 1, 2, 3) != batch_token("BTC", 1, 2, 4)
+    assert len(batch_token("BTC", 1, 2, 3)) == 32
+
+
+# --- S1/S2/S5/S7: cursor backfill, idempotent writes, resume ---
+def test_collect_trades_complete_and_idempotent(spark, tmp_path):
+    src = SyntheticTradePages(step_ms=1000)
+    out = str(tmp_path / "trades")
+    stats = collect_trades(
+        spark, src, T0, T0 + 2 * HOUR_MS, out, checkpoint_dir=str(tmp_path / "ckpt"),
+        batch_rows=3000, page_size=500,
+    )
+    n_expected = 2 * 3600 + 1  # one per second inclusive
+    assert stats["total_collected"] == n_expected
+    df = spark.read.parquet(out)
+    assert df.count() == n_expected
+    assert df.select("trade_id").distinct().count() == n_expected
+    # replay the full job: partitions overwritten, no duplicates
+    stats2 = collect_trades(
+        spark, src, T0, T0 + 2 * HOUR_MS, out, checkpoint_dir=str(tmp_path / "ckpt"),
+        batch_rows=3000, page_size=500,
+    )
+    assert spark.read.parquet(out).count() == n_expected
+    assert stats2["total_collected"] == n_expected
+
+
+def test_collect_trades_resume_after_crash(spark, tmp_path):
+    src = SyntheticTradePages(step_ms=1000)
+    out = str(tmp_path / "trades")
+    ckpt = str(tmp_path / "ckpt")
+    with pytest.raises(SourceError):
+        collect_trades(
+            spark, src, T0, T0 + 2 * HOUR_MS, out, checkpoint_dir=ckpt,
+            batch_rows=1000, page_size=500, max_pages=5,
+        )
+    # resume from checkpoint completes without duplicates
+    collect_trades(
+        spark, src, T0, T0 + 2 * HOUR_MS, out, checkpoint_dir=ckpt,
+        batch_rows=1000, page_size=500,
+    )
+    df = spark.read.parquet(out)
+    n_expected = 2 * 3600 + 1
+    assert df.select("trade_id").distinct().count() == n_expected
+    assert df.count() == n_expected
+
+
+# --- §2.9: streaming with watermark dedup + idempotent sink ---
+def _write_pages(spark, path, with_dup=False):
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    for i in range(240):
+        rows.append(
+            (f"T{i:05d}", base + dt.timedelta(seconds=30 * i), 0.5 + (i % 10) / 100.0, 1.0)
+        )
+    if with_dup:
+        rows += rows[100:110]  # exact duplicate ids within watermark
+    df = spark.createDataFrame(
+        rows, "trade_id string, timestamp timestamp, iv double, amount double"
+    )
+    df.coalesce(2).write.mode("overwrite").parquet(path)
+    return df
+
+
+def test_stream_dedup_and_idempotent_sink(spark, tmp_path):
+    src_path = str(tmp_path / "pages")
+    _write_pages(spark, src_path, with_dup=True)
+    schema = spark.read.parquet(src_path).schema
+    stream = read_trade_stream(spark, src_path, schema)
+    deduped = dedup_stream(stream, watermark_delay="30 minutes")
+    q = write_stream_idempotent(
+        deduped, str(tmp_path / "out"), str(tmp_path / "sckpt")
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert out.count() == 240  # duplicates dropped
+    assert out.select("trade_id").distinct().count() == 240
+
+
+def test_streaming_ohlc_windows(spark, tmp_path):
+    src_path = str(tmp_path / "pages2")
+    _write_pages(spark, src_path)
+    schema = spark.read.parquet(src_path).schema
+    stream = read_trade_stream(spark, src_path, schema)
+    bars = streaming_ohlc(stream, window="15 minutes", watermark_delay="1 minute")
+    q = (
+        bars.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("bars_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM bars_out").toPandas()
+    # 240×30s = 2h -> 8 windows; append emits only watermark-closed ones
+    assert len(got) >= 7
+    assert (got.high >= got.low).all()
+    assert (got.n_obs == 30).all()
