@@ -11,12 +11,13 @@ from __future__ import annotations
 from gapless_deribit_clickhouse_spark.bindings import (
     analytics_ops,
     core_ops,
+    extra_ops,
     features_ops,
     llm_ops,
 )
 
 ALL_BINDINGS = []
-for _mod in (core_ops, features_ops, analytics_ops, llm_ops):
+for _mod in (core_ops, features_ops, analytics_ops, extra_ops, llm_ops):
     ALL_BINDINGS.extend(_mod.BINDINGS)
 
 _names = [n for n, _f, _s in ALL_BINDINGS]

@@ -1,0 +1,219 @@
+"""Remaining-surface bindings: portfolio/bucket Greeks (A13/A14),
+smile metrics, spot coverage (A16), EGARCH grouped fit (rows-only —
+iterative MLE is not SQL-expressible), and the multimodal
+``mapInPandas`` feature extraction exercised over ``documents`` text
+payloads (oracle-checked on the byte-level columns DuckDB can also
+compute: payload size + sha256 prefix)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gapless_deribit_clickhouse_spark.bindings.common import (
+    SPOT_CTE,
+    TRADES_CTE,
+    bucket_sql,
+    spot_view,
+    trades_view,
+)
+from gapless_deribit_clickhouse_spark.bindings.features_ops import (
+    MONEYNESS_PIVOT_SQL,
+    _with_moneyness,
+)
+from gapless_deribit_clickhouse_spark.core.tables import load_table
+from gapless_deribit_clickhouse_spark.features.egarch import egarch_params_by_group
+from gapless_deribit_clickhouse_spark.features.moneyness import (
+    aggregate_by_moneyness,
+    compute_smile_metrics,
+    moneyness_bucket_col,
+)
+from gapless_deribit_clickhouse_spark.features.spot_provider import (
+    enrich_with_spot,
+    spot_coverage,
+)
+from gapless_deribit_clickhouse_spark.functions.blackscholes import (
+    greeks_by_bucket,
+    greeks_sql_exprs,
+    portfolio_greeks,
+    with_greeks,
+)
+from gapless_deribit_clickhouse_spark.pipelines.multimodal import fake_feature_extract
+
+YEAR_SECONDS = 365.25 * 24 * 3600.0
+
+
+def _greeked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return with_greeks(
+        trades_view(spark, sf_dir),
+        spot_col="index_price",
+        strike_col="strike",
+        ts_col="timestamp",
+        expiry_col="expiry",
+        iv_col="iv",
+        price_col="price",
+        option_type_col="option_type",
+    )
+
+
+_GREEKS_BASE = f"""
+trades AS ({TRADES_CTE}),
+base AS (
+  SELECT *,
+         ((epoch(CAST(expiry AS TIMESTAMP)) - epoch("timestamp")) / {YEAR_SECONDS!r}) AS t_years
+  FROM trades)
+"""
+
+
+def _greek_cols_sql() -> str:
+    exprs = greeks_sql_exprs(
+        spot="index_price", strike="strike", t_years="t_years",
+        iv="iv", price="price", option_type="option_type",
+    )
+    return ",\n       ".join(f"{sql} AS {name}" for name, sql in exprs.items())
+
+
+# --- A13: portfolio Greeks per underlying ---
+def portfolio_greeks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return portfolio_greeks(
+        _greeked(spark, sf_dir),
+        amount_col="amount",
+        spot_col="index_price",
+        group_cols=("underlying",),
+    ).withColumnRenamed("underlying", "grp")
+
+
+PORTFOLIO_GREEKS_SQL = f"""
+WITH {_GREEKS_BASE},
+g AS (SELECT underlying AS grp, amount, index_price, {_greek_cols_sql()} FROM base)
+SELECT grp,
+       sum(adjusted_delta * amount) AS portfolio_delta,
+       sum(gamma * amount) AS portfolio_gamma,
+       sum(vega * amount) AS portfolio_vega,
+       sum(theta * amount) AS portfolio_theta,
+       quantile_cont(index_price, 0.5) AS median_spot
+FROM g GROUP BY grp
+"""
+
+
+# --- A14: Greek stats per moneyness bucket ---
+def greeks_by_bucket_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _greeked(spark, sf_dir).filter(F.col("index_price").isNotNull())
+    df = df.withColumn(
+        "bucket", moneyness_bucket_col(F.col("strike") / F.col("index_price"))
+    )
+    return greeks_by_bucket(df, "bucket")
+
+
+_BUCKET_CASE = """
+CASE WHEN strike / index_price < 0.90 THEN 'deep_otm_put'
+     WHEN strike / index_price < 0.95 THEN 'otm_put'
+     WHEN strike / index_price <= 1.05 THEN 'atm'
+     WHEN strike / index_price <= 1.10 THEN 'otm_call'
+     ELSE 'deep_otm_call' END
+"""
+
+GREEKS_BY_BUCKET_SQL = f"""
+WITH {_GREEKS_BASE},
+g AS (
+  SELECT {_BUCKET_CASE} AS bucket, {_greek_cols_sql()}
+  FROM base WHERE index_price IS NOT NULL)
+SELECT bucket,
+       avg(delta) AS delta_mean, stddev_pop(delta) AS delta_std, count(delta) AS delta_count,
+       avg(gamma) AS gamma_mean, stddev_pop(gamma) AS gamma_std, count(gamma) AS gamma_count,
+       avg(vega) AS vega_mean, stddev_pop(vega) AS vega_std, count(vega) AS vega_count,
+       avg(theta) AS theta_mean, stddev_pop(theta) AS theta_std, count(theta) AS theta_count,
+       avg(adjusted_delta) AS adjusted_delta_mean,
+       stddev_pop(adjusted_delta) AS adjusted_delta_std,
+       count(adjusted_delta) AS adjusted_delta_count
+FROM g GROUP BY bucket
+"""
+
+
+# --- smile metrics from the pivoted moneyness frame ---
+def smile_metrics_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wide = aggregate_by_moneyness(_with_moneyness(spark, sf_dir), pivot=True)
+    return compute_smile_metrics(wide)
+
+
+SMILE_METRICS_SQL = f"""
+WITH pivoted AS ({MONEYNESS_PIVOT_SQL})
+SELECT ts, put_call_skew, smile_curvature, wing_ratio,
+       atm_iv_std / nullif(atm_iv, 0) AS atm_iv_cv
+FROM pivoted
+"""
+
+
+# --- A16: spot coverage rates after enrichment ---
+def spot_coverage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    enriched = enrich_with_spot(trades_view(spark, sf_dir), spot_view(spark, sf_dir))
+    return spot_coverage(enriched, index_price_col="index_price")
+
+
+SPOT_COVERAGE_SQL = f"""
+WITH trades AS ({TRADES_CTE}),
+spot AS ({SPOT_CTE}),
+e AS (
+  SELECT t.index_price, s.close AS binance_spot,
+         coalesce(t.index_price, s.close) AS spot_price
+  FROM trades t
+  LEFT JOIN spot s
+    ON s.symbol = t.underlying || 'USDT'
+   AND s."timestamp" = {bucket_sql('t."timestamp"')})
+SELECT count(*) AS total_rows,
+       CAST(count(CASE WHEN index_price IS NOT NULL THEN 1 END) AS DOUBLE) / count(*) AS index_price_rate,
+       CAST(count(CASE WHEN index_price IS NULL AND binance_spot IS NOT NULL THEN 1 END) AS DOUBLE) / count(*) AS fallback_rate,
+       CAST(count(CASE WHEN spot_price IS NOT NULL THEN 1 END) AS DOUBLE) / count(*) AS spot_coverage_rate
+FROM e
+"""
+
+
+# --- EGARCH grouped fit: rows-only (iterative MLE, SURVEY §2.8) ---
+def egarch_params_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event_type EGARCH(1,1) on an hourly count series re-indexed
+    to a strict grid (rank * 1h), so the regular-spacing guard holds
+    regardless of gaps in the raw events."""
+    from gapless_deribit_clickhouse_spark.functions.timeutils import time_bucket
+
+    ev = load_table(spark, sf_dir, "events")
+    series = ev.groupBy(
+        "event_type", time_bucket(F.col("ts"), 3600).alias("bts")
+    ).agg((F.count(F.lit(1)) + F.col("event_type").isNotNull().cast("int")).cast("double").alias("v"))
+    w = Window.partitionBy("event_type").orderBy("bts")
+    series = series.withColumn(
+        "ts", F.timestamp_seconds(F.row_number().over(w).cast("long") * 3600)
+    )
+    return egarch_params_by_group(
+        series, keys=["event_type"], ts_col="ts", value_col="v"
+    )
+
+
+# --- multimodal: mapInPandas feature extraction over text payloads ---
+def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+    out = fake_feature_extract(media)
+    # restrict to the byte-level columns the SQL oracle can also
+    # compute; mean_byte/feature stay covered by unit tests
+    return out.select("media_id", "n_bytes", "payload_sha")
+
+
+MULTIMODAL_SQL = """
+SELECT doc_id AS media_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       substr(sha256(text), 1, 16) AS payload_sha
+FROM documents
+"""
+
+
+BINDINGS = [
+    ("portfolio_greeks", portfolio_greeks_q, PORTFOLIO_GREEKS_SQL),
+    ("greeks_by_bucket", greeks_by_bucket_q, GREEKS_BY_BUCKET_SQL),
+    ("smile_metrics", smile_metrics_q, SMILE_METRICS_SQL),
+    ("spot_coverage", spot_coverage_q, SPOT_COVERAGE_SQL),
+    ("egarch_params", egarch_params_q, None),
+    ("multimodal_features", multimodal_features_q, MULTIMODAL_SQL),
+]
