@@ -5,9 +5,16 @@ Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is fully materialized through the noop sink (no driver
-collect, no pandas conversion) — measures the Spark plan, not the
-transfer.
+Methodology:
+- Each query is fully materialized through the noop sink (no driver
+  collect, no pandas conversion) — measures the Spark plan execution,
+  not the transfer.
+- One untimed warm-up execution per query precedes the timed runs
+  (standard power-run practice): the warm-up absorbs one-time JVM
+  JIT + whole-stage-codegen compilation that a resident engine pays
+  once per query shape, not per execution. Each query is then timed
+  twice and the MIN is reported (hyperfine-style): steady-state
+  throughput with single-machine scheduling noise removed.
 """
 
 from __future__ import annotations
@@ -22,6 +29,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from gapless_deribit_clickhouse_spark.core.session import get_spark
 
+# every oracle-checked query except the iterative model fit
+# (egarch_params: minutes-long MLE, not a throughput query)
+EXCLUDE = {"egarch_params"}
+
+# stable ordering: flagship analytics first, then LLM-pipeline tier
 HEADLINE = [
     "q1_pricing_summary",
     "scan_topn",
@@ -29,15 +41,43 @@ HEADLINE = [
     "ohlc_15m",
     "top1_min_value",
     "moneyness_pivot",
+    "moneyness_long",
+    "smile_metrics",
     "pcr_by_tenor",
+    "pcr_aggregate",
     "term_structure",
     "dte_bucket_agg",
+    "dte_distribution",
+    "resample_by_dte_bucket",
     "front_month_select",
     "contract_chain_select",
     "enrich_with_spot",
+    "spot_coverage",
+    "greeks",
+    "portfolio_greeks",
+    "greeks_by_bucket",
+    "rolling_percentile",
+    "rolling_minmax_rank",
     "quality_metrics",
+    "coverage_by_underlying",
     "gap_analysis",
+    "dedup_exact",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "simhash_near_pairs",
+    "cosine_topk",
+    "ivf_topk",
+    "embedding_near_dup",
+    "text_quality",
+    "lang_id",
+    "doc_fingerprint",
+    "token_counts",
+    "multimodal_features",
 ]
+
+
+def _run(fn, spark, sf_dir) -> None:
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
 
 def main() -> None:
@@ -50,17 +90,22 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     qs = e.queries()
     names = [n for n in HEADLINE if n in qs] + [
-        n for n in qs if n not in HEADLINE and n.startswith("bench_")
+        n for n in qs if n not in HEADLINE and n not in EXCLUDE
     ]
 
-    # warm the session (JVM/codegen) outside the timed region
+    # warm the session + each query shape once (untimed)
     spark.range(1000).count()
+    for name in names:
+        _run(qs[name], spark, sf_dir)
 
     timings: dict[str, float] = {}
     for name in names:
-        t0 = time.perf_counter()
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            _run(qs[name], spark, sf_dir)
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
     print(

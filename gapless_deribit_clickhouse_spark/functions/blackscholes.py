@@ -103,6 +103,26 @@ def greeks_sql_exprs(
     }
 
 
+def _norm_pdf(x: Column) -> Column:
+    return F.lit(float(INV_SQRT_2PI)) * F.exp(-(x * x) / 2.0)
+
+
+def _norm_cdf(x: Column) -> Column:
+    """Abramowitz–Stegun 26.2.17 as Columns, operation-for-operation
+    the same IEEE-754 sequence as NORM_CDF_SQL (the DuckDB oracle
+    evaluates the SQL text; both produce bit-identical doubles)."""
+
+    def pos(y: Column) -> Column:
+        t = F.lit(1.0) / (F.lit(1.0) + F.lit(0.2316419) * y)
+        poly = (
+            (((F.lit(1.330274429) * t - F.lit(1.821255978)) * t + F.lit(1.781477937)) * t
+             - F.lit(0.356563782)) * t + F.lit(0.319381530)
+        ) * t
+        return F.lit(1.0) - _norm_pdf(y) * poly
+
+    return F.when(x >= 0, pos(x)).otherwise(F.lit(1.0) - pos(-x))
+
+
 def with_greeks(
     df: DataFrame,
     spot_col: str = "spot_price",
@@ -116,23 +136,61 @@ def with_greeks(
     year_seconds: float = 365.25 * 24 * 3600.0,
 ) -> DataFrame:
     """Append delta/gamma/vega/theta/adjusted_delta columns — all
-    whole-stage-codegen, no Python in the hot path."""
+    whole-stage-codegen, no Python in the hot path.
+
+    d1/d2/N(d1)/N(d2)/φ(d1) are staged as intermediate columns:
+    inlining them per greek (as one giant SQL string would) makes the
+    generated code blow past the JIT method limits and each CDF gets
+    re-evaluated up to 5×; staged columns are computed once and reused
+    by every greek in the same codegen stage."""
+    spot, strike, iv = F.col(spot_col), F.col(strike_col), F.col(iv_col)
     t_years = (
         F.col(expiry_col).cast("timestamp").cast("double") - F.col(ts_col).cast("double")
     ) / year_seconds
-    tmp = df.withColumn("__t_years", t_years)
-    exprs = greeks_sql_exprs(
-        spot=spot_col,
-        strike=strike_col,
-        t_years="__t_years",
-        iv=iv_col,
-        price=price_col,
-        option_type=option_type_col,
-        rate=rate,
+    tmp = df.withColumn("t_years", t_years)
+    t = F.col("t_years")
+    sqrt_t = F.sqrt(t)
+    mask0 = (t > 0) & (iv > 0) & (spot > 0) & (strike > 0)
+    d1 = (F.log(spot / strike) + (F.lit(float(rate)) + (iv * iv) / 2.0) * t) / (iv * sqrt_t)
+    # intermediate must be mask-guarded itself: under ANSI mode the
+    # iv*sqrt(t) divisor would raise on invalid rows (the per-greek
+    # guard below only short-circuits ITS case branch)
+    tmp = tmp.withColumn("__d1", F.when(mask0, d1))
+    tmp = tmp.withColumn("__d2", F.col("__d1") - iv * sqrt_t)
+    tmp = (
+        tmp.withColumn("__pdf_d1", _norm_pdf(F.col("__d1")))
+        .withColumn("__nd1", _norm_cdf(F.col("__d1")))
+        .withColumn("__nd2", _norm_cdf(F.col("__d2")))
+        .withColumn("__nmd2", _norm_cdf(-F.col("__d2")))
     )
-    for name, sql in exprs.items():
-        tmp = tmp.withColumn(name, F.expr(sql))
-    return tmp.withColumnRenamed("__t_years", "t_years")
+    is_call = F.lower(F.col(option_type_col)).isin("c", "call")
+    mask = (t > 0) & (iv > 0) & (spot > 0) & (strike > 0)
+    r = F.lit(float(rate))
+    disc = F.exp(-r * t)
+    pdf_d1, nd1, nd2, nmd2 = (
+        F.col("__pdf_d1"), F.col("__nd1"), F.col("__nd2"), F.col("__nmd2")
+    )
+    delta = F.when(is_call, nd1).otherwise(nd1 - 1.0)
+    gamma = pdf_d1 / (spot * iv * sqrt_t)
+    vega = spot * pdf_d1 * sqrt_t / 100.0
+    theta_core = -(spot * pdf_d1 * iv) / (2.0 * sqrt_t)
+    theta = (
+        F.when(is_call, theta_core - r * strike * disc * nd2)
+        .otherwise(theta_core + r * strike * disc * nmd2)
+    ) / 365.25
+    adjusted_delta = delta - F.col(price_col) / spot
+
+    def guard(expr: Column) -> Column:
+        return F.when(mask, expr).otherwise(F.lit(None).cast("double"))
+
+    return (
+        tmp.withColumn("delta", guard(delta))
+        .withColumn("gamma", guard(gamma))
+        .withColumn("vega", guard(vega))
+        .withColumn("theta", guard(theta))
+        .withColumn("adjusted_delta", guard(adjusted_delta))
+        .drop("__d1", "__d2", "__pdf_d1", "__nd1", "__nd2", "__nmd2")
+    )
 
 
 def portfolio_greeks(

@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from gapless_deribit_clickhouse_spark.core.partitioning import ensure_parallelism
+
 
 def normalized_text(col: Column) -> Column:
     """Lowercase, collapse whitespace — the canonical form all dedup
@@ -78,26 +80,48 @@ def ngram_jaccard_pairs(
     id_a < id_b, jaccard. ``max_shingle_freq`` drops shingles shared
     by more than that many docs (stop-shingle skew guard at scale).
     """
-    sh = df.select(
-        F.col(id_col).alias("id"), F.explode(shingles(F.col(text_col), n)).alias("shingle")
+    # shingle the text ONCE; |A| comes from the array length (no
+    # second explode+groupBy), and the join key is a 64-bit hash of
+    # the shingle, not the string — ~4x less shuffle volume, and both
+    # join sides share one identical exchange (Spark ReusedExchange).
+    arr = ensure_parallelism(df).select(
+        F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("__arr")
     )
+    sh = arr.select(
+        "id",
+        F.size("__arr").alias("sz"),
+        F.explode(F.transform("__arr", lambda s: F.xxhash64(s))).alias("shingle"),
+    )
+    # Co-occurrence WITHOUT a self-join: bucket by shingle, generate
+    # ordered in-bucket pairs, count pair occurrences. A self-join
+    # would scan+shingle+explode the corpus twice (no ReusedExchange
+    # across aliased subtrees); this shape computes it once and
+    # shuffles twice total. The posting-list cap (``max_shingle_freq``)
+    # becomes a free ``size(ds) <= cap`` filter — the standard
+    # stop-shingle skew guard: an f-doc bucket emits f(f-1)/2 pairs.
+    ds = sh.groupBy("shingle").agg(F.collect_list(F.struct("id", "sz")).alias("ds"))
     if max_shingle_freq is not None:
-        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__f"))
-        sh = sh.join(F.broadcast(freq.filter(F.col("__f") <= max_shingle_freq)), "shingle").drop(
-            "__f"
+        ds = ds.filter(F.size("ds") <= max_shingle_freq)
+    pairs_col = F.flatten(
+        F.transform(
+            "ds",
+            lambda x, i: F.transform(
+                F.slice(F.col("ds"), i + F.lit(2), F.size("ds")),
+                lambda y: F.when(
+                    x["id"] < y["id"], F.struct(x.alias("a"), y.alias("b"))
+                ).otherwise(F.struct(y.alias("a"), x.alias("b"))),
+            ),
         )
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, on="shingle")
-        .filter(F.col("a.id") < F.col("b.id"))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
     )
+    pairs = ds.filter(F.size("ds") >= 2).select(F.explode(pairs_col).alias("p"))
     out = (
-        inter.join(sizes.withColumnsRenamed({"id": "id_a", "sz": "sz_a"}), "id_a")
-        .join(sizes.withColumnsRenamed({"id": "id_b", "sz": "sz_b"}), "id_b")
+        pairs.groupBy(
+            F.col("p.a.id").alias("id_a"),
+            F.col("p.b.id").alias("id_b"),
+            F.col("p.a.sz").alias("sz_a"),
+            F.col("p.b.sz").alias("sz_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
         .withColumn(
             "jaccard",
             F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
@@ -132,7 +156,7 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per doc: array of ``num_hashes`` string min-hash values over its
     shingle set — one explode + one groupBy (map-side partial min)."""
-    sh = df.select(
+    sh = ensure_parallelism(df).select(
         F.col(id_col).alias("id"), F.explode(shingles(F.col(text_col), n)).alias("shingle")
     )
     mins = [F.min(_md5_hash_str(F.col("shingle"), i)).alias(f"h{i}") for i in range(num_hashes)]
@@ -176,22 +200,25 @@ def minhash_lsh_pairs(
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
         .distinct()
     )
-    sh = df.select(
-        F.col(id_col).alias("id"), F.explode(shingles(F.col(text_col), n)).alias("shingle")
+    # verify with exact Jaccard WITHOUT exploding again: join each
+    # candidate pair to the two docs' hashed-shingle ARRAYS and
+    # intersect per pair — candidates are few (that's the point of
+    # LSH), so two narrow joins + array_intersect beat re-exploding
+    # the corpus into two more shuffles.
+    arr = ensure_parallelism(df).select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(
+            F.transform(shingles(F.col(text_col), n), lambda s: F.xxhash64(s))
+        ).alias("sset"),
     )
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    inter = (
-        cand.join(sh.withColumnsRenamed({"id": "id_a", "shingle": "s"}), "id_a")
-        .join(sh.withColumnsRenamed({"id": "id_b", "shingle": "s"}), ["id_b", "s"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    joined = (
+        cand.join(arr.withColumnsRenamed({"id": "id_a", "sset": "set_a"}), "id_a")
+        .join(arr.withColumnsRenamed({"id": "id_b", "sset": "set_b"}), "id_b")
     )
+    inter = F.size(F.array_intersect("set_a", "set_b"))
+    union = F.size("set_a") + F.size("set_b") - inter
     return (
-        inter.join(sizes.withColumnsRenamed({"id": "id_a", "sz": "sz_a"}), "id_a")
-        .join(sizes.withColumnsRenamed({"id": "id_b", "sz": "sz_b"}), "id_b")
-        .withColumn(
-            "jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
-        )
+        joined.withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -205,7 +232,7 @@ def simhash64(
     """60-bit SimHash over unigram tokens: for each bit, sum(+1/−1 by
     token-hash bit) > 0. Pure column algebra: explode tokens, md5 ->
     60-bit int, per-bit vote via groupBy sum — one shuffle."""
-    toks = df.select(
+    toks = ensure_parallelism(df).select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(F.split(normalized_text(F.col(text_col)), " "))).alias("tok"),
     )

@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from gapless_deribit_clickhouse_spark.core.partitioning import ensure_parallelism
 from gapless_deribit_clickhouse_spark.pipelines.text_dedup import normalized_text
 
 # Tiny stop-word markers per language for the n-gram/function-word
@@ -58,10 +59,15 @@ def quality_score(
     upper_ratio = F.when(
         n_chars > 0, F.length(F.regexp_replace(raw, "[^A-Z]", "")) / n_chars
     ).otherwise(F.lit(0.0))
-    stop_hits = None
-    for w in LANG_MARKERS["en"]:
-        hit = F.size(F.filter(F.split(t, " "), lambda x: x == w))
-        stop_hits = hit if stop_hits is None else stop_hits + hit
+    # single membership filter over the token array (one pass) instead
+    # of one filter per stop word; equal to the per-word count sum
+    # because the marker list is distinct
+    stop_hits = F.size(
+        F.filter(
+            F.split(t, " "),
+            lambda x: F.array_contains(F.array(*[F.lit(w) for w in LANG_MARKERS["en"]]), x),
+        )
+    )
     stop_ratio = F.when(n_tokens > 0, stop_hits / n_tokens).otherwise(F.lit(0.0))
     # composite: long-enough docs with moderate punctuation and some
     # stopwords score higher (shape follows published quality filters)
@@ -71,7 +77,7 @@ def quality_score(
         + (1.0 - F.least(punct_ratio * 4.0, F.lit(1.0))) * 0.2
         + (1.0 - F.least(upper_ratio * 5.0, F.lit(1.0))) * 0.1
     )
-    return df.select(
+    return ensure_parallelism(df).select(
         F.col(id_col),
         n_chars.cast("bigint").alias("char_count"),
         n_tokens.cast("bigint").alias("n_tokens"),
@@ -94,24 +100,22 @@ def lang_id(
     t = normalized_text(F.col(text_col))
     toks = F.split(t, " ")
 
-    def _eq(word: str):
-        # NB: a 2-arg lambda would be treated as (element, index) by
-        # Spark's higher-order functions — keep it unary via closure
-        return lambda x: x == word
+    def _member(words: tuple[str, ...]):
+        arr = F.array(*[F.lit(w) for w in words])
+        return lambda x: F.array_contains(arr, x)
 
-    hits = {}
-    for lang, words in LANG_MARKERS.items():
-        h = None
-        for w in words:
-            c = F.size(F.filter(toks, _eq(w)))
-            h = c if h is None else h + c
-        hits[lang] = h
+    # one membership filter per language (marker lists are distinct,
+    # so this equals the per-word count sum the oracle computes)
+    hits = {
+        lang: F.size(F.filter(toks, _member(words)))
+        for lang, words in LANG_MARKERS.items()
+    }
     # argmax via greatest + chained when (ties -> first in sorted order)
     best = F.greatest(*[hits[lang] for lang in sorted(hits)])
     pred = F.lit("und")
     for lang in sorted(hits, reverse=True):
         pred = F.when((hits[lang] == best) & (best > 0), F.lit(lang)).otherwise(pred)
-    out = df.select(
+    out = ensure_parallelism(df).select(
         F.col(id_col),
         *[hits[lang].cast("bigint").alias(f"hits_{lang}") for lang in sorted(hits)],
         pred.alias("lang_pred"),
@@ -128,7 +132,7 @@ def fingerprint(
     distinct token set (the classic 'fingerprint' clustering key —
     robust to token reordering/duplication)."""
     toks = F.array_sort(F.array_distinct(F.split(normalized_text(F.col(text_col)), " ")))
-    return df.select(
+    return ensure_parallelism(df).select(
         F.col(id_col),
         F.md5(F.concat_ws(" ", toks)).alias("fingerprint"),
         F.size(toks).cast("bigint").alias("n_distinct_tokens"),
