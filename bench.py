@@ -51,6 +51,7 @@ HEADLINE = [
     "resample_by_dte_bucket",
     "front_month_select",
     "contract_chain_select",
+    "instrument_parse",
     "enrich_with_spot",
     "spot_coverage",
     "greeks",

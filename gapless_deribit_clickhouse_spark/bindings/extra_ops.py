@@ -209,7 +209,84 @@ FROM documents
 """
 
 
+# --- §2.8 string tier: instrument format -> parse roundtrip ---
+def instrument_parse_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gapless_deribit_clickhouse_spark.functions.instrument import (
+        format_instrument_col,
+        parse_instrument_cols,
+    )
+
+    t = trades_view(spark, sf_dir)
+    named = t.select(
+        "trade_id",
+        format_instrument_col(
+            F.col("underlying"), F.col("expiry"), F.col("strike"), F.col("option_type")
+        ).alias("deribit_name"),
+    )
+    parsed = parse_instrument_cols(F.col("deribit_name"))
+    return named.select(
+        "trade_id",
+        "deribit_name",
+        parsed["underlying"].alias("underlying_p"),
+        parsed["expiry"].cast("timestamp").alias("expiry_p"),
+        parsed["strike"].alias("strike_p"),
+        parsed["option_type"].alias("option_type_p"),
+    )
+
+
+_MONTH_CASE = (
+    "CASE month(expiry) "
+    + " ".join(
+        f"WHEN {i + 1} THEN '{m}'"
+        for i, m in enumerate(
+            ["JAN", "FEB", "MAR", "APR", "MAY", "JUN",
+             "JUL", "AUG", "SEP", "OCT", "NOV", "DEC"]
+        )
+    )
+    + " END"
+)
+
+_MONTH_NUM_CASE = (
+    "CASE mon "
+    + " ".join(
+        f"WHEN '{m}' THEN {i + 1}"
+        for i, m in enumerate(
+            ["JAN", "FEB", "MAR", "APR", "MAY", "JUN",
+             "JUL", "AUG", "SEP", "OCT", "NOV", "DEC"]
+        )
+    )
+    + " END"
+)
+
+INSTRUMENT_PARSE_SQL = f"""
+WITH trades AS ({TRADES_CTE}),
+named AS (
+  SELECT trade_id,
+         underlying || '-' || CAST(day(expiry) AS VARCHAR) || ({_MONTH_CASE})
+           || lpad(CAST(year(expiry) % 100 AS VARCHAR), 2, '0')
+           || '-' || CAST(CAST(strike AS BIGINT) AS VARCHAR) || '-' || option_type
+           AS deribit_name
+  FROM trades),
+rex AS (
+  SELECT trade_id, deribit_name,
+         regexp_extract(deribit_name, '^([A-Z]+)-(\\d{{1,2}})([A-Z]{{3}})(\\d{{2}})-(\\d+)-([CP])$', 1) AS und,
+         regexp_extract(deribit_name, '^([A-Z]+)-(\\d{{1,2}})([A-Z]{{3}})(\\d{{2}})-(\\d+)-([CP])$', 2) AS dd,
+         regexp_extract(deribit_name, '^([A-Z]+)-(\\d{{1,2}})([A-Z]{{3}})(\\d{{2}})-(\\d+)-([CP])$', 3) AS mon,
+         regexp_extract(deribit_name, '^([A-Z]+)-(\\d{{1,2}})([A-Z]{{3}})(\\d{{2}})-(\\d+)-([CP])$', 4) AS yy,
+         regexp_extract(deribit_name, '^([A-Z]+)-(\\d{{1,2}})([A-Z]{{3}})(\\d{{2}})-(\\d+)-([CP])$', 5) AS stk,
+         regexp_extract(deribit_name, '^([A-Z]+)-(\\d{{1,2}})([A-Z]{{3}})(\\d{{2}})-(\\d+)-([CP])$', 6) AS ot
+  FROM named)
+SELECT trade_id, deribit_name,
+       CASE WHEN und <> '' THEN und END AS underlying_p,
+       CASE WHEN und <> '' THEN CAST(make_date(2000 + CAST(yy AS INT), {_MONTH_NUM_CASE}, CAST(dd AS INT)) AS TIMESTAMP) END AS expiry_p,
+       CASE WHEN und <> '' THEN CAST(stk AS DOUBLE) END AS strike_p,
+       CASE WHEN und <> '' THEN ot END AS option_type_p
+FROM rex
+"""
+
+
 BINDINGS = [
+    ("instrument_parse", instrument_parse_q, INSTRUMENT_PARSE_SQL),
     ("portfolio_greeks", portfolio_greeks_q, PORTFOLIO_GREEKS_SQL),
     ("greeks_by_bucket", greeks_by_bucket_q, GREEKS_BY_BUCKET_SQL),
     ("smile_metrics", smile_metrics_q, SMILE_METRICS_SQL),

@@ -155,13 +155,21 @@ def minhash_signatures(
     num_hashes: int = 32,
 ) -> DataFrame:
     """Per doc: array of ``num_hashes`` string min-hash values over its
-    shingle set — one explode + one groupBy (map-side partial min)."""
-    sh = ensure_parallelism(df).select(
-        F.col(id_col).alias("id"), F.explode(shingles(F.col(text_col), n)).alias("shingle")
+    shingle set.
+
+    Computed entirely WITHIN the row — ``array_min(transform(...))``
+    over the shingle array per hash seed — so signatures need no
+    explode and NO SHUFFLE at all (the earlier explode + 32-way
+    min-agg design paid a full shuffle of every (doc, shingle) pair
+    and a JIT-heavy wide aggregate)."""
+    arr = ensure_parallelism(df).select(
+        F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("__arr")
     )
-    mins = [F.min(_md5_hash_str(F.col("shingle"), i)).alias(f"h{i}") for i in range(num_hashes)]
-    sig = sh.groupBy("id").agg(*mins)
-    return sig.select("id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("signature"))
+    mins = [
+        F.array_min(F.transform("__arr", lambda s, i=i: _md5_hash_str(s, i)))
+        for i in range(num_hashes)
+    ]
+    return arr.select("id", F.array(*mins).alias("signature"))
 
 
 def minhash_lsh_pairs(
