@@ -53,6 +53,7 @@ HEADLINE = [
     "contract_chain_select",
     "instrument_parse",
     "enrich_with_spot",
+    "asof_join_spot",
     "spot_coverage",
     "greeks",
     "portfolio_greeks",

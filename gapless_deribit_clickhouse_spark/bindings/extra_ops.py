@@ -285,7 +285,38 @@ FROM rex
 """
 
 
+# --- event-time as-of join (exact version of the reference's
+# truncate-to-15-min spot lookup; DuckDB ASOF JOIN is the oracle) ---
+def asof_spot_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gapless_deribit_clickhouse_spark.operators.asof import asof_join
+
+    t = trades_view(spark, sf_dir).withColumn(
+        "sym", F.concat(F.col("underlying"), F.lit("USDT"))
+    ).select("trade_id", "sym", "timestamp", "price")
+    s = spot_view(spark, sf_dir)
+    out = asof_join(
+        t,
+        s.withColumnRenamed("symbol", "sym"),
+        on=["sym"],
+        left_ts="timestamp",
+        right_ts="timestamp",
+        value_cols=["close"],
+    )
+    return out.select("trade_id", "sym", "timestamp", "price", "close_asof")
+
+
+ASOF_SPOT_SQL = f"""
+WITH trades AS ({TRADES_CTE}),
+spot AS ({SPOT_CTE}),
+t AS (SELECT trade_id, underlying || 'USDT' AS sym, "timestamp", price FROM trades)
+SELECT t.trade_id, t.sym, t."timestamp", t.price, s.close AS close_asof
+FROM t ASOF LEFT JOIN spot s
+  ON t.sym = s.symbol AND t."timestamp" >= s."timestamp"
+"""
+
+
 BINDINGS = [
+    ("asof_join_spot", asof_spot_q, ASOF_SPOT_SQL),
     ("instrument_parse", instrument_parse_q, INSTRUMENT_PARSE_SQL),
     ("portfolio_greeks", portfolio_greeks_q, PORTFOLIO_GREEKS_SQL),
     ("greeks_by_bucket", greeks_by_bucket_q, GREEKS_BY_BUCKET_SQL),

@@ -1,0 +1,77 @@
+"""as-of join operator vs the pandas ``merge_asof`` oracle."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from gapless_deribit_clickhouse_spark.operators.asof import asof_join
+
+from conftest import make_trades_pdf
+
+
+def _frames(spark, spot_pdf):
+    trades = make_trades_pdf(80)[["trade_id", "timestamp", "underlying", "price"]]
+    trades["symbol"] = trades["underlying"] + "USDT"
+    left = spark.createDataFrame(trades)
+    right = spark.createDataFrame(spot_pdf[["symbol", "timestamp", "close"]])
+    return trades, spot_pdf, left, right
+
+
+def test_asof_matches_pandas_merge_asof(spark, spot_pdf):
+    trades, spot, left, right = _frames(spark, spot_pdf)
+    got = (
+        asof_join(left, right, on=["symbol"], value_cols=["close"])
+        .orderBy("trade_id")
+        .toPandas()
+    )
+    want = pd.merge_asof(
+        trades.sort_values("timestamp"),
+        spot[["symbol", "timestamp", "close"]].sort_values("timestamp"),
+        on="timestamp",
+        by="symbol",
+        direction="backward",
+    ).sort_values("trade_id")
+    assert list(got["close_asof"]) == list(want["close"])
+
+
+def test_asof_tolerance_nulls_out_stale(spark, spot_pdf):
+    trades, spot, left, right = _frames(spark, spot_pdf)
+    got = (
+        asof_join(
+            left, right, on=["symbol"], value_cols=["close"],
+            tolerance_seconds=900.0,
+        )
+        .orderBy("trade_id")
+        .toPandas()
+    )
+    want = pd.merge_asof(
+        trades.sort_values("timestamp"),
+        spot[["symbol", "timestamp", "close"]].sort_values("timestamp"),
+        on="timestamp",
+        by="symbol",
+        direction="backward",
+        tolerance=pd.Timedelta(seconds=900),
+    ).sort_values("trade_id")
+    assert got["close_asof"].isna().sum() > 0  # tolerance actually bites
+    got_vals = got["close_asof"].fillna(-1.0).to_list()
+    want_vals = want["close"].fillna(-1.0).to_list()
+    assert got_vals == want_vals
+
+
+def test_asof_single_shuffle_plan(spark, spot_pdf):
+    """The operator is one exchange on the keys + a window — never a
+    range join (PLANS.md scale argument)."""
+    _, _, left, right = _frames(spark, spot_pdf)
+    df = asof_join(left, right, on=["symbol"], value_cols=["close"])
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in plan  # union+window, no join operator at all
+
+
+def test_asof_no_right_match_is_null(spark, spot_pdf):
+    _, _, left, right = _frames(spark, spot_pdf)
+    early = left.withColumn(
+        "timestamp", F.col("timestamp") - F.expr("INTERVAL 10 DAYS")
+    )
+    got = asof_join(early, right, on=["symbol"], value_cols=["close"])
+    assert got.filter(F.col("close_asof").isNotNull()).count() == 0
