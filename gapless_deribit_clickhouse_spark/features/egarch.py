@@ -64,37 +64,47 @@ def _check_regular(ts: pd.Series, max_unique: int = MAX_UNIQUE_INTERVALS) -> Non
 
 
 def _neg_loglik(theta: np.ndarray, r: np.ndarray, p: int, q: int) -> float:
-    mu, omega = theta[0], theta[1]
-    alphas = theta[2 : 2 + q]
-    gammas = theta[2 + q : 2 + 2 * q]
-    betas = theta[2 + 2 * q : 2 + 2 * q + p]
-    if np.sum(np.abs(betas)) >= 0.999:
+    """Sequential EGARCH log-variance recursion.
+
+    Pure Python floats in the hot loop: the recursion cannot be
+    vectorized (h_t depends on h_{t-1}), and per-element numpy scalar
+    ops cost ~1µs each vs ~50ns for float arithmetic — a ~20x win on
+    the optimizer's thousands of likelihood evaluations."""
+    import math
+
+    mu, omega = float(theta[0]), float(theta[1])
+    alphas = [float(x) for x in theta[2 : 2 + q]]
+    gammas = [float(x) for x in theta[2 + q : 2 + 2 * q]]
+    betas = [float(x) for x in theta[2 + 2 * q : 2 + 2 * q + p]]
+    if sum(abs(b) for b in betas) >= 0.999:
         return 1e12
-    e = r - mu
-    n = len(r)
-    lh = np.empty(n)
-    lh0 = np.log(np.var(e) + 1e-12)
-    z_hist = np.zeros(q)
-    lh_hist = np.full(p, lh0)
-    for t in range(n):
-        val = omega
-        for j in range(q):
-            zj = z_hist[j]
-            val += alphas[j] * (abs(zj) - E_ABS_Z) + gammas[j] * zj
-        for i in range(p):
-            val += betas[i] * lh_hist[i]
-        val = min(max(val, -50.0), 50.0)
-        lh[t] = val
-        sigma = np.exp(0.5 * val)
-        z_t = e[t] / sigma
-        if q > 1:
-            z_hist[1:] = z_hist[:-1]
-        z_hist[0] = z_t
-        if p > 1:
-            lh_hist[1:] = lh_hist[:-1]
-        lh_hist[0] = val
-    ll = -0.5 * np.sum(np.log(2 * np.pi) + lh + (e * e) / np.exp(lh))
-    if not np.isfinite(ll):
+    e = (np.asarray(r, dtype=np.float64) - mu).tolist()
+    lh0 = math.log(float(np.var(e)) + 1e-12)
+    z_hist = [0.0] * q
+    lh_hist = [lh0] * p
+    log2pi = math.log(2 * math.pi)
+    acc = 0.0
+    try:
+        for et in e:
+            val = omega
+            for j in range(q):
+                zj = z_hist[j]
+                val += alphas[j] * (abs(zj) - E_ABS_Z) + gammas[j] * zj
+            for i in range(p):
+                val += betas[i] * lh_hist[i]
+            val = min(max(val, -50.0), 50.0)
+            z_t = et / math.exp(0.5 * val)
+            if q > 1:
+                z_hist[1:] = z_hist[:-1]
+            z_hist[0] = z_t
+            if p > 1:
+                lh_hist[1:] = lh_hist[:-1]
+            lh_hist[0] = val
+            acc += log2pi + val + (et * et) / math.exp(val)
+    except (OverflowError, ValueError):
+        return 1e12
+    ll = -0.5 * acc
+    if not math.isfinite(ll):
         return 1e12
     return -ll
 
