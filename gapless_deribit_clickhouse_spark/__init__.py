@@ -60,7 +60,45 @@ def __getattr__(name: str):
         "print_validation_summary": "validation",
         "load_schema": "schema", "validate_table": "schema",
         "get_spark": "core.session",
+        # feature surface (reference features/__init__.py:61-88)
+        "FeatureConfig": "features", "get_preset": "features",
+        "DEFAULT": "features", "CONSERVATIVE": "features",
+        "HIGH_FREQUENCY": "features",
+        "resample_iv": "features", "resample_by_dte_bucket": "features",
+        "iv_percentile": "features", "iv_rank": "features",
+        "term_structure": "features", "term_structure_slope": "features",
+        "term_structure_ratio": "features",
+        "pcr_by_tenor": "features", "pcr_aggregate": "features",
+        "dte_bucket_agg": "features", "dte_distribution": "features",
+        "fit_egarch": "features", "auto_select_egarch": "features",
+        "forecast_volatility": "features", "iv_model_spread": "features",
+        "egarch_params_by_group": "features",
+        "select_contracts": "features", "front_month": "features",
+        "atm_filter": "features", "liquidity_filter": "features",
+        "enrich_with_spot": "features", "spot_coverage": "features",
+        "aggregate_by_moneyness": "features",
+        "compute_smile_metrics": "features",
+        "moneyness_bucket_col": "features",
+        "with_greeks": "functions.blackscholes",
+        "portfolio_greeks": "functions.blackscholes",
+        "greeks_by_bucket": "functions.blackscholes",
+        "format_instrument_col": "functions.instrument",
     }
+    # reference-name aliases (reference __init__.py:42-65 /
+    # features/__init__.py:61-88): a reference user's import keeps working
+    aliases = {
+        "calculate_greeks": "with_greeks",
+        "calculate_portfolio_greeks": "portfolio_greeks",
+        "aggregate_greeks_by_bucket": "greeks_by_bucket",
+        "get_quality_metrics": "quality_metrics",
+        "get_gap_analysis": "gap_analysis",
+        "get_coverage_stats": "coverage_by_group",
+        "validate_schema_version": "validate_table",
+        "build_contract_selection_query": "select_contracts",
+        "build_spot_enriched_query": "enrich_with_spot",
+        "build_moneyness_aggregation_query": "aggregate_by_moneyness",
+    }
+    name = aliases.get(name, name)
     if name in home:
         return getattr(
             import_module(f"gapless_deribit_clickhouse_spark.{home[name]}"), name
@@ -110,4 +148,26 @@ __all__ = [
     "load_schema",
     "validate_table",
     "get_spark",
+    # feature surface (lazy)
+    "FeatureConfig", "get_preset", "DEFAULT", "CONSERVATIVE",
+    "HIGH_FREQUENCY",
+    "resample_iv", "resample_by_dte_bucket",
+    "iv_percentile", "iv_rank",
+    "term_structure", "term_structure_slope", "term_structure_ratio",
+    "pcr_by_tenor", "pcr_aggregate",
+    "dte_bucket_agg", "dte_distribution",
+    "fit_egarch", "auto_select_egarch", "forecast_volatility",
+    "iv_model_spread", "egarch_params_by_group",
+    "select_contracts", "front_month", "atm_filter", "liquidity_filter",
+    "enrich_with_spot", "spot_coverage",
+    "aggregate_by_moneyness", "compute_smile_metrics",
+    "moneyness_bucket_col",
+    "with_greeks", "portfolio_greeks", "greeks_by_bucket",
+    "format_instrument_col",
+    # reference-name aliases
+    "calculate_greeks", "calculate_portfolio_greeks",
+    "aggregate_greeks_by_bucket", "get_quality_metrics",
+    "get_gap_analysis", "get_coverage_stats", "validate_schema_version",
+    "build_contract_selection_query", "build_spot_enriched_query",
+    "build_moneyness_aggregation_query",
 ]

@@ -21,6 +21,19 @@ def test_all_exports_resolve():
         assert getattr(pkg, name) is not None, name
 
 
+def test_reference_name_aliases():
+    """A reference user's imports keep working (reference __init__.py:42-65)."""
+    assert pkg.calculate_greeks is pkg.with_greeks
+    assert pkg.calculate_portfolio_greeks is pkg.portfolio_greeks
+    assert pkg.aggregate_greeks_by_bucket is pkg.greeks_by_bucket
+    assert pkg.get_quality_metrics is pkg.quality_metrics
+    assert pkg.get_gap_analysis is pkg.gap_analysis
+    assert pkg.get_coverage_stats is pkg.coverage_by_group
+    assert pkg.build_contract_selection_query is pkg.select_contracts
+    assert pkg.build_spot_enriched_query is pkg.enrich_with_spot
+    assert pkg.build_moneyness_aggregation_query is pkg.aggregate_by_moneyness
+
+
 def test_probe_shape():
     d = pkg.describe()
     assert d["execution"] == "pyspark"
