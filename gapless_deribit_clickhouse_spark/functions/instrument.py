@@ -81,22 +81,32 @@ def month_num_col(mon: Column) -> Column:
 
 def parse_instrument_cols(name: Column) -> dict[str, Column]:
     """Column-level parse; invalid names yield nulls in every field
-    (filter with ``underlying IS NULL`` for rejects)."""
-    und = F.regexp_extract(name, INSTRUMENT_RE, 1)
-    day = F.regexp_extract(name, INSTRUMENT_RE, 2)
-    mon = F.regexp_extract(name, INSTRUMENT_RE, 3)
-    yy = F.regexp_extract(name, INSTRUMENT_RE, 4)
-    strike = F.regexp_extract(name, INSTRUMENT_RE, 5)
-    opt = F.regexp_extract(name, INSTRUMENT_RE, 6)
-    valid = und != ""
+    (filter with ``underlying IS NULL`` for rejects).
+
+    One ``rlike`` validity test + hyphen split + fixed-offset
+    substrings — a valid name splits into exactly 4 hyphen-separated
+    parts, and the date part is ``D{1,2}MONYY`` so month/year sit at
+    fixed offsets from the end. This keeps the expression tree ~10x
+    smaller than a per-field ``regexp_extract``, which matters twice:
+    the regex would re-run per output field per row, and the
+    duplicated subtrees inside CASE WHEN branches defeat codegen
+    subexpression elimination AND slow plan analysis (a re-built
+    query pays seconds of driver time on the bloated tree)."""
+    valid = name.rlike(INSTRUMENT_RE)
+    parts = F.split(name, "-")
+    datepart = parts[1]
+    dlen = F.length(datepart)
+    day = datepart.substr(F.lit(1), dlen - 5)
+    mon = datepart.substr(dlen - F.lit(4), F.lit(3))
+    yy = datepart.substr(dlen - F.lit(1), F.lit(2))
     expiry = F.make_date(
         F.lit(2000) + yy.cast("int"), month_num_col(mon), day.cast("int")
     )
     return {
-        "underlying": F.when(valid, und),
+        "underlying": F.when(valid, parts[0]),
         "expiry": F.when(valid, expiry),
-        "strike": F.when(valid, strike.cast("double")),
-        "option_type": F.when(valid, opt),
+        "strike": F.when(valid, parts[2].cast("double")),
+        "option_type": F.when(valid, parts[3]),
     }
 
 

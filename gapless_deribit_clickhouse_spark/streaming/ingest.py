@@ -73,6 +73,87 @@ def streaming_ohlc(
     )
 
 
+def streaming_gap_monitor(
+    stream: DataFrame,
+    key_col: str = "underlying",
+    ts_col: str = "timestamp",
+    threshold_hours: float = 1.0,
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Continuous gap detection: the streaming-native form of the
+    reference's post-hoc ``lead()`` gap report (data_quality.py:48-66,
+    SURVEY §2.9 'gap monitoring').
+
+    A custom stateful operator (``applyInPandasWithState``): per key,
+    the state carries the last event time seen across micro-batches;
+    each batch emits one row per consecutive-event gap exceeding the
+    threshold, including the batch-boundary gap against the stored
+    state. State is one timestamp per key — O(cardinality(key)), not
+    O(rows) — so it holds at any scale, and the watermark bounds how
+    long a silent key keeps state alive.
+    """
+    import pandas as pd
+
+    out_schema = T.StructType(
+        [
+            T.StructField(key_col, T.StringType()),
+            T.StructField("gap_start", T.TimestampType()),
+            T.StructField("gap_end", T.TimestampType()),
+            T.StructField("gap_hours", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("last_ts_us", T.LongType())])
+    threshold_us = int(threshold_hours * 3600 * 1_000_000)
+
+    def detect(key, pdf_iter, state):
+        last_us = state.get[0] if state.exists else None
+        ts_us = pd.concat(
+            [pdf[ts_col] for pdf in pdf_iter], ignore_index=True
+        ).astype("datetime64[us]").astype("int64").sort_values()
+        if ts_us.empty:
+            return
+        starts, ends = [], []
+        prev = last_us
+        for cur in ts_us:
+            if prev is not None and cur - prev > threshold_us:
+                starts.append(prev)
+                ends.append(cur)
+            prev = cur
+        # never move the high-water mark backwards (a batch of only
+        # late events must not reopen already-checked gaps)
+        new_last = int(ts_us.iloc[-1])
+        state.update((new_last if last_us is None else max(new_last, last_us),))
+        if starts:
+            s = pd.Series(starts, dtype="int64").astype("datetime64[us]")
+            e = pd.Series(ends, dtype="int64").astype("datetime64[us]")
+            yield pd.DataFrame(
+                {
+                    key_col: key[0],
+                    "gap_start": s,
+                    "gap_end": e,
+                    "gap_hours": (
+                        pd.Series(ends, dtype="float64")
+                        - pd.Series(starts, dtype="float64")
+                    )
+                    / 3.6e9,
+                }
+            )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        stream.withWatermark(ts_col, watermark_delay)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            detect,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def write_stream_idempotent(
     stream: DataFrame,
     output_path: str,

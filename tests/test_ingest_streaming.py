@@ -18,6 +18,7 @@ from gapless_deribit_clickhouse_spark.sources.rest_collector import (
 from gapless_deribit_clickhouse_spark.streaming.ingest import (
     dedup_stream,
     read_trade_stream,
+    streaming_gap_monitor,
     streaming_ohlc,
     write_stream_idempotent,
 )
@@ -142,6 +143,48 @@ def test_stream_dedup_and_idempotent_sink(spark, tmp_path):
     out = spark.read.parquet(str(tmp_path / "out"))
     assert out.count() == 240  # duplicates dropped
     assert out.select("trade_id").distinct().count() == 240
+
+
+def test_streaming_gap_monitor_stateful(spark, tmp_path):
+    """Gaps are found both inside a micro-batch and ACROSS batches
+    (state carries last_ts): two files forced into separate batches
+    via maxFilesPerTrigger=1."""
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    mk = lambda secs, und: [  # noqa: E731
+        (f"{und}{s}", und, base + dt.timedelta(seconds=s)) for s in secs
+    ]
+    ddl = "trade_id string, underlying string, timestamp timestamp"
+    src = str(tmp_path / "gap_pages")
+    # file 1: BTC steady except one 2h in-batch hole; ETH steady
+    f1 = mk([0, 60, 120, 120 + 7200, 120 + 7260], "BTC") + mk(
+        [0, 60, 120], "ETH"
+    )
+    # file 2: BTC resumes 3h after file 1's last event -> cross-batch gap
+    last_btc = 120 + 7260
+    f2 = mk([last_btc + 3 * 3600, last_btc + 3 * 3600 + 60], "BTC")
+    spark.createDataFrame(f1, ddl).coalesce(1).write.parquet(src + "/p1")
+    spark.createDataFrame(f2, ddl).coalesce(1).write.parquet(src + "/p2")
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src + "/p1").schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/p*")
+    )
+    gaps = streaming_gap_monitor(stream, threshold_hours=1.0)
+    q = (
+        gaps.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("gaps_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT * FROM gaps_out ORDER BY underlying, gap_start"
+    ).toPandas()
+    assert list(got.underlying) == ["BTC", "BTC"]  # ETH has no gap
+    assert got.gap_hours.round(3).tolist() == [2.0, 3.0]
+    assert (got.gap_end > got.gap_start).all()
 
 
 def test_streaming_ohlc_windows(spark, tmp_path):
