@@ -86,8 +86,22 @@ def minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_sql() -> str:
+    from gapless_deribit_clickhouse_spark.pipelines.text_dedup import (
+        MINHASH_PRIME as _P,
+        minhash_affine_params,
+    )
+
+    # base hash: first 15 hex chars of md5('0:' || shingle) parsed via
+    # Horner-with-mod (stays in int64; a naive 16^k sum would round in
+    # doubles), then the same (a*h + b) % p family as the Spark side
+    base = (
+        "list_reduce(list_transform(range(1, 16), i -> "
+        "CAST(strpos('0123456789abcdef', substr(md5('0:' || shingle), i, 1)) - 1 AS BIGINT)), "
+        f"(acc, d) -> (acc * 16 + d) % {_P})"
+    )
     mins = ",\n         ".join(
-        f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(_NUM_HASHES)
+        f"min((h * CAST({a} AS BIGINT) + {b}) % {_P}) AS h{i}"
+        for i, (a, b) in enumerate(minhash_affine_params(_NUM_HASHES))
     )
     band_eq = " OR ".join(
         "("
@@ -98,10 +112,11 @@ def _minhash_sql() -> str:
     return f"""
 WITH toks AS ({_TOKS}),
 grams AS ({_GRAMS3}),
+hg AS (SELECT doc_id, {base} AS h FROM grams),
 sig AS (
   SELECT doc_id,
          {mins}
-  FROM grams GROUP BY doc_id),
+  FROM hg GROUP BY doc_id),
 cand AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b
   FROM sig a JOIN sig b ON a.doc_id < b.doc_id

@@ -140,11 +140,20 @@ def _md5_hash64(col: Column, seed: int) -> Column:
     )
 
 
-def _md5_hash_str(col: Column, seed: int) -> Column:
-    """Deterministic string hash for min-hash: lexicographic min over
-    md5 hex digests is uniform and needs no hex->int conversion, so
-    the identical computation runs in Spark, DuckDB, and Python."""
-    return F.md5(F.concat(F.lit(str(seed) + ":"), col))
+MINHASH_PRIME = 2147483647  # 2^31 - 1; (p-1)^2 fits in int64
+
+
+def minhash_affine_params(num_hashes: int, seed: int = 12345) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the universal hash family
+    ``h_i(x) = (a_i * x + b_i) mod p`` — the same scheme as Spark ML's
+    MinHashLSH. Shared by the Spark operator and the DuckDB oracle."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, MINHASH_PRIME), rng.randrange(0, MINHASH_PRIME))
+        for _ in range(num_hashes)
+    ]
 
 
 def minhash_signatures(
@@ -154,22 +163,32 @@ def minhash_signatures(
     n: int = 3,
     num_hashes: int = 32,
 ) -> DataFrame:
-    """Per doc: array of ``num_hashes`` string min-hash values over its
+    """Per doc: array of ``num_hashes`` bigint min-hash values over its
     shingle set.
 
-    Computed entirely WITHIN the row — ``array_min(transform(...))``
-    over the shingle array per hash seed — so signatures need no
-    explode and NO SHUFFLE at all (the earlier explode + 32-way
-    min-agg design paid a full shuffle of every (doc, shingle) pair
-    and a JIT-heavy wide aggregate)."""
+    Computed entirely WITHIN the row — no explode, NO SHUFFLE. The
+    base md5 hash runs ONCE per shingle (its own projection; Spark's
+    CollapseProject keeps non-cheap expressions single-evaluated);
+    the ``num_hashes`` minima are affine transforms of that base —
+    cheap long arithmetic instead of per-seed md5 (32x fewer digest
+    evaluations; md5 dominated execution). Built as SQL strings: one
+    F.expr = one py4j call, not hundreds of Column-API round-trips."""
     arr = ensure_parallelism(df).select(
         F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("__arr")
     )
-    mins = [
-        F.array_min(F.transform("__arr", lambda s, i=i: _md5_hash_str(s, i)))
-        for i in range(num_hashes)
-    ]
-    return arr.select("id", F.array(*mins).alias("signature"))
+    p = MINHASH_PRIME
+    harr = arr.select(
+        "id",
+        F.expr(
+            "transform(__arr, s -> CAST(conv(substring(md5(concat('0:', s)), 1, 15), 16, 10) "
+            f"AS BIGINT) % {p})"
+        ).alias("__harr"),
+    )
+    mins = ", ".join(
+        f"array_min(transform(__harr, h -> (h * {a}L + {b}L) % {p}L))"
+        for a, b in minhash_affine_params(num_hashes)
+    )
+    return harr.select("id", F.expr(f"array({mins})").alias("signature"))
 
 
 def minhash_lsh_pairs(
@@ -190,16 +209,14 @@ def minhash_lsh_pairs(
     """
     r = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, n, num_hashes)
-    band_arr = F.array(
-        *[
-            F.md5(F.concat_ws(",", *[F.col("signature")[b * r + i] for i in range(r)])).alias(
-                f"b{b}"
-            )
-            for b in range(bands)
-        ]
+    band_sql = ", ".join(
+        "md5(concat_ws(',', "
+        + ", ".join(f"signature[{b * r + i}]" for i in range(r))
+        + "))"
+        for b in range(bands)
     )
     banded = sig.select(
-        "id", F.posexplode(band_arr).alias("band", "band_hash")
+        "id", F.posexplode(F.expr(f"array({band_sql})")).alias("band", "band_hash")
     )
     cand = (
         banded.alias("x")
@@ -244,22 +261,37 @@ def simhash64(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(F.split(normalized_text(F.col(text_col)), " "))).alias("tok"),
     )
-    h = _md5_hash64(F.col("tok"), 0)
-    votes = [
-        F.sum(
-            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"v{b}")
+    # hash in a projection BELOW the aggregate: vote expressions
+    # reference the already-computed long instead of embedding their
+    # own md5+conv subtree (aggregate expressions don't get
+    # subexpression elimination -> it would re-run md5 per vote).
+    toks = toks.select("id", _md5_hash64(F.col("tok"), 0).alias("__h"))
+    h = F.col("__h")
+    # Pack the 60 per-bit one-counts into 15 longs of 4x16-bit lanes:
+    # aggregation state (and therefore partial-agg shuffle bytes) is
+    # 15 longs + count instead of 60 longs, and the generated agg code
+    # is 4x narrower. Lanes can't overflow below 65k tokens per doc
+    # (array_distinct'd unigrams — far beyond any real document).
+    # built as SQL strings: one F.expr = one py4j call + one JVM parse,
+    # vs hundreds of Column-API round-trips for the same tree
+    def lane_sql(i: int) -> str:
+        terms = " + ".join(
+            f"shiftleft(CAST(shiftright(__h, {4 * i + j}) & 1 AS BIGINT), {16 * j})"
+            for j in range(4)
+        )
+        return f"sum({terms}) AS p{i}"
+
+    agg = toks.groupBy("id").agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[F.expr(lane_sql(i)) for i in range(15)],
+    )
+    # bit b set iff ones > zeros iff 2*ones_count > n
+    total_sql = " + ".join(
+        f"IF((shiftright(p{b // 4}, {16 * (b % 4)}) & 65535) * 2 > __n, "
+        f"{2**b}L, 0L)"
         for b in range(60)
-    ]
-    agg = toks.groupBy("id").agg(*votes)
-    bits = [
-        F.when(F.col(f"v{b}") > 0, F.lit(2**b).cast("long")).otherwise(F.lit(0).cast("long"))
-        for b in range(60)
-    ]
-    total = bits[0]
-    for bcol in bits[1:]:
-        total = total + bcol
-    return agg.select("id", total.alias("simhash"))
+    )
+    return agg.select("id", F.expr(total_sql).alias("simhash"))
 
 
 def simhash_near_pairs(
