@@ -315,7 +315,37 @@ FROM t ASOF LEFT JOIN spot s
 """
 
 
+# --- sessionization: inactivity-gap sessions over the event stream ---
+def sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gapless_deribit_clickhouse_spark.operators.sessionize import session_stats
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    return session_stats(ev, user_col="user_id", ts_col="ts", gap_seconds=1800)
+
+
+SESSIONIZE_SQL = """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS is_new
+  FROM (SELECT user_id, ts FROM events)
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+s AS (
+  SELECT user_id, ts,
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+  FROM marked)
+SELECT user_id, session_seq,
+       min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events,
+       max(epoch(ts)) - min(epoch(ts)) AS duration_s
+FROM s GROUP BY user_id, session_seq
+"""
+
+
 BINDINGS = [
+    ("sessionize", sessionize_q, SESSIONIZE_SQL),
     ("asof_join_spot", asof_spot_q, ASOF_SPOT_SQL),
     ("instrument_parse", instrument_parse_q, INSTRUMENT_PARSE_SQL),
     ("portfolio_greeks", portfolio_greeks_q, PORTFOLIO_GREEKS_SQL),

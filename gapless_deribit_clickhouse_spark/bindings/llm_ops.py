@@ -338,7 +338,51 @@ FROM documents
 """
 
 
+# --- deterministic stratified hash sampling (train-split stability) ---
+def hash_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gapless_deribit_clickhouse_spark.pipelines.sampling import (
+        stratified_hash_sample,
+    )
+
+    docs = _docs(spark, sf_dir)
+    out = stratified_hash_sample(
+        docs, key_col="doc_id", stratum_col="lang",
+        rates={"en": 0.5, "de": 0.25}, default_rate=0.1,
+    )
+    return out.select("doc_id", "lang", "source")
+
+
+HASH_SAMPLE_SQL = """
+WITH b AS (
+  SELECT doc_id, lang, source,
+         list_reduce(list_transform(range(1, 9), i ->
+           CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)),
+           (acc, d) -> acc * 16 + d) % 10000 AS bucket
+  FROM documents)
+SELECT doc_id, lang, source FROM b
+WHERE bucket < (CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2500 ELSE 1000 END)
+"""
+
+
+# --- corpus vocabulary head: top-k tokens by frequency ---
+def token_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gapless_deribit_clickhouse_spark.pipelines.text_stats import token_topk
+
+    return token_topk(_docs(spark, sf_dir), k=50)
+
+
+TOKEN_TOPK_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS token FROM documents)
+SELECT token, count(*) AS term_count, count(DISTINCT doc_id) AS doc_freq
+FROM toks WHERE len(token) > 0
+GROUP BY token ORDER BY term_count DESC, token ASC LIMIT 50
+"""
+
+
 BINDINGS = [
+    ("hash_sample", hash_sample_q, HASH_SAMPLE_SQL),
+    ("token_topk", token_topk_q, TOKEN_TOPK_SQL),
     ("dedup_exact", dedup_exact_q, DEDUP_EXACT_SQL),
     ("ngram_jaccard_pairs", ngram_jaccard_q, NGRAM_JACCARD_SQL),
     ("minhash_lsh_pairs", minhash_lsh_q, MINHASH_LSH_SQL),

@@ -1,0 +1,63 @@
+"""Deterministic (hash-based) sampling for training-data pipelines.
+
+Random sampling (``df.sample``) is non-reproducible across runs,
+partitionings, and engines — a training pipeline needs the SAME
+subset every rerun, join-stable membership ("was this doc in the
+train split?"), and per-stratum rates. Hash sampling gives all
+three: keep a row iff ``bucket(key) < rate * B`` where ``bucket`` is
+the first 8 hex chars of md5 mod B. No shuffle, no state, pushes
+through any plan, and the DuckDB oracle reproduces it bit-for-bit.
+
+At 100 TB this is a pure map over the scan — sampling happens before
+any shuffle, so downstream stages see only the kept fraction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+BUCKETS = 10_000
+
+
+def hash_bucket(key: Column, salt: str = "") -> Column:
+    """Uniform bucket in [0, BUCKETS): first 8 md5 hex chars (32 bits)
+    of the salted key, mod BUCKETS."""
+    h = F.conv(F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 8), 16, 10)
+    return (h.cast("long") % BUCKETS).cast("int")
+
+
+def hash_sample(
+    df: DataFrame,
+    key_col: str,
+    rate: float,
+    salt: str = "",
+) -> DataFrame:
+    """Keep a deterministic ``rate`` fraction keyed on ``key_col``.
+    Membership is stable across runs and engines; disjoint salts give
+    independent samples (e.g. train/validation splits)."""
+    return df.filter(hash_bucket(F.col(key_col), salt) < int(rate * BUCKETS))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the downsample-the-
+    majority-class shape (e.g. per-language or per-source quotas in a
+    pretraining mix). ``rates`` maps stratum value -> keep fraction."""
+    threshold = None
+    for value, rate in rates.items():
+        cond = F.col(stratum_col) == value
+        t = F.lit(int(rate * BUCKETS))
+        threshold = F.when(cond, t) if threshold is None else threshold.when(cond, t)
+    threshold = (
+        threshold.otherwise(F.lit(int(default_rate * BUCKETS)))
+        if threshold is not None
+        else F.lit(int(default_rate * BUCKETS))
+    )
+    return df.filter(hash_bucket(F.col(key_col), salt) < threshold)

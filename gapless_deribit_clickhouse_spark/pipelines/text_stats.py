@@ -123,6 +123,37 @@ def lang_id(
     return out
 
 
+def token_topk(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 100,
+) -> DataFrame:
+    """Corpus vocabulary head: top-k tokens by total occurrence count,
+    with document frequency — the vocab/stopword-list builder.
+
+    Scale shape: explode -> per-token partial counts (map-side
+    combine) -> one shuffle keyed by token -> global top-k via
+    TakeOrdered (no full sort). ``count_distinct(doc)`` rides the same
+    aggregate. Token keys are Zipf-skewed, but the partial aggregate
+    collapses each partition's duplicates first, so the hot token
+    costs one row per partition in the shuffle, not one per
+    occurrence."""
+    toks = ensure_parallelism(df).select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.split(normalized_text(F.col(text_col)), " ")).alias("token"),
+    ).filter(F.length("token") > 0)
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("term_count"),
+            F.countDistinct("doc").alias("doc_freq"),
+        )
+        .orderBy(F.desc("term_count"), F.asc("token"))
+        .limit(k)
+    )
+
+
 def fingerprint(
     df: DataFrame,
     text_col: str = "text",

@@ -108,3 +108,65 @@ def test_frame_sample_plan(spark):
     expected = sum(int(d // 500) + 1 for d in vids.duration_ms)
     assert len(frames) == expected
     assert (frames.frame_ts_ms % 500 == 0).all()
+
+
+def test_hash_sample_deterministic_and_stratified(docs):
+    from gapless_deribit_clickhouse_spark.pipelines.sampling import (
+        hash_sample,
+        stratified_hash_sample,
+    )
+
+    a = {r.doc_id for r in hash_sample(docs, "doc_id", 0.3).select("doc_id").collect()}
+    b = {r.doc_id for r in hash_sample(docs, "doc_id", 0.3).select("doc_id").collect()}
+    assert a == b  # stable across runs
+    n = docs.count()
+    assert 0.2 * n < len(a) < 0.4 * n  # roughly the requested rate
+    # monotone: raising the rate only adds members (nested splits)
+    bigger = {r.doc_id for r in hash_sample(docs, "doc_id", 0.6).select("doc_id").collect()}
+    assert a <= bigger
+    # different salt -> a different (roughly independent) subset
+    salted = {r.doc_id for r in hash_sample(docs, "doc_id", 0.3, salt="v2").select("doc_id").collect()}
+    assert salted != a
+    # stratified: zero-rate stratum vanishes, others keep their rate
+    strat = stratified_hash_sample(
+        docs, "doc_id", "lang", rates={"en": 1.0}, default_rate=0.0
+    ).toPandas()
+    assert set(strat.lang) == {"en"}
+    assert len(strat) == docs.filter(F.col("lang") == "en").count()
+
+
+def test_token_topk_vocab_head(docs):
+    from gapless_deribit_clickhouse_spark.pipelines.text_stats import token_topk
+
+    top = token_topk(docs, k=10).toPandas()
+    assert len(top) <= 10
+    # sorted by count desc with token tiebreak
+    assert list(top.term_count) == sorted(top.term_count, reverse=True)
+    # doc_freq can never exceed term_count nor the corpus size
+    assert (top.doc_freq <= top.term_count).all()
+    assert (top.doc_freq <= docs.count()).all()
+
+
+def test_sessionize_gap_splits(spark):
+    import datetime as dt
+
+    from gapless_deribit_clickhouse_spark.operators.sessionize import (
+        session_stats,
+        sessionize,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: two sessions (40-min gap), user 2: one session
+        (1, base), (1, base + dt.timedelta(minutes=10)),
+        (1, base + dt.timedelta(minutes=50)),
+        (2, base), (2, base + dt.timedelta(minutes=29)),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    s = sessionize(ev, gap_seconds=1800).toPandas()
+    u1 = s[s.user_id == 1].sort_values("ts")
+    assert u1.session_seq.tolist() == [1, 1, 2]
+    stats = session_stats(ev, gap_seconds=1800).toPandas()
+    assert len(stats) == 3
+    u2 = stats[(stats.user_id == 2)]
+    assert u2.n_events.tolist() == [2] and u2.duration_s.tolist() == [29 * 60.0]
