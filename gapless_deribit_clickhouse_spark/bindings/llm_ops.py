@@ -380,7 +380,51 @@ GROUP BY token ORDER BY term_count DESC, token ASC LIMIT 50
 """
 
 
+# --- duplicate clustering: near-dup pairs -> connected components ->
+#     canonical representative per cluster ---
+def dup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gapless_deribit_clickhouse_spark.operators.connected_components import (
+        dedup_clusters,
+    )
+
+    emb = _emb(spark, sf_dir)
+    pairs = embedding_near_dup_pairs(emb, threshold=0.35)
+    return dedup_clusters(emb, pairs, id_col="vec_id")
+
+
+# oracle: same pair graph, components via recursive reachability
+# (UNION dedups rows, so the walk reaches a fixpoint), label = min
+# reachable id.
+DUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE c AS (
+  SELECT vec_id AS id, embedding, {_CELL} AS cell FROM embeddings),
+pairs AS (
+  SELECT x.id AS id_a, y.id AS id_b
+  FROM c x JOIN c y ON x.cell = y.cell AND x.id < y.id
+  WHERE {_COS_XY} >= 0.35),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION SELECT id_b, id_a FROM pairs),
+walk(u, r) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT w.u, e.v FROM walk w JOIN edges e ON w.r = e.u AND e.v <> w.u),
+comp AS (
+  SELECT u AS id, least(min(r), u) AS component FROM walk GROUP BY u),
+sizes AS (
+  SELECT component, count(*) AS sz FROM comp GROUP BY component)
+SELECT e.vec_id,
+       coalesce(cm.component, e.vec_id) AS canonical_id,
+       CAST(coalesce(s.sz, 1) AS BIGINT) AS cluster_size,
+       e.vec_id <> coalesce(cm.component, e.vec_id) AS is_duplicate
+FROM embeddings e
+LEFT JOIN comp cm ON e.vec_id = cm.id
+LEFT JOIN sizes s ON cm.component = s.component
+"""
+
+
 BINDINGS = [
+    ("dup_clusters", dup_clusters_q, DUP_CLUSTERS_SQL),
     ("hash_sample", hash_sample_q, HASH_SAMPLE_SQL),
     ("token_topk", token_topk_q, TOKEN_TOPK_SQL),
     ("dedup_exact", dedup_exact_q, DEDUP_EXACT_SQL),

@@ -170,3 +170,34 @@ def test_sessionize_gap_splits(spark):
     assert len(stats) == 3
     u2 = stats[(stats.user_id == 2)]
     assert u2.n_events.tolist() == [2] and u2.duration_s.tolist() == [29 * 60.0]
+
+
+def test_connected_components_and_dedup_clusters(spark):
+    from gapless_deribit_clickhouse_spark.operators.connected_components import (
+        connected_components,
+        dedup_clusters,
+    )
+
+    # chain 1-2-3-4, triangle 10-11-12 (+ redundant edge), pair 20-21
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "id_a long, id_b long",
+    )
+    expected = {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+    # local union-find tier (default threshold) and distributed
+    # star-contraction tier (threshold 0) must agree
+    comp = {r.node: r.component for r in connected_components(pairs).collect()}
+    assert comp == expected
+    dist = {
+        r.node: r.component
+        for r in connected_components(pairs, local_threshold=0).collect()
+    }
+    assert dist == expected
+
+    universe = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 12, 20, 21, 99]], "doc long")
+    out = dedup_clusters(universe, pairs, id_col="doc").toPandas().set_index("doc")
+    assert out.loc[99].canonical_id == 99 and out.loc[99].cluster_size == 1
+    assert not out.loc[99].is_duplicate
+    assert out.loc[4].canonical_id == 1 and out.loc[4].cluster_size == 4
+    assert out.loc[10].cluster_size == 3 and not out.loc[10].is_duplicate
+    assert out.is_duplicate.sum() == 6  # one canonical per cluster + singleton
