@@ -83,6 +83,29 @@ def __getattr__(name: str):
         "portfolio_greeks": "functions.blackscholes",
         "greeks_by_bucket": "functions.blackscholes",
         "format_instrument_col": "functions.instrument",
+        # large-scale training-data pipeline tier
+        "exact_dedup": "pipelines.text_dedup",
+        "ngram_jaccard_pairs": "pipelines.text_dedup",
+        "minhash_lsh_pairs": "pipelines.text_dedup",
+        "simhash_near_pairs": "pipelines.text_dedup",
+        "cosine_topk": "pipelines.embeddings",
+        "ivf_topk": "pipelines.embeddings",
+        "embedding_near_dup_pairs": "pipelines.embeddings",
+        "quality_score": "pipelines.text_stats",
+        "lang_id": "pipelines.text_stats",
+        "token_count": "pipelines.text_stats",
+        "bpe_ish_token_count": "pipelines.text_stats",
+        "fingerprint": "pipelines.text_stats",
+        "token_topk": "pipelines.text_stats",
+        "tfidf_top_terms": "pipelines.text_stats",
+        "curate_corpus": "pipelines.curation",
+        "hash_sample": "pipelines.sampling",
+        "stratified_hash_sample": "pipelines.sampling",
+        "connected_components": "operators.connected_components",
+        "dedup_clusters": "operators.connected_components",
+        "sessionize": "operators.sessionize",
+        "session_stats": "operators.sessionize",
+        "streaming_sessionize": "operators.sessionize",
     }
     # reference-name aliases (reference __init__.py:42-65 /
     # features/__init__.py:61-88): a reference user's import keeps working
@@ -164,6 +187,15 @@ __all__ = [
     "moneyness_bucket_col",
     "with_greeks", "portfolio_greeks", "greeks_by_bucket",
     "format_instrument_col",
+    # large-scale training-data pipeline tier (lazy)
+    "exact_dedup", "ngram_jaccard_pairs", "minhash_lsh_pairs",
+    "simhash_near_pairs",
+    "cosine_topk", "ivf_topk", "embedding_near_dup_pairs",
+    "quality_score", "lang_id", "token_count", "bpe_ish_token_count",
+    "fingerprint", "token_topk", "tfidf_top_terms", "curate_corpus",
+    "hash_sample", "stratified_hash_sample",
+    "connected_components", "dedup_clusters",
+    "sessionize", "session_stats", "streaming_sessionize",
     # reference-name aliases
     "calculate_greeks", "calculate_portfolio_greeks",
     "aggregate_greeks_by_bucket", "get_quality_metrics",

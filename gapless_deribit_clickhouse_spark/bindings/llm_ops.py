@@ -423,7 +423,85 @@ LEFT JOIN sizes s ON cm.component = s.component
 """
 
 
+# --- tf-idf top terms per document ---
+def tfidf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gapless_deribit_clickhouse_spark.pipelines.text_stats import tfidf_top_terms
+
+    return tfidf_top_terms(_docs(spark, sf_dir), k_per_doc=5)
+
+
+TFIDF_SQL = f"""
+WITH toks AS (
+  SELECT doc_id AS doc, unnest(string_split({_NORM}, ' ')) AS token FROM documents),
+tf AS (
+  SELECT doc, token, count(*) AS tf FROM toks WHERE len(token) > 0 GROUP BY 1, 2),
+dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc AS doc_id, tf.token, tf.tf,
+         tf.tf * (ln((n.n_docs + 1.0) / (dfreq.df + 1.0)) + 1.0) AS tfidf
+  FROM tf JOIN dfreq USING (token) CROSS JOIN n),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rank
+  FROM scored)
+SELECT doc_id, token, CAST(tf AS BIGINT) AS tf, CAST(rank AS BIGINT) AS rank,
+       CAST(tfidf AS DOUBLE) AS tfidf
+FROM r WHERE rank <= 5
+"""
+
+
+# --- composed corpus-curation filter (dedup ∧ lang ∧ quality ∧ length) ---
+def curate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gapless_deribit_clickhouse_spark.pipelines.curation import curate_corpus
+
+    return curate_corpus(
+        _docs(spark, sf_dir), lang="en", min_quality=0.5, min_tokens=5,
+        max_tokens=100_000,
+    )
+
+
+def _curate_sql() -> str:
+    from gapless_deribit_clickhouse_spark.pipelines.text_stats import LANG_MARKERS
+
+    hits = {
+        lang: " + ".join(
+            f"len(list_filter(string_split({_NORM}, ' '), x -> x = '{w}'))" for w in words
+        )
+        for lang, words in LANG_MARKERS.items()
+    }
+    hit_cols = ",\n       ".join(f"{hits[lang]} AS hits_{lang}" for lang in sorted(hits))
+    best = "greatest(" + ", ".join(f"hits_{lang}" for lang in sorted(hits)) + ")"
+    pred = "CASE " + " ".join(
+        f"WHEN hits_{lang} = {best} AND {best} > 0 THEN '{lang}'" for lang in sorted(hits)
+    ) + " ELSE 'und' END"
+    score = f"""least({_NT} / 100.0, 1.0) * 0.4
+          + least(CASE WHEN {_NT} > 0 THEN ({_STOP_HITS}) / {_NT} ELSE 0.0 END * 5.0, 1.0) * 0.3
+          + (1.0 - least(CASE WHEN length(text) > 0 THEN length(regexp_replace({_NORM}, '[a-z0-9 ]', '', 'g')) / length(text) ELSE 0.0 END * 4.0, 1.0)) * 0.2
+          + (1.0 - least(CASE WHEN length(text) > 0 THEN length(regexp_replace(text, '[^A-Z]', '', 'g')) / length(text) ELSE 0.0 END * 5.0, 1.0)) * 0.1"""
+    return f"""
+WITH h AS (
+  SELECT doc_id, md5({_NORM}) AS th,
+       CAST({_NT} AS BIGINT) AS n_tokens,
+       CAST({score} AS DOUBLE) AS quality_score,
+       {hit_cols}
+  FROM documents),
+p AS (
+  SELECT doc_id, n_tokens, quality_score, {pred} AS lang_pred,
+         min(doc_id) OVER (PARTITION BY th) = doc_id AS is_canonical
+  FROM h)
+SELECT doc_id, lang_pred, n_tokens, quality_score
+FROM p
+WHERE is_canonical AND lang_pred = 'en' AND quality_score >= 0.5
+  AND n_tokens BETWEEN 5 AND 100000
+"""
+
+
+CURATE_SQL = _curate_sql()
+
+
 BINDINGS = [
+    ("tfidf_top_terms", tfidf_q, TFIDF_SQL),
+    ("curate_corpus", curate_q, CURATE_SQL),
     ("dup_clusters", dup_clusters_q, DUP_CLUSTERS_SQL),
     ("hash_sample", hash_sample_q, HASH_SAMPLE_SQL),
     ("token_topk", token_topk_q, TOKEN_TOPK_SQL),

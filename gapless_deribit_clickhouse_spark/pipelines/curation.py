@@ -1,0 +1,56 @@
+"""Corpus curation: the composed end-to-end pretraining filter —
+exact-dedup winner ∧ target language ∧ quality floor ∧ token-length
+band. This is the pipeline a user actually runs over raw crawl data;
+the individual operators (text_stats, text_dedup) are its stages.
+
+Scale design: every signal except dedup is a pure column expression
+(whole-stage codegen, no joins between feature frames — the
+expression builders from text_stats are inlined into ONE projection).
+Exact-dedup membership is a min-over-window keyed by the content
+hash: a single shuffle of (hash, id) width, after which the filter
+applies before any downstream stage sees the data. Nothing here
+prevents predicate pushdown on the source columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from gapless_deribit_clickhouse_spark.core.partitioning import ensure_parallelism
+from gapless_deribit_clickhouse_spark.pipelines.text_dedup import normalized_text
+from gapless_deribit_clickhouse_spark.pipelines.text_stats import (
+    lang_exprs,
+    quality_exprs,
+)
+
+
+def curate_corpus(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang: str = "en",
+    min_quality: float = 0.5,
+    min_tokens: int = 5,
+    max_tokens: int = 100_000,
+) -> DataFrame:
+    """Documents that survive the full curation gauntlet, with their
+    audit columns (predicted language, token count, quality score).
+    Winner of each exact-duplicate group = min id."""
+    raw = F.col(text_col)
+    q = quality_exprs(raw)
+    _, pred = lang_exprs(raw)
+    w = Window.partitionBy(F.md5(normalized_text(raw)))
+    base = ensure_parallelism(df).select(
+        F.col(id_col),
+        pred.alias("lang_pred"),
+        q["n_tokens"].alias("n_tokens"),
+        q["quality_score"].alias("quality_score"),
+        (F.min(id_col).over(w) == F.col(id_col)).alias("is_canonical"),
+    )
+    return base.filter(
+        F.col("is_canonical")
+        & (F.col("lang_pred") == lang)
+        & (F.col("quality_score") >= min_quality)
+        & F.col("n_tokens").between(min_tokens, max_tokens)
+    ).select(id_col, "lang_pred", "n_tokens", "quality_score")

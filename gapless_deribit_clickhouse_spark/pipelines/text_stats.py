@@ -40,15 +40,10 @@ def bpe_ish_token_count(col: Column) -> Column:
     return words + punct
 
 
-def quality_score(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-) -> DataFrame:
-    """Per-doc quality features + composite score:
-    n_chars, n_tokens, mean token length, punctuation ratio, stopword
-    ratio, uppercase ratio; score = weighted combination in [0,1]."""
-    raw = F.col(text_col)
+def quality_exprs(raw: Column) -> dict[str, Column]:
+    """The quality feature columns as plain expressions, so composite
+    pipelines (e.g. corpus curation) can inline them into a single
+    pass instead of joining feature frames."""
     t = normalized_text(raw)
     n_chars = F.length(raw)
     n_tokens = token_count(raw)
@@ -77,27 +72,35 @@ def quality_score(
         + (1.0 - F.least(punct_ratio * 4.0, F.lit(1.0))) * 0.2
         + (1.0 - F.least(upper_ratio * 5.0, F.lit(1.0))) * 0.1
     )
-    return ensure_parallelism(df).select(
-        F.col(id_col),
-        n_chars.cast("bigint").alias("char_count"),
-        n_tokens.cast("bigint").alias("n_tokens"),
-        mean_tok_len.cast("double").alias("mean_token_len"),
-        punct_ratio.cast("double").alias("punct_ratio"),
-        stop_ratio.cast("double").alias("stopword_ratio"),
-        upper_ratio.cast("double").alias("upper_ratio"),
-        score.cast("double").alias("quality_score"),
-    )
+    return {
+        "char_count": n_chars.cast("bigint"),
+        "n_tokens": n_tokens.cast("bigint"),
+        "mean_token_len": mean_tok_len.cast("double"),
+        "punct_ratio": punct_ratio.cast("double"),
+        "stopword_ratio": stop_ratio.cast("double"),
+        "upper_ratio": upper_ratio.cast("double"),
+        "quality_score": score.cast("double"),
+    }
 
 
-def lang_id(
+def quality_score(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Heuristic language ID: count function-word hits per language
-    profile, argmax wins ('und' = undetermined when all zero).
-    Deterministic tie-break by language code order."""
-    t = normalized_text(F.col(text_col))
+    """Per-doc quality features + composite score:
+    n_chars, n_tokens, mean token length, punctuation ratio, stopword
+    ratio, uppercase ratio; score = weighted combination in [0,1]."""
+    exprs = quality_exprs(F.col(text_col))
+    return ensure_parallelism(df).select(
+        F.col(id_col), *[c.alias(name) for name, c in exprs.items()]
+    )
+
+
+def lang_exprs(raw: Column) -> tuple[dict[str, Column], Column]:
+    """(per-language hit counts, argmax prediction) as expressions —
+    inlinable into composite single-pass pipelines."""
+    t = normalized_text(raw)
     toks = F.split(t, " ")
 
     def _member(words: tuple[str, ...]):
@@ -115,12 +118,23 @@ def lang_id(
     pred = F.lit("und")
     for lang in sorted(hits, reverse=True):
         pred = F.when((hits[lang] == best) & (best > 0), F.lit(lang)).otherwise(pred)
-    out = ensure_parallelism(df).select(
+    return hits, pred
+
+
+def lang_id(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Heuristic language ID: count function-word hits per language
+    profile, argmax wins ('und' = undetermined when all zero).
+    Deterministic tie-break by language code order."""
+    hits, pred = lang_exprs(F.col(text_col))
+    return ensure_parallelism(df).select(
         F.col(id_col),
         *[hits[lang].cast("bigint").alias(f"hits_{lang}") for lang in sorted(hits)],
         pred.alias("lang_pred"),
     )
-    return out
 
 
 def token_topk(
@@ -151,6 +165,51 @@ def token_topk(
         )
         .orderBy(F.desc("term_count"), F.asc("token"))
         .limit(k)
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_per_doc: int = 5,
+) -> DataFrame:
+    """Top-k characteristic terms per document by tf·idf
+    (tf = raw in-doc count, idf = ln((N+1)/(df+1)) + 1 — the
+    smoothed scikit-style variant). The keyword-extraction /
+    doc-representation builder.
+
+    Scale shape: explode -> groupBy (doc, token) for tf [shuffle 1,
+    map-side combine] -> groupBy token for document frequency
+    [shuffle 2 over the vocabulary, which is sublinear in the corpus]
+    -> broadcast-join the corpus size scalar, join idf back on token
+    [AQE broadcasts the vocab side when small] -> per-doc top-k via
+    row_number window [shuffle 3 keyed by doc]. No full sort; ties
+    break on token order for determinism."""
+    from pyspark.sql import Window
+
+    toks = ensure_parallelism(df).select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.split(normalized_text(F.col(text_col)), " ")).alias("token"),
+    ).filter(F.length("token") > 0)
+    tf = toks.groupBy("doc", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    idf = dfreq.crossJoin(F.broadcast(n_docs)).select(
+        "token",
+        (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0).alias("idf"),
+    )
+    scored = tf.join(idf, "token").select(
+        F.col("doc").alias(id_col),
+        "token",
+        F.col("tf").cast("bigint").alias("tf"),
+        (F.col("tf") * F.col("idf")).cast("double").alias("tfidf"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k_per_doc)
+        .select(id_col, "token", "tf", F.col("rank").cast("bigint").alias("rank"), "tfidf")
     )
 
 

@@ -201,3 +201,45 @@ def test_connected_components_and_dedup_clusters(spark):
     assert out.loc[4].canonical_id == 1 and out.loc[4].cluster_size == 4
     assert out.loc[10].cluster_size == 3 and not out.loc[10].is_duplicate
     assert out.is_duplicate.sum() == 6  # one canonical per cluster + singleton
+
+
+def test_tfidf_top_terms(spark):
+    from gapless_deribit_clickhouse_spark.pipelines.text_stats import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple"),
+            (2, "banana cherry"),
+            (3, "cherry durian cherry durian"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_top_terms(docs, k_per_doc=2).toPandas()
+    # every doc gets at most k terms, ranked 1..k
+    assert set(out.groupby("doc_id")["rank"].max()) <= {1, 2}
+    d1 = out[out.doc_id == 1].sort_values("rank")
+    # 'apple' (tf=2, df=1) dominates 'banana' (tf=1, df=2) for doc 1
+    assert d1.token.tolist() == ["apple", "banana"]
+    import math
+    exp = 2 * (math.log(4 / 2) + 1)
+    assert abs(d1.tfidf.iloc[0] - exp) < 1e-9
+
+
+def test_curate_corpus_gauntlet(spark):
+    from gapless_deribit_clickhouse_spark.pipelines.curation import curate_corpus
+
+    good = "the quick brown fox and the lazy dog walk to the park in the morning " * 8
+    docs = spark.createDataFrame(
+        [
+            (1, good),                      # survives
+            (2, good),                      # exact dup of 1 -> dropped
+            (3, "der hund und die katze nicht das haus " * 10),  # German
+            (4, "x " * 3),                  # too short
+            (5, "!!! ??? $$$ %%% ^^^ &&& " * 30),  # junk punctuation
+        ],
+        "doc_id long, text string",
+    )
+    out = curate_corpus(docs, min_tokens=5).toPandas()
+    assert out.doc_id.tolist() == [1]
+    assert out.lang_pred.iloc[0] == "en"
+    assert out.quality_score.iloc[0] >= 0.5
