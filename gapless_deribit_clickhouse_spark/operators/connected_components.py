@@ -156,7 +156,7 @@ def dedup_clusters(
         pairs, src=src, dst=dst, local_threshold=local_threshold
     )
     sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("sz"))
-    comp = comp.join(sizes, "component")
+    comp = comp.join(F.broadcast(sizes), "component")
     return (
         universe.select(F.col(id_col).alias("id"))
         .join(F.broadcast(comp.withColumnRenamed("node", "id")), "id", "left")

@@ -180,12 +180,12 @@ def tfidf_top_terms(
     doc-representation builder.
 
     Scale shape: explode -> groupBy (doc, token) for tf [shuffle 1,
-    map-side combine] -> groupBy token for document frequency
-    [shuffle 2 over the vocabulary, which is sublinear in the corpus]
-    -> broadcast-join the corpus size scalar, join idf back on token
-    [AQE broadcasts the vocab side when small] -> per-doc top-k via
-    row_number window [shuffle 3 keyed by doc]. No full sort; ties
-    break on token order for determinism."""
+    map-side combine collapses repeats before the wire] -> document
+    frequency as count-over-window keyed by token on the SAME tf
+    rows [shuffle 2 — no second aggregation pass or join back] ->
+    broadcast the corpus-size scalar -> per-doc top-k via row_number
+    window [shuffle 3 keyed by doc]. No full sort; ties break on
+    token order for determinism."""
     from pyspark.sql import Window
 
     toks = ensure_parallelism(df).select(
@@ -193,17 +193,23 @@ def tfidf_top_terms(
         F.explode(F.split(normalized_text(F.col(text_col)), " ")).alias("token"),
     ).filter(F.length("token") > 0)
     tf = toks.groupBy("doc", "token").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    # each (doc, token) row is distinct, so rows-per-token IS the
+    # document frequency — a window count on the tf output, not a
+    # separate aggregate + join
+    dfw = Window.partitionBy("token")
     n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
-    idf = dfreq.crossJoin(F.broadcast(n_docs)).select(
-        "token",
-        (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0).alias("idf"),
-    )
-    scored = tf.join(idf, "token").select(
-        F.col("doc").alias(id_col),
-        "token",
-        F.col("tf").cast("bigint").alias("tf"),
-        (F.col("tf") * F.col("idf")).cast("double").alias("tfidf"),
+    scored = (
+        tf.withColumn("df", F.count(F.lit(1)).over(dfw))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col("doc").alias(id_col),
+            "token",
+            F.col("tf").cast("bigint").alias("tf"),
+            (
+                F.col("tf")
+                * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0)
+            ).cast("double").alias("tfidf"),
+        )
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("token"))
     return (
