@@ -106,6 +106,7 @@ def __getattr__(name: str):
         "sessionize": "operators.sessionize",
         "session_stats": "operators.sessionize",
         "streaming_sessionize": "operators.sessionize",
+        "salted_agg": "operators.skew",
     }
     # reference-name aliases (reference __init__.py:42-65 /
     # features/__init__.py:61-88): a reference user's import keeps working
@@ -196,6 +197,7 @@ __all__ = [
     "hash_sample", "stratified_hash_sample",
     "connected_components", "dedup_clusters",
     "sessionize", "session_stats", "streaming_sessionize",
+    "salted_agg",
     # reference-name aliases
     "calculate_greeks", "calculate_portfolio_greeks",
     "aggregate_greeks_by_bucket", "get_quality_metrics",

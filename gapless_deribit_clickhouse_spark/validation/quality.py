@@ -27,12 +27,24 @@ def quality_metrics(
     id_col: str = "trade_id",
     ts_col: str = "timestamp",
     null_rate_cols: tuple[str, ...] = ("iv", "index_price"),
+    approx_distinct: bool = False,
 ) -> DataFrame:
     """One-row global quality aggregate (reference data_quality.py:30-45):
     total rows, exact distinct ids, dedup rate, time span, null-or-zero
-    counts per monitored column, rows per hour."""
+    counts per monitored column, rows per hour.
+
+    ``approx_distinct=True`` swaps exact ``countDistinct`` (which
+    inserts an Expand + second shuffle keyed by the id — the one
+    expensive term at 100 TB) for HyperLogLog++
+    ``approx_count_distinct`` (single-pass, constant memory, ~2%
+    relative error); the reference's `uniqExact` semantics remain the
+    default."""
     n = F.count(F.lit(1))
-    uniq = F.countDistinct(F.col(id_col))
+    uniq = (
+        F.approx_count_distinct(F.col(id_col))
+        if approx_distinct
+        else F.countDistinct(F.col(id_col))
+    )
     span_hours = (
         F.max(ts_col).cast("long") - F.min(ts_col).cast("long")
     ).cast("double") / 3600.0

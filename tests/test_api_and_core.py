@@ -138,6 +138,10 @@ def test_quality_metrics_shape(trades_df):
     assert m.unique_ids == 200
     assert m.dedup_rate == 1.0
     assert m.iv_null_or_zero_rate == 0.0
+    # HLL++ scale path: within 5% of exact on this cardinality
+    a = quality_metrics(trades_df, approx_distinct=True).toPandas().iloc[0]
+    assert abs(a.unique_ids - 200) <= 10
+    assert a.total_rows == 200
 
 
 def test_coverage_by_group(trades_df):

@@ -243,3 +243,34 @@ def test_curate_corpus_gauntlet(spark):
     assert out.doc_id.tolist() == [1]
     assert out.lang_pred.iloc[0] == "en"
     assert out.quality_score.iloc[0] >= 0.5
+
+
+def test_salted_agg_matches_plain_groupby(spark):
+    from gapless_deribit_clickhouse_spark.operators.skew import salted_agg
+
+    # heavily skewed: key 'hot' has 10k rows, others 10
+    rows = [("hot", i % 7, float(i)) for i in range(10_000)] + [
+        (f"k{j}", j, float(j)) for j in range(10)
+    ]
+    df = spark.createDataFrame(rows, "k string, v long, x double").repartition(16)
+    got = (
+        salted_agg(
+            df, ["k"],
+            {"total": ("sum", "x"), "n": ("count", "v"),
+             "lo": ("min", "x"), "hi": ("max", "x")},
+        )
+        .toPandas().sort_values("k").reset_index(drop=True)
+    )
+    want = (
+        df.groupBy("k")
+        .agg(
+            F.sum("x").alias("total"), F.count("v").alias("n"),
+            F.min("x").alias("lo"), F.max("x").alias("hi"),
+        )
+        .toPandas().sort_values("k").reset_index(drop=True)
+    )
+    assert got.equals(want)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        salted_agg(df, ["k"], {"bad": ("avg", "x")})
