@@ -76,6 +76,7 @@ def __getattr__(name: str):
         "select_contracts": "features", "front_month": "features",
         "atm_filter": "features", "liquidity_filter": "features",
         "enrich_with_spot": "features", "spot_coverage": "features",
+        "ensure_spot_dictionary": "features",
         "aggregate_by_moneyness": "features",
         "compute_smile_metrics": "features",
         "moneyness_bucket_col": "features",
@@ -183,7 +184,7 @@ __all__ = [
     "fit_egarch", "auto_select_egarch", "forecast_volatility",
     "iv_model_spread", "egarch_params_by_group",
     "select_contracts", "front_month", "atm_filter", "liquidity_filter",
-    "enrich_with_spot", "spot_coverage",
+    "enrich_with_spot", "spot_coverage", "ensure_spot_dictionary",
     "aggregate_by_moneyness", "compute_smile_metrics",
     "moneyness_bucket_col",
     "with_greeks", "portfolio_greeks", "greeks_by_bucket",

@@ -39,6 +39,7 @@ from gapless_deribit_clickhouse_spark.features.resampler import (
 )
 from gapless_deribit_clickhouse_spark.features.spot_provider import (
     enrich_with_spot,
+    ensure_spot_dictionary,
     spot_coverage,
 )
 from gapless_deribit_clickhouse_spark.features.term_structure import (
@@ -62,7 +63,7 @@ __all__ = [
     "aggregate_by_moneyness", "compute_smile_metrics", "moneyness_bucket_col",
     "pcr_aggregate", "pcr_by_tenor",
     "resample_by_dte_bucket", "resample_iv",
-    "enrich_with_spot", "spot_coverage",
+    "enrich_with_spot", "spot_coverage", "ensure_spot_dictionary",
     "term_structure", "term_structure_ratio", "term_structure_slope",
     "greeks_by_bucket", "portfolio_greeks", "with_greeks",
 ]

@@ -75,6 +75,32 @@ def enrich_with_spot(
     )
 
 
+def ensure_spot_dictionary(
+    spark,
+    table: str = "ohlcv",
+    path: str | None = None,
+    auto_create: bool = True,
+) -> bool:
+    """Reference-parity capability probe (infrastructure.py:40-103 +
+    spot_provider.py:294-310): the reference maintains a ClickHouse
+    hash dictionary for spot lookups and auto-creates it when absent.
+    Spark's equivalent of the dictionary is simply the broadcast
+    dimension, so "ensuring" it means: the spot table is registered in
+    the catalog (registering it from ``path`` when ``auto_create``).
+    Returns True iff the dimension is queryable; callers that get
+    False fall back to index_price-only enrichment — the same dual
+    path the reference exposes via ``use_dict``."""
+    if spark.catalog.tableExists(table):
+        return True
+    if path is not None and auto_create:
+        try:
+            spark.read.parquet(path).createOrReplaceTempView(table)
+            return True
+        except Exception:  # unreadable path -> capability absent
+            return False
+    return False
+
+
 def spot_coverage(
     enriched: DataFrame, index_price_col: str = "index_price"
 ) -> DataFrame:

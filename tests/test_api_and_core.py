@@ -164,3 +164,20 @@ def test_describe_capabilities():
     assert d["execution"] == "pyspark"
     assert "fetch_trades" in d["capabilities"]["query"]
     assert "egarch" in d["capabilities"]["features"]
+
+
+def test_ensure_spot_dictionary_probe(spark, tmp_path):
+    from gapless_deribit_clickhouse_spark.features import ensure_spot_dictionary
+
+    assert not ensure_spot_dictionary(spark, table="__no_such_spot__")
+    p = str(tmp_path / "spot.parquet")
+    spark.createDataFrame(
+        [("BTCUSDT", 50000.0)], "symbol string, close double"
+    ).write.parquet(p)
+    assert ensure_spot_dictionary(spark, table="__spot_probe__", path=p)
+    assert spark.catalog.tableExists("__spot_probe__")  # now registered
+    assert ensure_spot_dictionary(spark, table="__spot_probe__")
+    assert not ensure_spot_dictionary(
+        spark, table="__nope__", path=str(tmp_path / "missing"), auto_create=True
+    )
+    spark.catalog.dropTempView("__spot_probe__")

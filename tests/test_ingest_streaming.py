@@ -206,3 +206,46 @@ def test_streaming_ohlc_windows(spark, tmp_path):
     assert len(got) >= 7
     assert (got.high >= got.low).all()
     assert (got.n_obs == 30).all()
+
+
+def test_streaming_sessionize_merging_windows(spark, tmp_path):
+    import datetime as dt
+
+    from gapless_deribit_clickhouse_spark.operators.sessionize import (
+        streaming_sessionize,
+    )
+
+    src_path = str(tmp_path / "events_src")
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: burst, 40-min silence, second burst; user 2: one burst
+        *[(1, base + dt.timedelta(minutes=m)) for m in (0, 5, 10)],
+        *[(1, base + dt.timedelta(minutes=m)) for m in (50, 55)],
+        *[(2, base + dt.timedelta(minutes=m)) for m in (0, 20)],
+        # late sentinel far ahead so the watermark closes all sessions
+        (99, base + dt.timedelta(hours=6)),
+    ]
+    spark.createDataFrame(rows, "user_id long, ts timestamp").coalesce(1).write.parquet(src_path)
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp").parquet(src_path)
+    )
+    sessions = streaming_sessionize(
+        stream, gap="30 minutes", watermark_delay="1 minute"
+    )
+    q = (
+        sessions.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.sql("SELECT * FROM sess_out")
+        .toPandas()
+        .sort_values(["user_id", "session_start"])
+        .reset_index(drop=True)
+    )
+    u1 = got[got.user_id == 1]
+    assert u1.n_events.tolist() == [3, 2]  # gap split the stream
+    assert got[got.user_id == 2].n_events.tolist() == [2]
