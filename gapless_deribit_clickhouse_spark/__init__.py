@@ -73,7 +73,7 @@ def __getattr__(name: str):
         "fit_egarch": "features", "auto_select_egarch": "features",
         "forecast_volatility": "features", "iv_model_spread": "features",
         "egarch_params_by_group": "features",
-        "select_contracts": "features", "front_month": "features",
+        "select_contracts": "features", "get_contract_stats": "features", "front_month": "features",
         "atm_filter": "features", "liquidity_filter": "features",
         "enrich_with_spot": "features", "spot_coverage": "features",
         "ensure_spot_dictionary": "features",
@@ -84,6 +84,7 @@ def __getattr__(name: str):
         "portfolio_greeks": "functions.blackscholes",
         "greeks_by_bucket": "functions.blackscholes",
         "format_instrument_col": "functions.instrument",
+        "format_instrument": "functions.instrument",
         # large-scale training-data pipeline tier
         "exact_dedup": "pipelines.text_dedup",
         "ngram_jaccard_pairs": "pipelines.text_dedup",
@@ -104,6 +105,7 @@ def __getattr__(name: str):
         "stratified_hash_sample": "pipelines.sampling",
         "connected_components": "operators.connected_components",
         "dedup_clusters": "operators.connected_components",
+        "compact_table": "operators.dedup",
         "sessionize": "operators.sessionize",
         "session_stats": "operators.sessionize",
         "streaming_sessionize": "operators.sessionize",
@@ -183,12 +185,13 @@ __all__ = [
     "dte_bucket_agg", "dte_distribution",
     "fit_egarch", "auto_select_egarch", "forecast_volatility",
     "iv_model_spread", "egarch_params_by_group",
-    "select_contracts", "front_month", "atm_filter", "liquidity_filter",
+    "select_contracts", "get_contract_stats", "front_month", "atm_filter", "liquidity_filter",
     "enrich_with_spot", "spot_coverage", "ensure_spot_dictionary",
     "aggregate_by_moneyness", "compute_smile_metrics",
     "moneyness_bucket_col",
     "with_greeks", "portfolio_greeks", "greeks_by_bucket",
     "format_instrument_col",
+    "format_instrument",
     # large-scale training-data pipeline tier (lazy)
     "exact_dedup", "ngram_jaccard_pairs", "minhash_lsh_pairs",
     "simhash_near_pairs",
@@ -196,7 +199,7 @@ __all__ = [
     "quality_score", "lang_id", "token_count", "bpe_ish_token_count",
     "fingerprint", "token_topk", "tfidf_top_terms", "curate_corpus",
     "hash_sample", "stratified_hash_sample",
-    "connected_components", "dedup_clusters",
+    "connected_components", "dedup_clusters", "compact_table",
     "sessionize", "session_stats", "streaming_sessionize",
     "salted_agg",
     # reference-name aliases

@@ -10,6 +10,7 @@ from gapless_deribit_clickhouse_spark.features.config import (
 from gapless_deribit_clickhouse_spark.features.contract_selector import (
     atm_filter,
     front_month,
+    get_contract_stats,
     liquidity_filter,
     select_contracts,
 )
@@ -55,7 +56,7 @@ from gapless_deribit_clickhouse_spark.functions.blackscholes import (
 
 __all__ = [
     "CONSERVATIVE", "DEFAULT", "HIGH_FREQUENCY", "FeatureConfig", "get_preset",
-    "atm_filter", "front_month", "liquidity_filter", "select_contracts",
+    "atm_filter", "front_month", "get_contract_stats", "liquidity_filter", "select_contracts",
     "dte_bucket_agg", "dte_bucket_col", "dte_distribution",
     "EgarchResult", "auto_select_egarch", "egarch_params_by_group",
     "fit_egarch", "forecast_volatility", "iv_model_spread",

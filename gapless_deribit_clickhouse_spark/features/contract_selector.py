@@ -104,3 +104,19 @@ def select_contracts(
 
 def _pick(d: dict[str, str], *keys: str) -> dict[str, str]:
     return {k: d[k] for k in keys if k in d}
+
+
+def get_contract_stats(
+    df: DataFrame,
+    config: FeatureConfig = DEFAULT,
+    **cols: str,
+) -> dict[str, int]:
+    """Row count per selection strategy (reference
+    contract_selector.py:263-302, ``get_contract_stats``) — shows the
+    funnel effect of each filter stage. Four counts over the same
+    (already filtered/pruned) input; each count is a partial-agg +
+    single-row exchange, so the dominant cost is the shared scan."""
+    return {
+        strategy: select_contracts(df, strategy=strategy, config=config, **cols).count()
+        for strategy in STRATEGIES
+    }

@@ -64,6 +64,19 @@ def parse_instrument(name: str) -> Instrument:
     return Instrument(und, expiry, float(strike), opt)
 
 
+def format_instrument(
+    underlying: str, expiry: date, strike: float, option_type: str
+) -> str:
+    """Scalar formatter (API parity with reference
+    instrument_parser.py:152-186): components -> ``BTC-27DEC24-100000-C``.
+    Rejects unknown underlyings/option types like the reference does."""
+    if underlying not in ("BTC", "ETH"):
+        raise InstrumentParseError(f"invalid underlying: {underlying!r}")
+    if option_type not in ("C", "P"):
+        raise InstrumentParseError(f"invalid option type: {option_type!r}")
+    return Instrument(underlying, expiry, float(strike), option_type).format()
+
+
 def is_valid_instrument(name: str) -> bool:
     try:
         parse_instrument(name)

@@ -19,9 +19,11 @@ the shuffle is partition-pruned first.
 
 from __future__ import annotations
 
-from collections.abc import Sequence
+import shutil
+from collections.abc import Mapping, Sequence
+from pathlib import Path
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -51,3 +53,92 @@ def dedup_latest(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    keys: Sequence[str],
+    version_cols: Sequence[str],
+    partition_cols: Sequence[str] = (),
+    only_partitions: Sequence[Mapping[str, str]] | None = None,
+    sort_within_partitions: Sequence[str] = (),
+) -> dict:
+    """ReplacingMergeTree background-merge parity: the maintenance job
+    that makes dedup-at-read unnecessary (ClickHouse ``OPTIMIZE TABLE
+    ... [PARTITION p] FINAL``; the reference relies on the implicit
+    background merge, ``options_trades.yaml:26`` + ``api.py:121-124``).
+
+    Rewrites the parquet table at ``path`` so each ``keys`` tuple keeps
+    only its :func:`dedup_latest` winner. Plain parquet has no
+    transactional overwrite (and Spark refuses to overwrite a path it
+    is reading), so this stages the compacted partitions next to the
+    table and swaps partition directories in — the same
+    rewrite-then-rename a Delta/Iceberg ``OPTIMIZE`` performs, minus
+    the transaction log.
+
+    Scale design: pass ``only_partitions`` (list of
+    ``{partition_col: value}`` selectors, CH ``OPTIMIZE PARTITION``
+    parity) to touch only hot partitions — cost is proportional to the
+    partitions rewritten, never the table. The dedup shuffle happens
+    within the selected slice, and when ``keys`` contain the partition
+    columns (they do for ``options_trades``: the ORDER-BY tuple starts
+    with ``underlying``) no row crosses a partition boundary.
+    """
+    root = Path(path)
+    df = spark.read.parquet(path)
+    if only_partitions:
+        sel = None
+        for p in only_partitions:
+            one = None
+            for c, v in p.items():
+                cond = F.col(c) == v
+                one = cond if one is None else one & cond
+            sel = one if sel is None else sel | one
+        df = df.filter(sel)
+    rows_before = df.count()
+    out = dedup_latest(df, keys, version_cols)
+    if sort_within_partitions:
+        out = out.sortWithinPartitions(*sort_within_partitions)
+
+    staging = root.with_name(root.name + "__compacting")
+    if staging.exists():
+        shutil.rmtree(staging)
+    writer = out.write.mode("overwrite").format("parquet")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.save(str(staging))
+
+    swapped = []
+    if partition_cols:
+        # leaf partition dirs, relative to the staging root
+        leaves = {
+            f.parent.relative_to(staging)
+            for f in staging.rglob("*.parquet")
+        }
+        for rel in sorted(leaves):
+            target = root / rel
+            if target.exists():
+                shutil.rmtree(target)
+            target.parent.mkdir(parents=True, exist_ok=True)
+            shutil.move(str(staging / rel), str(target))
+            swapped.append(str(rel))
+    else:
+        for f in root.glob("*.parquet"):
+            f.unlink()
+        for f in staging.glob("*.parquet"):
+            shutil.move(str(f), str(root / f.name))
+        swapped.append(".")
+    shutil.rmtree(staging, ignore_errors=True)
+
+    # one real count on the rewritten slice keeps the stats honest
+    compacted = spark.read.parquet(path)
+    if only_partitions:
+        compacted = compacted.filter(sel)
+    rows_after = compacted.count()
+    return {
+        "rows_before": rows_before,
+        "rows_after": rows_after,
+        "removed": rows_before - rows_after,
+        "partitions": swapped,
+    }

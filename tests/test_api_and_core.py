@@ -70,6 +70,59 @@ def test_dedup_keeps_latest(spark):
     assert out.loc["t1"].price == 2.0
 
 
+def test_compact_table_partition_selective(spark, tmp_path):
+    from gapless_deribit_clickhouse_spark.operators.dedup import compact_table
+
+    path = str(tmp_path / "fact")
+    rows = [
+        # month 202401: t1 duplicated (keep ts=11h / price=2.0)
+        ("t1", dt.datetime(2024, 1, 1, 10), 1.0, "202401"),
+        ("t1", dt.datetime(2024, 1, 1, 11), 2.0, "202401"),
+        ("t2", dt.datetime(2024, 1, 2, 9), 3.0, "202401"),
+        # month 202402: t3 duplicated — left alone by the selective pass
+        ("t3", dt.datetime(2024, 2, 1, 10), 4.0, "202402"),
+        ("t3", dt.datetime(2024, 2, 1, 12), 5.0, "202402"),
+    ]
+    df = spark.createDataFrame(
+        rows, "trade_id string, timestamp timestamp, price double, trade_month string"
+    )
+    df.write.partitionBy("trade_month").parquet(path)
+
+    stats = compact_table(
+        spark, path, keys=["trade_id"], version_cols=["timestamp"],
+        partition_cols=["trade_month"],
+        only_partitions=[{"trade_month": "202401"}],
+        sort_within_partitions=["timestamp"],
+    )
+    assert stats["removed"] == 1 and stats["rows_after"] == 2
+    back = spark.read.parquet(path).toPandas()
+    assert len(back) == 4  # 202402 dup untouched
+    assert back[back.trade_id == "t1"].price.tolist() == [2.0]
+
+    stats = compact_table(
+        spark, path, keys=["trade_id"], version_cols=["timestamp"],
+        partition_cols=["trade_month"],
+    )
+    assert stats["removed"] == 1
+    back = spark.read.parquet(path).toPandas().set_index("trade_id")
+    assert len(back) == 3
+    assert back.loc["t3"].price == 5.0
+
+
+def test_compact_table_unpartitioned(spark, tmp_path):
+    from gapless_deribit_clickhouse_spark.operators.dedup import compact_table
+
+    path = str(tmp_path / "flat")
+    rows = [("a", 1, 1.0), ("a", 2, 2.0), ("b", 1, 3.0)]
+    spark.createDataFrame(rows, "k string, v int, x double").write.parquet(path)
+    stats = compact_table(spark, path, keys=["k"], version_cols=["v"])
+    assert stats == {
+        "rows_before": 3, "rows_after": 2, "removed": 1, "partitions": ["."],
+    }
+    got = spark.read.parquet(path).toPandas().set_index("k")
+    assert got.loc["a"].x == 2.0
+
+
 def test_use_final_flag(spark):
     rows = [("t1", dt.datetime(2024, 1, 1, 10), 1.0), ("t1", dt.datetime(2024, 1, 1, 11), 2.0)]
     df = spark.createDataFrame(rows, "trade_id string, timestamp timestamp, price double")

@@ -150,6 +150,20 @@ def test_contract_selection_strategies(trades_df):
     assert (pd.to_datetime(pdf.expiry) - pd.to_datetime(pdf.timestamp).dt.normalize()).dt.days.min() >= 0
 
 
+def test_get_contract_stats_funnel(trades_df):
+    from gapless_deribit_clickhouse_spark.features import get_contract_stats
+
+    stats = get_contract_stats(trades_df)
+    assert set(stats) == {
+        "all", "front_month", "front_month_atm", "front_month_atm_liquid"
+    }
+    assert (
+        stats["all"] >= stats["front_month"] >= stats["front_month_atm"]
+        >= stats["front_month_atm_liquid"] >= 0
+    )
+    assert stats["all"] == trades_df.count()
+
+
 def test_enrich_with_spot_hybrid(spark, trades_df, spot_pdf):
     spot = spark.createDataFrame(spot_pdf)
     # null out some index prices to exercise the fallback

@@ -16,6 +16,7 @@ from hypothesis import strategies as st
 
 from gapless_deribit_clickhouse_spark.functions.instrument import (
     Instrument,
+    format_instrument,
     is_valid_instrument,
     parse_instrument,
 )
@@ -32,6 +33,32 @@ def test_instrument_format_parse_roundtrip(und, expiry, strike, opt):
     inst = Instrument(und, expiry, float(strike), opt)
     back = parse_instrument(inst.format())
     assert back == inst
+
+
+@given(
+    und=st.sampled_from(["BTC", "ETH"]),
+    expiry=st.dates(dt.date(2018, 1, 1), dt.date(2099, 12, 31)),
+    strike=st.integers(1, 10_000_000),
+    opt=st.sampled_from(["C", "P"]),
+)
+@settings(max_examples=200, deadline=None)
+def test_format_instrument_scalar_roundtrip(und, expiry, strike, opt):
+    name = format_instrument(und, expiry, float(strike), opt)
+    back = parse_instrument(name)
+    assert (back.underlying, back.expiry, back.strike, back.option_type) == (
+        und, expiry, float(strike), opt
+    )
+
+
+def test_format_instrument_rejects_bad_components():
+    import pytest
+
+    from gapless_deribit_clickhouse_spark.exceptions import InstrumentParseError
+
+    with pytest.raises(InstrumentParseError):
+        format_instrument("DOGE", dt.date(2024, 1, 1), 1.0, "C")
+    with pytest.raises(InstrumentParseError):
+        format_instrument("BTC", dt.date(2024, 1, 1), 1.0, "X")
 
 
 @given(st.text(max_size=30))
