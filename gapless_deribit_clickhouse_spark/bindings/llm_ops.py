@@ -20,11 +20,13 @@ from gapless_deribit_clickhouse_spark.pipelines.text_dedup import (
     ngram_jaccard_pairs,
     simhash_near_pairs,
 )
+from gapless_deribit_clickhouse_spark.pipelines.curation import contamination_check
 from gapless_deribit_clickhouse_spark.pipelines.text_stats import (
     bpe_ish_token_count,
     fingerprint,
     lang_id,
     quality_score,
+    repetition_stats,
     token_count,
 )
 
@@ -499,8 +501,62 @@ WHERE is_canonical AND lang_pred = 'en' AND quality_score >= 0.5
 CURATE_SQL = _curate_sql()
 
 
+# --- within-document repetition signals (Gopher-style filters) ---
+def repetition_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return repetition_stats(_docs(spark, sf_dir), n=2)
+
+
+REPETITION_SQL = f"""
+WITH toks AS ({_TOKS}),
+grams AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 2
+              THEN list_transform(range(1, len(t)), i -> array_to_string(t[i:i+1], ' '))
+              ELSE [array_to_string(t, ' ')] END AS g
+  FROM toks),
+top AS (
+  SELECT doc_id, max(c) AS top_cnt FROM (
+    SELECT doc_id, u, count(*) AS c
+    FROM (SELECT doc_id, unnest(t) AS u FROM toks) GROUP BY 1, 2)
+  GROUP BY 1)
+SELECT t.doc_id,
+       CAST(len(t.t) AS BIGINT) AS n_tokens,
+       (len(t.t) - len(list_distinct(t.t))) / CAST(len(t.t) AS DOUBLE) AS dup_token_frac,
+       (len(g.g) - len(list_distinct(g.g))) / CAST(len(g.g) AS DOUBLE) AS dup_ngram_frac,
+       CAST(top.top_cnt AS BIGINT) AS top_token_count,
+       top.top_cnt / CAST(len(t.t) AS DOUBLE) AS top_token_frac
+FROM toks t JOIN grams g USING (doc_id) JOIN top USING (doc_id)
+"""
+
+
+# --- train/test contamination scan (benchmark n-gram overlap) ---
+def contamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    return contamination_check(train, bench, n=3)
+
+
+CONTAMINATION_SQL = f"""
+WITH toks AS ({_TOKS}),
+grams AS ({_GRAMS3}),
+bench AS (SELECT DISTINCT shingle FROM grams WHERE doc_id % 97 = 0),
+docg AS (SELECT doc_id, shingle FROM grams WHERE doc_id % 97 <> 0),
+tot AS (SELECT doc_id, count(*) AS n_grams FROM docg GROUP BY 1),
+m AS (
+  SELECT d.doc_id, count(*) AS n_matched
+  FROM docg d JOIN bench b USING (shingle) GROUP BY 1)
+SELECT m.doc_id, CAST(t.n_grams AS BIGINT) AS n_grams, m.n_matched,
+       m.n_matched / CAST(t.n_grams AS DOUBLE) AS contamination_frac
+FROM m JOIN tot t USING (doc_id)
+WHERE m.n_matched >= 1
+"""
+
+
 BINDINGS = [
     ("tfidf_top_terms", tfidf_q, TFIDF_SQL),
+    ("repetition_stats", repetition_q, REPETITION_SQL),
+    ("contamination", contamination_q, CONTAMINATION_SQL),
     ("curate_corpus", curate_q, CURATE_SQL),
     ("dup_clusters", dup_clusters_q, DUP_CLUSTERS_SQL),
     ("hash_sample", hash_sample_q, HASH_SAMPLE_SQL),

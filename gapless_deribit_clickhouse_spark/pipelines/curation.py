@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from gapless_deribit_clickhouse_spark.core.partitioning import ensure_parallelism
-from gapless_deribit_clickhouse_spark.pipelines.text_dedup import normalized_text
+from gapless_deribit_clickhouse_spark.pipelines.text_dedup import normalized_text, shingles
 from gapless_deribit_clickhouse_spark.pipelines.text_stats import (
     lang_exprs,
     quality_exprs,
@@ -54,3 +54,54 @@ def curate_corpus(
         & (F.col("quality_score") >= min_quality)
         & F.col("n_tokens").between(min_tokens, max_tokens)
     ).select(id_col, "lang_pred", "n_tokens", "quality_score")
+
+
+def contamination_check(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Train/test contamination scan: training documents that share
+    word ``n``-grams with a held-out benchmark set. Returns one row per
+    contaminated doc: ``doc_id``, ``n_grams`` (distinct n-grams in the
+    doc), ``n_matched`` (how many appear in the benchmark), and
+    ``contamination_frac`` — the standard n-gram-overlap decontamination
+    gate run before pretraining (filter or flag docs above a fraction).
+
+    Scale design: the benchmark is tiny next to the corpus, so its
+    distinct n-gram set is **broadcast**; corpus n-grams probe it with
+    a broadcast hash join — the 100-TB side is never shuffled for the
+    match. Per-doc totals (``n_grams``) are computed row-wise *before*
+    the explode, so the only aggregation shuffle carries matched grams
+    (a trickle). ``min_overlap`` keeps clean docs out of the output —
+    the result is a blocklist, joined back or anti-joined by the
+    caller.
+    """
+    bench_grams = (
+        benchmark.select(
+            F.explode(shingles(F.col(bench_text_col), n)).alias("gram")
+        ).distinct()
+    )
+    doc_grams = ensure_parallelism(docs).select(
+        F.col(id_col),
+        F.size(shingles(F.col(text_col), n)).alias("n_grams"),
+        F.explode(shingles(F.col(text_col), n)).alias("gram"),
+    )
+    matched = doc_grams.join(F.broadcast(bench_grams), "gram")
+    return (
+        matched.groupBy(id_col)
+        # shingles() output is already distinct per doc, so count(*)
+        # counts distinct matched grams
+        .agg(
+            F.first("n_grams").cast("bigint").alias("n_grams"),
+            F.count(F.lit(1)).alias("n_matched"),
+        )
+        .withColumn(
+            "contamination_frac", F.col("n_matched").cast("double") / F.col("n_grams")
+        )
+        .filter(F.col("n_matched") >= min_overlap)
+    )

@@ -219,6 +219,68 @@ def tfidf_top_terms(
     )
 
 
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+) -> DataFrame:
+    """Gopher-style within-document repetition signals, one row per doc:
+
+    - ``n_tokens``          whitespace token count
+    - ``dup_token_frac``    1 − distinct/total tokens
+    - ``dup_ngram_frac``    1 − distinct/total word ``n``-grams
+    - ``top_token_count``   occurrences of the single most frequent token
+    - ``top_token_frac``    that count / n_tokens
+
+    Heavily repetitive documents (boilerplate, keyword stuffing, decode
+    loops) score high and get filtered before pretraining.
+
+    Scale design: ZERO shuffle — every metric is computed inside the
+    row with array higher-order functions (split → array_distinct /
+    array_sort → ``aggregate`` run-length scan over the sorted token
+    array for the mode), so the whole operator is one codegen'd
+    projection over the scan. A groupBy-explode formulation would
+    shuffle every token in the corpus; this shuffles nothing.
+    """
+    toks = F.split(normalized_text(F.col(text_col)), " ")
+    n_toks = F.size(toks)
+    # total (overlapping) n-grams and their distinct count
+    idx = F.sequence(F.lit(0), F.greatest(n_toks - n, F.lit(0)))
+    grams = F.when(
+        n_toks >= n,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    # mode count via run-length scan over the sorted array: state =
+    # (prev token, current run, best run); nulls can't appear (split
+    # never yields null elements), so prev='' start is safe
+    srt = F.array_sort(toks)
+    best = F.aggregate(
+        srt,
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    frac = lambda d, t: (t - d).cast("double") / t  # noqa: E731
+    return ensure_parallelism(df).select(
+        F.col(id_col),
+        n_toks.cast("bigint").alias("n_tokens"),
+        frac(F.size(F.array_distinct(toks)), n_toks).alias("dup_token_frac"),
+        frac(F.size(F.array_distinct(grams)), F.size(grams)).alias("dup_ngram_frac"),
+        best.cast("bigint").alias("top_token_count"),
+        (best.cast("double") / n_toks).alias("top_token_frac"),
+    )
+
+
 def fingerprint(
     df: DataFrame,
     text_col: str = "text",

@@ -245,6 +245,49 @@ def test_curate_corpus_gauntlet(spark):
     assert out.quality_score.iloc[0] >= 0.5
 
 
+def test_repetition_stats_signals(spark):
+    from gapless_deribit_clickhouse_spark.pipelines.text_stats import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam"),          # fully repetitive
+            (2, "one two three four five"),           # fully diverse
+            (3, "a b a b a b a b"),                   # repeated bigram
+        ],
+        "doc_id long, text string",
+    )
+    out = repetition_stats(docs, n=2).toPandas().set_index("doc_id")
+    assert out.loc[1].top_token_count == 5 and out.loc[1].top_token_frac == 1.0
+    assert out.loc[1].dup_token_frac == 0.8   # 1 distinct of 5
+    assert out.loc[1].dup_ngram_frac == 0.75  # 1 distinct of 4 bigrams
+    assert out.loc[2].dup_token_frac == 0.0
+    assert out.loc[2].dup_ngram_frac == 0.0
+    assert out.loc[2].top_token_count == 1
+    assert out.loc[3].top_token_count == 4    # 'a' and 'b' 4x each
+    assert out.loc[3].dup_ngram_frac == (7 - 2) / 7  # 'a b' + 'b a'
+
+
+def test_contamination_check_flags_overlap(spark):
+    from gapless_deribit_clickhouse_spark.pipelines.curation import contamination_check
+
+    bench = spark.createDataFrame(
+        [(100, "the capital of france is paris")], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "we know the capital of france is paris obviously"),  # contaminated
+            (2, "completely unrelated text about cooking pasta well"),  # clean
+        ],
+        "doc_id long, text string",
+    )
+    out = contamination_check(docs, bench, n=3).toPandas()
+    assert out.doc_id.tolist() == [1]
+    row = out.iloc[0]
+    # doc 1 has 7 distinct trigrams; 4 appear in the benchmark sentence
+    assert row.n_grams == 7 and row.n_matched == 4
+    assert abs(row.contamination_frac - 4 / 7) < 1e-12
+
+
 def test_salted_agg_matches_plain_groupby(spark):
     from gapless_deribit_clickhouse_spark.operators.skew import salted_agg
 
