@@ -103,6 +103,7 @@ def __getattr__(name: str):
         "curate_corpus": "pipelines.curation",
         "contamination_check": "pipelines.curation",
         "repetition_stats": "pipelines.text_stats",
+        "corpus_profile": "pipelines.text_stats",
         "hash_sample": "pipelines.sampling",
         "stratified_hash_sample": "pipelines.sampling",
         "connected_components": "operators.connected_components",
@@ -200,7 +201,7 @@ __all__ = [
     "cosine_topk", "ivf_topk", "embedding_near_dup_pairs",
     "quality_score", "lang_id", "token_count", "bpe_ish_token_count",
     "fingerprint", "token_topk", "tfidf_top_terms", "curate_corpus",
-    "contamination_check", "repetition_stats",
+    "contamination_check", "repetition_stats", "corpus_profile",
     "hash_sample", "stratified_hash_sample",
     "connected_components", "dedup_clusters", "compact_table",
     "sessionize", "session_stats", "streaming_sessionize",

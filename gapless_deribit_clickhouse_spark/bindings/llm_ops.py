@@ -501,6 +501,32 @@ WHERE is_canonical AND lang_pred = 'en' AND quality_score >= 0.5
 CURATE_SQL = _curate_sql()
 
 
+# --- per-group corpus profile (count / tokens / percentiles) ---
+def corpus_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gapless_deribit_clickhouse_spark.pipelines.text_stats import corpus_profile
+
+    # exact percentiles for cross-engine reproducibility (the approx
+    # t-digest default is the scale path but not oracle-comparable)
+    return corpus_profile(_docs(spark, sf_dir), group_col="lang", exact=True)
+
+
+_NT_D = (
+    f"CAST(CASE WHEN length({_NORM}) = 0 THEN 0 "
+    f"ELSE len(string_split({_NORM}, ' ')) END AS DOUBLE)"
+)
+
+CORPUS_PROFILE_SQL = f"""
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum({_NT_D}) AS BIGINT) AS total_tokens,
+       avg({_NT_D}) AS avg_tokens,
+       quantile_cont({_NT_D}, 0.5) AS p50_tokens,
+       quantile_cont({_NT_D}, 0.9) AS p90_tokens,
+       quantile_cont({_NT_D}, 0.99) AS p99_tokens
+FROM documents GROUP BY lang
+"""
+
+
 # --- within-document repetition signals (Gopher-style filters) ---
 def repetition_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(_docs(spark, sf_dir), n=2)
@@ -557,6 +583,7 @@ BINDINGS = [
     ("tfidf_top_terms", tfidf_q, TFIDF_SQL),
     ("repetition_stats", repetition_q, REPETITION_SQL),
     ("contamination", contamination_q, CONTAMINATION_SQL),
+    ("corpus_profile", corpus_profile_q, CORPUS_PROFILE_SQL),
     ("curate_corpus", curate_q, CURATE_SQL),
     ("dup_clusters", dup_clusters_q, DUP_CLUSTERS_SQL),
     ("hash_sample", hash_sample_q, HASH_SAMPLE_SQL),

@@ -219,6 +219,41 @@ def tfidf_top_terms(
     )
 
 
+def corpus_profile(
+    df: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+    percentiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+    exact: bool = False,
+) -> DataFrame:
+    """Per-group corpus profile: document count, token totals, and
+    token-length percentiles — the summary a data engineer pulls before
+    deciding curation thresholds (length bands, language mix).
+
+    Output: ``<group_col>, n_docs, total_tokens, avg_tokens,
+    p<pct>_tokens...`` (one column per requested percentile).
+
+    Scale design: token counts are row-wise expressions, so the whole
+    profile is one partial-agg + tiny exchange on the group key. The
+    default uses ``approx_percentile`` (t-digest sketch, mergeable,
+    bounded memory — the only sane choice at 100 TB); ``exact=True``
+    switches to ``percentile`` (collects each group's values — fine at
+    validation scale, used by the DuckDB-oracle binding since sketches
+    aren't reproducible across engines).
+    """
+    toks = token_count(F.col(text_col)).cast("double")
+    pct_fn = F.percentile if exact else F.percentile_approx
+    pct_cols = [
+        pct_fn(toks, F.lit(p)).alias(f"p{int(p * 100)}_tokens") for p in percentiles
+    ]
+    return df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(toks).cast("bigint").alias("total_tokens"),
+        F.avg(toks).alias("avg_tokens"),
+        *pct_cols,
+    )
+
+
 def repetition_stats(
     df: DataFrame,
     text_col: str = "text",

@@ -267,6 +267,21 @@ def test_repetition_stats_signals(spark):
     assert out.loc[3].dup_ngram_frac == (7 - 2) / 7  # 'a b' + 'b a'
 
 
+def test_corpus_profile_groups_and_percentiles(spark):
+    from gapless_deribit_clickhouse_spark.pipelines.text_stats import corpus_profile
+
+    df = spark.createDataFrame(
+        [(1, "a b c", "en"), (2, "a b", "en"), (3, "", "de")],
+        "doc_id long, text string, lang string",
+    )
+    out = corpus_profile(df, exact=True).toPandas().set_index("lang")
+    assert out.loc["en"].n_docs == 2 and out.loc["en"].total_tokens == 5
+    assert out.loc["en"].p50_tokens == 2.5  # linear interpolation
+    assert out.loc["de"].total_tokens == 0  # empty text counts 0 tokens
+    approx = corpus_profile(df).toPandas().set_index("lang")
+    assert approx.loc["en"].p50_tokens in (2.0, 3.0)  # sketch picks a sample
+
+
 def test_contamination_check_flags_overlap(spark):
     from gapless_deribit_clickhouse_spark.pipelines.curation import contamination_check
 
