@@ -86,10 +86,17 @@ def contamination_check(
             F.explode(shingles(F.col(bench_text_col), n)).alias("gram")
         ).distinct()
     )
-    doc_grams = ensure_parallelism(docs).select(
-        F.col(id_col),
-        F.size(shingles(F.col(text_col), n)).alias("n_grams"),
-        F.explode(shingles(F.col(text_col), n)).alias("gram"),
+    # materialize the gram array once per row (a projection boundary),
+    # then derive size + explode from the bound column — shingling is
+    # the dominant row cost and must not run twice
+    doc_grams = (
+        ensure_parallelism(docs)
+        .select(F.col(id_col), shingles(F.col(text_col), n).alias("__grams"))
+        .select(
+            F.col(id_col),
+            F.size("__grams").alias("n_grams"),
+            F.explode("__grams").alias("gram"),
+        )
     )
     matched = doc_grams.join(F.broadcast(bench_grams), "gram")
     return (

@@ -51,19 +51,35 @@ def exact_dedup(
     )
 
 
+def gram_array(toks: Column, n: int) -> Column:
+    """All overlapping word ``n``-grams of a token-array column
+    (non-distinct; short arrays yield the single whole-text gram).
+
+    Perf-critical shape: higher-order functions are interpreted (no
+    codegen), and any outer expression referenced inside the lambda is
+    RE-EVALUATED per element — a lambda that slices
+    ``split(normalize(text))`` re-runs the regex+split once per gram,
+    O(tokens²) character work per document (measured ~25x slower on
+    300-char docs). Instead we zip ``n`` shifted slices of the token
+    array and concat within the element, so the token array is
+    evaluated a constant number of times per row and the lambda
+    touches only its own element."""
+    sz = F.size(toks)
+    shifted = [F.slice(toks, i + 1, sz - (n - 1)) for i in range(n)]
+    # non-named zip inputs get positional struct fields "0".."n-1"
+    grams = F.transform(
+        F.arrays_zip(*shifted),
+        lambda z: F.concat_ws(" ", *[z[str(i)] for i in range(n)]),
+    )
+    return F.when(sz >= n, grams).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
 def shingles(col: Column, n: int = 3) -> Column:
     """Word n-gram shingle array (distinct) of the normalized text."""
     toks = F.split(normalized_text(col), " ")
     if n == 1:
         return F.array_distinct(toks)
-    # sliding window over token indices; sequence is 0-based inclusive
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    grams = F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
-    )
-    return F.array_distinct(
-        F.when(F.size(toks) >= n, grams).otherwise(F.array(F.concat_ws(" ", toks)))
-    )
+    return F.array_distinct(gram_array(toks, n))
 
 
 def ngram_jaccard_pairs(

@@ -278,14 +278,14 @@ def repetition_stats(
     projection over the scan. A groupBy-explode formulation would
     shuffle every token in the corpus; this shuffles nothing.
     """
+    from gapless_deribit_clickhouse_spark.pipelines.text_dedup import gram_array
+
     toks = F.split(normalized_text(F.col(text_col)), " ")
     n_toks = F.size(toks)
-    # total (overlapping) n-grams and their distinct count
-    idx = F.sequence(F.lit(0), F.greatest(n_toks - n, F.lit(0)))
-    grams = F.when(
-        n_toks >= n,
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))),
-    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    # total (overlapping) n-grams and their distinct count; gram_array
+    # keeps the quadratic split-in-lambda re-evaluation out (see its
+    # docstring)
+    grams = gram_array(toks, n)
     # mode count via run-length scan over the sorted array: state =
     # (prev token, current run, best run); nulls can't appear (split
     # never yields null elements), so prev='' start is safe
