@@ -59,6 +59,7 @@ def __getattr__(name: str):
         "build_validation_report": "validation",
         "print_validation_summary": "validation",
         "load_schema": "schema", "validate_table": "schema",
+        "write_bucketed": "schema",
         "get_spark": "core.session",
         # feature surface (reference features/__init__.py:61-88)
         "FeatureConfig": "features", "get_preset": "features",
@@ -175,7 +176,7 @@ __all__ = [
     "format_validation_report",
     "build_validation_report",
     "print_validation_summary",
-    "load_schema",
+    "load_schema", "write_bucketed",
     "validate_table",
     "get_spark",
     # feature surface (lazy)

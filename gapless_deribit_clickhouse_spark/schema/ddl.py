@@ -79,3 +79,32 @@ def write_table(df: DataFrame, schema: TableSchema, path: str, mode: str = "appe
     if schema.partition_by:
         writer = writer.partitionBy(*schema.partition_by)
     writer.save(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+    format: str = "parquet",
+) -> None:
+    """Write a bucketed (hash-clustered) catalog table — Spark's
+    pre-shuffled layout for co-located joins and aggregations, the
+    analogue of the reference's ORDER-BY-keyed MergeTree locality
+    (``options_trades.yaml:30``).
+
+    Scale rationale: a fact table bucketed on its join/group key is
+    shuffled ONCE at write time; every subsequent
+    ``groupBy(bucket_cols)`` or join against a table bucketed the same
+    way runs with NO Exchange — at 100 TB that converts the dominant
+    per-query cost into a one-time layout cost. Requires
+    ``saveAsTable`` (bucket metadata lives in the catalog, not in
+    parquet files); pick ``num_buckets`` so one bucket ≈ 100-500 MB at
+    the target scale.
+    """
+    writer = df.write.format(format).mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
