@@ -110,6 +110,7 @@ def __getattr__(name: str):
         "connected_components": "operators.connected_components",
         "dedup_clusters": "operators.connected_components",
         "compact_table": "operators.dedup",
+        "interval_join": "operators.range_join",
         "sessionize": "operators.sessionize",
         "session_stats": "operators.sessionize",
         "streaming_sessionize": "operators.sessionize",
@@ -204,7 +205,7 @@ __all__ = [
     "fingerprint", "token_topk", "tfidf_top_terms", "curate_corpus",
     "contamination_check", "repetition_stats", "corpus_profile",
     "hash_sample", "stratified_hash_sample",
-    "connected_components", "dedup_clusters", "compact_table",
+    "connected_components", "dedup_clusters", "compact_table", "interval_join",
     "sessionize", "session_stats", "streaming_sessionize",
     "salted_agg",
     # reference-name aliases

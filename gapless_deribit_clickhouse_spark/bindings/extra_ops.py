@@ -344,8 +344,50 @@ FROM s GROUP BY user_id, session_seq
 """
 
 
+# --- interval (range) join: events matched to their containing
+# session interval via the bucketed equi-join formulation ---
+def interval_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gapless_deribit_clickhouse_spark.operators.range_join import interval_join
+    from gapless_deribit_clickhouse_spark.operators.sessionize import session_stats
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    sess = session_stats(
+        ev.select("user_id", "ts"), user_col="user_id", ts_col="ts", gap_seconds=1800
+    ).select("user_id", "session_seq", "session_start", "session_end")
+    out = interval_join(
+        ev, sess, "ts", "session_start", "session_end",
+        on=["user_id"], bucket_seconds=1800,
+    )
+    return out.select("event_id", "user_id", "session_seq")
+
+
+INTERVAL_JOIN_SQL = """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS is_new
+  FROM (SELECT user_id, ts FROM events)
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+s AS (
+  SELECT user_id, ts,
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+  FROM marked),
+iv AS (
+  SELECT user_id, session_seq,
+         min(ts) AS session_start, max(ts) AS session_end
+  FROM s GROUP BY user_id, session_seq)
+SELECT e.event_id, e.user_id, iv.session_seq
+FROM events e JOIN iv
+  ON e.user_id = iv.user_id
+ AND e.ts BETWEEN iv.session_start AND iv.session_end
+"""
+
+
 BINDINGS = [
     ("sessionize", sessionize_q, SESSIONIZE_SQL),
+    ("interval_join_sessions", interval_join_q, INTERVAL_JOIN_SQL),
     ("asof_join_spot", asof_spot_q, ASOF_SPOT_SQL),
     ("instrument_parse", instrument_parse_q, INSTRUMENT_PARSE_SQL),
     ("portfolio_greeks", portfolio_greeks_q, PORTFOLIO_GREEKS_SQL),

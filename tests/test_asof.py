@@ -75,3 +75,64 @@ def test_asof_no_right_match_is_null(spark, spot_pdf):
     )
     got = asof_join(early, right, on=["symbol"], value_cols=["close"])
     assert got.filter(F.col("close_asof").isNotNull()).count() == 0
+
+
+def test_interval_join_inner_and_left(spark):
+    import datetime as dt
+
+    from gapless_deribit_clickhouse_spark.operators.range_join import interval_join
+
+    base = dt.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [(1, base + dt.timedelta(minutes=m)) for m in (0, 30, 90, 200)]
+        + [(2, base + dt.timedelta(minutes=5))],
+        "user_id long, ts timestamp",
+    )
+    iv = spark.createDataFrame(
+        [
+            (1, base, base + dt.timedelta(hours=1), "s1"),
+            (1, base + dt.timedelta(minutes=85), base + dt.timedelta(minutes=95), "s2"),
+            (2, base + dt.timedelta(hours=3), base + dt.timedelta(hours=4), "s3"),
+        ],
+        "user_id long, start timestamp, end timestamp, tag string",
+    )
+    inner = (
+        interval_join(ev, iv, "ts", "start", "end", on=["user_id"], bucket_seconds=600)
+        .toPandas().sort_values("ts").reset_index(drop=True)
+    )
+    # boundary timestamps (ts == start) match; disjoint rows don't
+    assert inner.tag.tolist() == ["s1", "s1", "s2"]
+    left = interval_join(
+        ev, iv, "ts", "start", "end", on=["user_id"], bucket_seconds=600, how="left"
+    ).toPandas()
+    assert len(left) == 5
+    assert left.tag.isna().sum() == 2  # the two uncovered events survive
+
+    # an interval spanning many buckets still matches exactly once
+    wide = spark.createDataFrame(
+        [(1, base, base + dt.timedelta(days=2), "w")],
+        "user_id long, start timestamp, end timestamp, tag string",
+    )
+    once = interval_join(ev, wide, "ts", "start", "end", on=["user_id"], bucket_seconds=600)
+    assert once.count() == 4  # each user-1 event once, never duplicated
+
+
+def test_interval_join_plan_is_hash_join(spark):
+    """The bucketed formulation must compile to a hash equi-join, never
+    BroadcastNestedLoopJoin (the O(|L|x|R|) fallback for raw range
+    predicates)."""
+    import datetime as dt
+
+    from gapless_deribit_clickhouse_spark.operators.range_join import interval_join
+
+    base = dt.datetime(2024, 1, 1)
+    ev = spark.createDataFrame([(1, base)], "user_id long, ts timestamp")
+    iv = spark.createDataFrame(
+        [(1, base, base + dt.timedelta(hours=1))],
+        "user_id long, start timestamp, end timestamp",
+    )
+    plan = (
+        interval_join(ev, iv, "ts", "start", "end", on=["user_id"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "NestedLoop" not in plan
