@@ -1,0 +1,49 @@
+"""Plan contracts: every registered query must keep the physical-plan
+properties the 100 TB design depends on. PLANS.md documents them; this
+test ENFORCES them, so a refactor that silently introduces a
+nested-loop join or an undeclared Python crossing fails CI.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from gapless_deribit_clickhouse_spark.bindings import ALL_BINDINGS
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# the only operators allowed off the JVM (Arrow-batched, SURVEY §2.10)
+ALLOWED_PYTHON = {"egarch_params", "multimodal_features", "rolling_percentile"}
+
+# BroadcastNestedLoopJoin is allowed ONLY where the build side is
+# bounded by construction:
+# - tfidf_top_terms: 1-row corpus-size scalar broadcast
+# - cosine_topk / embedding_near_dup: brute-force similarity baseline —
+#   each corpus row scans the (small, broadcast) query/candidate set;
+#   the scale path is ivf_topk / minhash_lsh_pairs, which must NOT NLJ
+ALLOWED_NLJ = {"tfidf_top_terms", "cosine_topk", "embedding_near_dup"}
+
+
+def _plan(fn, spark) -> str:
+    return fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize("name,fn", [(n, f) for n, f, _ in ALL_BINDINGS])
+def test_no_nested_loop_or_cartesian(spark, name, fn):
+    plan = _plan(fn, spark)
+    if name not in ALLOWED_NLJ:
+        assert "BroadcastNestedLoopJoin" not in plan, name
+    assert "CartesianProduct" not in plan, name
+
+
+@pytest.mark.parametrize("name,fn", [(n, f) for n, f, _ in ALL_BINDINGS])
+def test_python_only_at_declared_edges(spark, name, fn):
+    plan = _plan(fn, spark)
+    crossings = sum(
+        plan.count(op)
+        for op in ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")
+    )
+    if name in ALLOWED_PYTHON:
+        assert crossings >= 1, f"{name} should use an Arrow-batched op"
+    else:
+        assert crossings == 0, f"{name} crosses into Python unexpectedly"
