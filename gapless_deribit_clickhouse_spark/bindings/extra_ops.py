@@ -385,9 +385,40 @@ FROM events e JOIN iv
 """
 
 
+# --- semi-structured JSON projection + rollup (SURVEY §2.8 JSON
+# group: the reference round-trips JSON at its API/checkpoint edges;
+# here the engine-side equivalent — typed extraction with from_json
+# inside codegen, then a plain aggregate) ---
+def json_extract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k INT")["k"]
+    return (
+        ev.select("event_type", k.alias("k"), "value")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.avg("k").alias("avg_k"),
+            F.sum(F.when(F.col("k") > 50, 1).otherwise(0)).cast("bigint").alias("n_high"),
+        )
+    )
+
+
+JSON_EXTRACT_SQL = """
+SELECT event_type,
+       count(*) AS n,
+       CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+       avg(CAST(json_extract(props, '$.k') AS INT)) AS avg_k,
+       CAST(sum(CASE WHEN CAST(json_extract(props, '$.k') AS INT) > 50
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+FROM events GROUP BY event_type
+"""
+
+
 BINDINGS = [
     ("sessionize", sessionize_q, SESSIONIZE_SQL),
     ("interval_join_sessions", interval_join_q, INTERVAL_JOIN_SQL),
+    ("events_json_rollup", json_extract_q, JSON_EXTRACT_SQL),
     ("asof_join_spot", asof_spot_q, ASOF_SPOT_SQL),
     ("instrument_parse", instrument_parse_q, INSTRUMENT_PARSE_SQL),
     ("portfolio_greeks", portfolio_greeks_q, PORTFOLIO_GREEKS_SQL),
