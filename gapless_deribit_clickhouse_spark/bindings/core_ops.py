@@ -175,8 +175,54 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+# --- multi-way join: returned-revenue by customer (TPC-H Q10 shape) ---
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-planning showcase: lineitem joins orders on the shuffled
+    fact key (AQE picks SMJ/shuffled-hash and coalesces), while
+    customer and nation ride broadcast hash joins; the filters sit
+    below the joins (pushed to the scans) and the final top-20 compiles
+    to TakeOrderedAndProject."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+Q10_SQL = """
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       sum(l_extendedprice * (1 - l_discount)) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
 BINDINGS = [
     ("scan_topn", scan_topn, SCAN_TOPN_SQL),
+    ("q10_returned_revenue", q10_returned_revenue, Q10_SQL),
     ("dedup_latest", dedup_latest_events, DEDUP_LATEST_SQL),
     ("ohlc_15m", ohlc_15m, OHLC_15M_SQL),
     ("top1_min_value", top1_min_value, TOP1_MIN_VALUE_SQL),
