@@ -340,8 +340,80 @@ LIMIT 100
 """
 
 
+# --- §3.3 flagship composed pipeline: contract selection -> spot
+# enrichment -> moneyness pivot, ONE Catalyst plan (the reference
+# nests three SQL-template CTE layers and ships one ClickHouse query;
+# here the combinators compose as functions and Catalyst fuses them) ---
+def feature_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sel = select_contracts(
+        trades_view(spark, sf_dir), strategy="front_month_atm_liquid"
+    )
+    enr = enrich_with_spot(sel, spot_view(spark, sf_dir))
+    return aggregate_by_moneyness(enr, pivot=True)
+
+
+FEATURE_PIPELINE_SQL = f"""
+WITH trades AS ({TRADES_CTE}),
+spot AS ({SPOT_CTE}),
+fm AS (
+  SELECT underlying, {_TRADES_COLS_NO_UNDERLYING}
+  FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY {_B}, underlying
+      ORDER BY {_DTE}, trade_id) AS rn
+    FROM trades) t
+  WHERE rn = 1),
+atm AS (
+  SELECT * FROM fm
+  WHERE strike / index_price BETWEEN 0.95 AND 1.05),
+liq AS (
+  SELECT * FROM (
+    SELECT *, sum(amount) OVER (
+      PARTITION BY instrument_name, CAST("timestamp" AS DATE)) AS dv
+    FROM atm) t
+  WHERE dv >= 10.0),
+enriched AS (
+  SELECT t.*, coalesce(t.index_price, s.close) AS spot_price,
+         t.strike / coalesce(t.index_price, s.close) AS moneyness
+  FROM liq t
+  LEFT JOIN spot s
+    ON s.symbol = t.underlying || 'USDT'
+   AND s."timestamp" = {bucket_sql('t."timestamp"')}),
+valid AS (
+  SELECT {_B} AS ts, iv, amount, option_type,
+         CASE WHEN moneyness < 0.90 THEN 'deep_otm_put'
+              WHEN moneyness < 0.95 THEN 'otm_put'
+              WHEN moneyness <= 1.05 THEN 'atm'
+              WHEN moneyness <= 1.10 THEN 'otm_call'
+              ELSE 'deep_otm_call' END AS bucket
+  FROM enriched
+  WHERE moneyness > 0 AND iv > 0),
+wide AS (
+  SELECT ts,
+         avg(CASE WHEN bucket = 'deep_otm_put' THEN iv END) AS deep_otm_put_iv,
+         count(CASE WHEN bucket = 'deep_otm_put' THEN 1 END) AS deep_otm_put_count,
+         avg(CASE WHEN bucket = 'otm_put' THEN iv END) AS otm_put_iv,
+         count(CASE WHEN bucket = 'otm_put' THEN 1 END) AS otm_put_count,
+         avg(CASE WHEN bucket = 'atm' THEN iv END) AS atm_iv,
+         count(CASE WHEN bucket = 'atm' THEN 1 END) AS atm_count,
+         stddev_pop(CASE WHEN bucket = 'atm' THEN iv END) AS atm_iv_std,
+         sum(CASE WHEN bucket = 'atm' THEN amount END) AS atm_volume,
+         avg(CASE WHEN bucket = 'otm_call' THEN iv END) AS otm_call_iv,
+         count(CASE WHEN bucket = 'otm_call' THEN 1 END) AS otm_call_count,
+         avg(CASE WHEN bucket = 'deep_otm_call' THEN iv END) AS deep_otm_call_iv,
+         count(CASE WHEN bucket = 'deep_otm_call' THEN 1 END) AS deep_otm_call_count
+  FROM valid GROUP BY ts HAVING count(CASE WHEN bucket = 'atm' THEN 1 END) > 0)
+SELECT *,
+       otm_put_iv - otm_call_iv AS put_call_skew,
+       (otm_put_iv + otm_call_iv) / 2 - atm_iv AS smile_curvature,
+       deep_otm_put_iv / nullif(deep_otm_call_iv, 0) AS wing_ratio
+FROM wide
+"""
+
+
 BINDINGS = [
     ("moneyness_pivot", moneyness_pivot, MONEYNESS_PIVOT_SQL),
+    ("feature_pipeline", feature_pipeline_q, FEATURE_PIPELINE_SQL),
     ("moneyness_long", moneyness_long, MONEYNESS_LONG_SQL),
     ("pcr_by_tenor", pcr_tenor, PCR_TENOR_SQL),
     ("pcr_aggregate", pcr_agg, PCR_AGG_SQL),

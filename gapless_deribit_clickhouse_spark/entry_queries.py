@@ -17,7 +17,7 @@ from gapless_deribit_clickhouse_spark.bindings import ALL_BINDINGS
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-FLAGSHIP = "moneyness_pivot"
+FLAGSHIP = "feature_pipeline"
 
 
 def queries() -> dict[str, QueryFn]:
