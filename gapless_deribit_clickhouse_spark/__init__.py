@@ -105,6 +105,7 @@ def __getattr__(name: str):
         "contamination_check": "pipelines.curation",
         "repetition_stats": "pipelines.text_stats",
         "corpus_profile": "pipelines.text_stats",
+        "sample_n_per_group": "pipelines.sampling",
         "hash_sample": "pipelines.sampling",
         "stratified_hash_sample": "pipelines.sampling",
         "connected_components": "operators.connected_components",
@@ -203,7 +204,7 @@ __all__ = [
     "cosine_topk", "ivf_topk", "embedding_near_dup_pairs",
     "quality_score", "lang_id", "token_count", "bpe_ish_token_count",
     "fingerprint", "token_topk", "tfidf_top_terms", "curate_corpus",
-    "contamination_check", "repetition_stats", "corpus_profile",
+    "contamination_check", "repetition_stats", "corpus_profile", "sample_n_per_group",
     "hash_sample", "stratified_hash_sample",
     "connected_components", "dedup_clusters", "compact_table", "interval_join",
     "sessionize", "session_stats", "streaming_sessionize",

@@ -354,6 +354,25 @@ def hash_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "source")
 
 
+def sample_per_group_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gapless_deribit_clickhouse_spark.pipelines.sampling import sample_n_per_group
+
+    docs = _docs(spark, sf_dir)
+    out = sample_n_per_group(docs, group_col="lang", n=20, key_col="doc_id")
+    return out.select("doc_id", "lang")
+
+
+SAMPLE_PER_GROUP_SQL = """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents) t
+WHERE rn <= 20
+"""
+
+
 HASH_SAMPLE_SQL = """
 WITH b AS (
   SELECT doc_id, lang, source,
@@ -587,6 +606,7 @@ BINDINGS = [
     ("curate_corpus", curate_q, CURATE_SQL),
     ("dup_clusters", dup_clusters_q, DUP_CLUSTERS_SQL),
     ("hash_sample", hash_sample_q, HASH_SAMPLE_SQL),
+    ("sample_per_group", sample_per_group_q, SAMPLE_PER_GROUP_SQL),
     ("token_topk", token_topk_q, TOKEN_TOPK_SQL),
     ("dedup_exact", dedup_exact_q, DEDUP_EXACT_SQL),
     ("ngram_jaccard_pairs", ngram_jaccard_q, NGRAM_JACCARD_SQL),

@@ -39,6 +39,34 @@ def hash_sample(
     return df.filter(hash_bucket(F.col(key_col), salt) < int(rate * BUCKETS))
 
 
+def sample_n_per_group(
+    df: DataFrame,
+    group_col: str,
+    n: int,
+    key_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic fixed-size sample: the ``n`` rows with the
+    smallest salted key hash per group — reproducible across runs,
+    partitionings, and engines (unlike per-group ``df.sample``), the
+    inspection/eval-subset builder ("give me 100 docs per language,
+    the same 100 every time").
+
+    Scale shape: one shuffle on ``group_col``; rank via row_number
+    over the hash order. For heavily skewed groups AQE splits the
+    oversized partitions; the hash order means no value-ordered index
+    is ever needed."""
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
+    )
+
+
 def stratified_hash_sample(
     df: DataFrame,
     key_col: str,

@@ -135,6 +135,21 @@ def test_hash_sample_deterministic_and_stratified(docs):
     assert len(strat) == docs.filter(F.col("lang") == "en").count()
 
 
+def test_sample_n_per_group_fixed_and_stable(docs):
+    from gapless_deribit_clickhouse_spark.pipelines.sampling import sample_n_per_group
+
+    a = sample_n_per_group(docs, group_col="lang", n=5, key_col="doc_id").toPandas()
+    b = sample_n_per_group(docs, group_col="lang", n=5, key_col="doc_id").toPandas()
+    assert (a.groupby("lang").size() <= 5).all()
+    # identical membership across runs
+    assert sorted(a.doc_id) == sorted(b.doc_id)
+    # a different salt draws a different subset
+    c = sample_n_per_group(
+        docs, group_col="lang", n=5, key_col="doc_id", salt="v2"
+    ).toPandas()
+    assert sorted(c.doc_id) != sorted(a.doc_id)
+
+
 def test_token_topk_vocab_head(docs):
     from gapless_deribit_clickhouse_spark.pipelines.text_stats import token_topk
 
