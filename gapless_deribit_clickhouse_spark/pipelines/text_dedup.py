@@ -178,6 +178,7 @@ def minhash_signatures(
     id_col: str = "doc_id",
     n: int = 3,
     num_hashes: int = 32,
+    base_hash: str = "md5",
 ) -> DataFrame:
     """Per doc: array of ``num_hashes`` bigint min-hash values over its
     shingle set.
@@ -188,17 +189,30 @@ def minhash_signatures(
     the ``num_hashes`` minima are affine transforms of that base —
     cheap long arithmetic instead of per-seed md5 (32x fewer digest
     evaluations; md5 dominated execution). Built as SQL strings: one
-    F.expr = one py4j call, not hundreds of Column-API round-trips."""
+    F.expr = one py4j call, not hundreds of Column-API round-trips.
+
+    ``base_hash``: ``md5`` (default) is bit-reproducible in the DuckDB
+    oracle; ``xxhash64`` is the scale path — the same codegen'd 64-bit
+    hash Spark's own MinHashLSH family builds on, ~3x cheaper than a
+    hex digest + parse, engine-internal only. Near-dup quality is
+    equivalent (both are uniform over the shingle set); signatures are
+    NOT comparable across the two modes."""
     arr = ensure_parallelism(df).select(
         F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("__arr")
     )
     p = MINHASH_PRIME
+    if base_hash == "md5":
+        base = (
+            "CAST(conv(substring(md5(concat('0:', s)), 1, 15), 16, 10) "
+            f"AS BIGINT) % {p}"
+        )
+    elif base_hash == "xxhash64":
+        base = f"pmod(xxhash64(s), {p})"
+    else:
+        raise ValueError(f"base_hash must be md5|xxhash64, got {base_hash!r}")
     harr = arr.select(
         "id",
-        F.expr(
-            "transform(__arr, s -> CAST(conv(substring(md5(concat('0:', s)), 1, 15), 16, 10) "
-            f"AS BIGINT) % {p})"
-        ).alias("__harr"),
+        F.expr(f"transform(__arr, s -> {base})").alias("__harr"),
     )
     mins = ", ".join(
         f"array_min(transform(__harr, h -> (h * {a}L + {b}L) % {p}L))"
@@ -215,6 +229,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.5,
+    base_hash: str = "md5",
 ) -> DataFrame:
     """Candidate pairs via banded LSH, verified with exact Jaccard.
 
@@ -224,7 +239,7 @@ def minhash_lsh_pairs(
     candidates back to shingle sets and keeps jaccard >= threshold.
     """
     r = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, n, num_hashes)
+    sig = minhash_signatures(df, text_col, id_col, n, num_hashes, base_hash)
     band_sql = ", ".join(
         "md5(concat_ws(',', "
         + ", ".join(f"signature[{b * r + i}]" for i in range(r))

@@ -260,6 +260,30 @@ def test_curate_corpus_gauntlet(spark):
     assert out.quality_score.iloc[0] >= 0.5
 
 
+def test_minhash_fast_hash_path_finds_same_dups(spark):
+    from gapless_deribit_clickhouse_spark.pipelines.text_dedup import minhash_lsh_pairs
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " extra"),      # near-dup of 1
+            (3, "completely different words about spark partitions and shuffles ok"),
+        ],
+        "doc_id long, text string",
+    )
+    slow = minhash_lsh_pairs(docs, threshold=0.5).select("id_a", "id_b").collect()
+    fast = minhash_lsh_pairs(docs, threshold=0.5, base_hash="xxhash64").select(
+        "id_a", "id_b"
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in slow} == {(1, 2)}
+    assert {(r.id_a, r.id_b) for r in fast} == {(1, 2)}
+    import pytest
+
+    with pytest.raises(ValueError):
+        minhash_lsh_pairs(docs, base_hash="sha9000").collect()
+
+
 def test_repetition_stats_signals(spark):
     from gapless_deribit_clickhouse_spark.pipelines.text_stats import repetition_stats
 
