@@ -14,6 +14,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 TABLES = (
     "region",
@@ -32,12 +33,24 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # Some testdata generations store events.ts as TIMESTAMP(NANOS),
+        # which Spark rejects unless nanosAsLong is on. The conf is
+        # runtime-settable and must be applied HERE, not only in our own
+        # session factory: callers (including the correctness harness)
+        # may hand us a bare SparkSession. It is a no-op for micros data.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # events.ts is TIMESTAMP(NANOS) in the parquet footer; with
-        # nanosAsLong=true it arrives as long — integer-truncate to
-        # microsecond TimestampType, bit-identical to DuckDB's ns read.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # Normalize ts to microsecond TimestampType regardless of how the
+        # footer stored it: NANOS arrives as long under nanosAsLong
+        # (integer-truncate, bit-identical to DuckDB's ns read); NTZ
+        # footers cast losslessly given the UTC session/machine timezone.
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif not isinstance(ts_type, T.TimestampType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -5,11 +5,18 @@ DuckDB over the same sf directory, then compares row count, column
 names/ordering-insensitive schema, and values (floats rounded before
 comparison; rows sorted by all columns).
 
-Usage: python tools/oracle_check.py [sf_dir] [query ...]
+Usage: python tools/oracle_check.py [--bare] [sf_dir] [query ...]
+
+``--bare`` runs the queries on a SparkSession built WITHOUT our session
+factory — no pre-set confs, exactly like the driver's harness. Round-1
+shipped a bug only visible on a bare session; this flag is the gate
+against that class of failure. Run the full registry with it before
+every round ends.
 """
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -67,13 +74,29 @@ def compare(name: str, spark_df, oracle_df: pd.DataFrame) -> tuple[bool, str]:
     return True, f"OK rows={len(sp)}"
 
 
+def _bare_spark():
+    """A SparkSession with none of our factory confs — the driver's view."""
+    from pyspark.sql import SparkSession
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "8")
+    return (
+        SparkSession.builder.appName("oracle-check-bare")
+        .master(f"local[{cpus}]")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    bare = "--bare" in argv
+    argv = [a for a in argv if a != "--bare"]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as e
 
-    spark = get_spark()
+    spark = _bare_spark() if bare else get_spark()
     con = _duck_con(sf_dir)
     qs, oracles = e.queries(), e.oracle_sql()
     failures = 0
