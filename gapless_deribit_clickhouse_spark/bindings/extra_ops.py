@@ -108,8 +108,8 @@ def greeks_by_bucket_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BUCKET_CASE = """
 CASE WHEN strike / index_price < 0.90 THEN 'deep_otm_put'
      WHEN strike / index_price < 0.95 THEN 'otm_put'
-     WHEN strike / index_price <= 1.05 THEN 'atm'
-     WHEN strike / index_price <= 1.10 THEN 'otm_call'
+     WHEN strike / index_price < 1.05 THEN 'atm'
+     WHEN strike / index_price < 1.10 THEN 'otm_call'
      ELSE 'deep_otm_call' END
 """
 

@@ -33,8 +33,8 @@ _MONEYNESS_VALID = f"""
 SELECT {_B} AS ts, strike / index_price AS m, iv, amount, option_type,
        CASE WHEN strike / index_price < 0.90 THEN 'deep_otm_put'
             WHEN strike / index_price < 0.95 THEN 'otm_put'
-            WHEN strike / index_price <= 1.05 THEN 'atm'
-            WHEN strike / index_price <= 1.10 THEN 'otm_call'
+            WHEN strike / index_price < 1.05 THEN 'atm'
+            WHEN strike / index_price < 1.10 THEN 'otm_call'
             ELSE 'deep_otm_call' END AS bucket
 FROM trades
 WHERE strike / index_price > 0 AND iv > 0
@@ -383,8 +383,8 @@ valid AS (
   SELECT {_B} AS ts, iv, amount, option_type,
          CASE WHEN moneyness < 0.90 THEN 'deep_otm_put'
               WHEN moneyness < 0.95 THEN 'otm_put'
-              WHEN moneyness <= 1.05 THEN 'atm'
-              WHEN moneyness <= 1.10 THEN 'otm_call'
+              WHEN moneyness < 1.05 THEN 'atm'
+              WHEN moneyness < 1.10 THEN 'otm_call'
               ELSE 'deep_otm_call' END AS bucket
   FROM enriched
   WHERE moneyness > 0 AND iv > 0),

@@ -41,8 +41,8 @@ def moneyness_bucket_col(
     return (
         F.when(moneyness < t0, F.lit("deep_otm_put"))
         .when(moneyness < t1, F.lit("otm_put"))
-        .when(moneyness <= t2, F.lit("atm"))
-        .when(moneyness <= t3, F.lit("otm_call"))
+        .when(moneyness < t2, F.lit("atm"))
+        .when(moneyness < t3, F.lit("otm_call"))
         .otherwise(F.lit("deep_otm_call"))
     )
 
