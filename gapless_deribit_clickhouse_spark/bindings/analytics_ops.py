@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from gapless_deribit_clickhouse_spark.bindings.common import TRADES_CTE, bucket_sql, trades_view
 from gapless_deribit_clickhouse_spark.core.tables import load_table
+from gapless_deribit_clickhouse_spark.features.config import dte_bucket_case_sql
 from gapless_deribit_clickhouse_spark.features.resampler import resample_by_dte_bucket
 from gapless_deribit_clickhouse_spark.functions.blackscholes import greeks_sql_exprs, with_greeks
 from gapless_deribit_clickhouse_spark.functions.timeutils import time_bucket
@@ -140,14 +141,9 @@ def resample_dte_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _DTE = 'date_diff(\'day\', CAST("timestamp" AS DATE), expiry)'
-_DTE_BUCKET = f"""
-CASE WHEN {_DTE} BETWEEN 0 AND 7 THEN 'dte_0_7'
-     WHEN {_DTE} BETWEEN 8 AND 30 THEN 'dte_8_30'
-     WHEN {_DTE} BETWEEN 31 AND 60 THEN 'dte_31_60'
-     WHEN {_DTE} BETWEEN 61 AND 90 THEN 'dte_61_90'
-     WHEN {_DTE} BETWEEN 91 AND 999 THEN 'dte_91_999'
-     ELSE NULL END
-"""
+# Generated from config DEFAULT_DTE_BUCKETS — same source the Spark
+# combinators read, so engine and oracle cannot silently diverge.
+_DTE_BUCKET = dte_bucket_case_sql(_DTE)
 
 RESAMPLE_DTE_SQL = f"""
 WITH trades AS ({TRADES_CTE}),

@@ -15,6 +15,7 @@ from gapless_deribit_clickhouse_spark.bindings.common import (
     trades_view,
 )
 from gapless_deribit_clickhouse_spark.core.tables import load_table
+from gapless_deribit_clickhouse_spark.features.config import dte_bucket_case_sql
 from gapless_deribit_clickhouse_spark.features.contract_selector import select_contracts
 from gapless_deribit_clickhouse_spark.features.dte_buckets import dte_bucket_agg, dte_distribution
 from gapless_deribit_clickhouse_spark.features.moneyness import aggregate_by_moneyness
@@ -42,14 +43,10 @@ WHERE strike / index_price > 0 AND iv > 0
 
 _DTE = 'date_diff(\'day\', CAST("timestamp" AS DATE), expiry)'
 
-_DTE_BUCKET = f"""
-CASE WHEN {_DTE} BETWEEN 0 AND 7 THEN 'dte_0_7'
-     WHEN {_DTE} BETWEEN 8 AND 30 THEN 'dte_8_30'
-     WHEN {_DTE} BETWEEN 31 AND 60 THEN 'dte_31_60'
-     WHEN {_DTE} BETWEEN 61 AND 90 THEN 'dte_61_90'
-     WHEN {_DTE} BETWEEN 91 AND 999 THEN 'dte_91_999'
-     ELSE NULL END
-"""
+# Generated from the SAME bucket list the Spark combinators read
+# (features/config.py DEFAULT_DTE_BUCKETS) — config change cannot
+# silently diverge engine vs oracle.
+_DTE_BUCKET = dte_bucket_case_sql(_DTE)
 
 
 def _with_moneyness(spark: SparkSession, sf_dir: str) -> DataFrame:

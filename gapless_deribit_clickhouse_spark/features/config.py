@@ -13,9 +13,11 @@ from dataclasses import dataclass, field
 from gapless_deribit_clickhouse_spark.exceptions import ConfigurationError
 
 # (lo, hi) inclusive day ranges — reference features/config.py:75-82
+# (weekly, bi-weekly, monthly, bi-monthly, quarterly, LEAPS).
 DEFAULT_DTE_BUCKETS: tuple[tuple[int, int], ...] = (
     (0, 7),
-    (8, 30),
+    (8, 14),
+    (15, 30),
     (31, 60),
     (61, 90),
     (91, 999),
@@ -25,6 +27,11 @@ DEFAULT_DTE_BUCKETS: tuple[tuple[int, int], ...] = (
 DEFAULT_MONEYNESS_THRESHOLDS: tuple[float, float, float, float] = (0.90, 0.95, 1.05, 1.10)
 
 MONEYNESS_BUCKETS = ("deep_otm_put", "otm_put", "atm", "otm_call", "deep_otm_call")
+
+# 2% — matches the reference's Deribit-internal-model assumption
+# (reference features/config.py:63). Module-level so functions/ can
+# share the default without importing the dataclass.
+DEFAULT_RISK_FREE_RATE: float = 0.02
 
 
 @dataclass(frozen=True)
@@ -39,10 +46,10 @@ class FeatureConfig:
     near_dte_max: int = 30  # term-structure near leg (term_structure.py:71)
     far_dte_min: int = 60  # term-structure far leg (term_structure.py:72)
     exclude_leaps_dte: int = 365  # PCR excludes LEAPS (config.py:96-104)
-    iv_lookback_days: int = 30  # rolling percentile window (iv_percentile.py)
+    iv_lookback_days: int = 90  # rolling percentile window (config.py:70)
     egarch_min_obs: int = 100  # egarch.py:33,85-89
     egarch_max_unique_intervals: int = 3  # regularity guard (egarch.py:92-101)
-    risk_free_rate: float = 0.0  # greeks.py
+    risk_free_rate: float = DEFAULT_RISK_FREE_RATE  # greeks discounting (config.py:63)
     year_seconds: float = 365.25 * 24 * 3600.0  # T in years (greeks.py:40)
 
     def __post_init__(self) -> None:
@@ -76,3 +83,17 @@ def get_preset(name: str) -> FeatureConfig:
 def bucket_label(lo: int, hi: int) -> str:
     """Column-name-safe DTE bucket label, e.g. ``dte_0_7``."""
     return f"dte_{lo}_{hi}"
+
+
+def dte_bucket_case_sql(
+    dte_expr: str, buckets: tuple[tuple[int, int], ...] = DEFAULT_DTE_BUCKETS
+) -> str:
+    """ANSI-SQL CASE labelling ``dte_expr`` with the configured bucket
+    set. The binding oracles use this so the DuckDB side is generated
+    from the SAME bucket list the Spark combinators read — a config
+    change cannot silently diverge the two."""
+    whens = "\n     ".join(
+        f"WHEN {dte_expr} BETWEEN {lo} AND {hi} THEN '{bucket_label(lo, hi)}'"
+        for lo, hi in buckets
+    )
+    return f"CASE {whens}\n     ELSE NULL END"

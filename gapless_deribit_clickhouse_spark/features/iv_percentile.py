@@ -14,6 +14,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
 
+from gapless_deribit_clickhouse_spark.features.config import DEFAULT
 from gapless_deribit_clickhouse_spark.operators.rolling import (
     rolling_minmax_rank,
     rolling_percentile_rank,
@@ -29,7 +30,7 @@ def iv_percentile(
     ts_col: str = "ts",
     iv_col: str = "iv_close",
     keys: Sequence[str] = (),
-    lookback_days: int = 30,
+    lookback_days: int = DEFAULT.iv_lookback_days,
     sample_seconds: int = 900,
     min_periods: int | None = None,
 ) -> DataFrame:
@@ -51,7 +52,7 @@ def iv_rank(
     ts_col: str = "ts",
     iv_col: str = "iv_close",
     keys: Sequence[str] = (),
-    lookback_days: int = 30,
+    lookback_days: int = DEFAULT.iv_lookback_days,
     sample_seconds: int = 900,
     min_periods: int | None = None,
 ) -> DataFrame:

@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from gapless_deribit_clickhouse_spark.features.config import DEFAULT_RISK_FREE_RATE
+
 INV_SQRT_2PI = "0.3989422804014327"  # 1/sqrt(2*pi)
 
 # φ(x): standard normal PDF.
@@ -57,7 +59,7 @@ def greeks_sql_exprs(
     iv: str = "iv",
     price: str = "price",
     option_type: str = "option_type",
-    rate: float = 0.0,
+    rate: float = DEFAULT_RISK_FREE_RATE,
 ) -> dict[str, str]:
     """SQL expression per greek, parameterized by input column names.
 
@@ -132,7 +134,7 @@ def with_greeks(
     iv_col: str = "iv",
     price_col: str = "price",
     option_type_col: str = "option_type",
-    rate: float = 0.0,
+    rate: float = DEFAULT_RISK_FREE_RATE,
     year_seconds: float = 365.25 * 24 * 3600.0,
 ) -> DataFrame:
     """Append delta/gamma/vega/theta/adjusted_delta columns — all

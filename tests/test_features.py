@@ -73,7 +73,7 @@ def test_term_structure_slope_bounds(multi_dte_trades):
 def test_dte_buckets_all_populated(multi_dte_trades):
     agg = dte_bucket_agg(multi_dte_trades).toPandas()
     assert set(agg.dte_bucket) == {
-        "dte_0_7", "dte_8_30", "dte_31_60", "dte_61_90", "dte_91_999"
+        "dte_0_7", "dte_8_14", "dte_15_30", "dte_31_60", "dte_61_90", "dte_91_999"
     }
     dist = dte_distribution(multi_dte_trades).toPandas()
     sums = dist.groupby("ts").volume_pct.sum()
@@ -81,9 +81,14 @@ def test_dte_buckets_all_populated(multi_dte_trades):
 
 
 def test_moneyness_bucket_boundaries(spark):
-    # reference test_greeks.py:189-209 boundary pins
-    cases = [(0.85, "deep_otm_put"), (0.92, "otm_put"), (0.95, "atm"),
-             (1.0, "atm"), (1.04, "atm"), (1.07, "otm_call"), (1.15, "deep_otm_call")]
+    # reference test_greeks.py:189-209 boundary pins; the exact
+    # threshold values pin the half-open intervals [0.95,1.05),
+    # [1.05,1.10), [1.10,inf) — a regression back to <= would flip
+    # the 1.05 and 1.10 rows.
+    cases = [(0.85, "deep_otm_put"), (0.90, "otm_put"), (0.92, "otm_put"),
+             (0.95, "atm"), (1.0, "atm"), (1.04, "atm"),
+             (1.05, "otm_call"), (1.07, "otm_call"),
+             (1.10, "deep_otm_call"), (1.15, "deep_otm_call")]
     df = spark.createDataFrame([(m,) for m, _ in cases], "m double")
     got = df.select(moneyness_bucket_col(F.col("m")).alias("b")).toPandas().b.tolist()
     assert got == [b for _, b in cases]
@@ -216,3 +221,30 @@ def test_greeks_invalid_inputs_null(spark):
     )
     g = with_greeks(df).toPandas()
     assert g.delta.isna().all() and g.gamma.isna().all()
+
+
+def test_feature_config_reference_parity():
+    """Pin the defaults to the reference's FeatureConfig
+    (reference features/config.py:63-94): 6-bucket DTE set incl. the
+    split (8,14)/(15,30), 90-day IV lookback, 2% risk-free rate."""
+    from gapless_deribit_clickhouse_spark.features.config import DEFAULT
+
+    assert DEFAULT.dte_buckets == (
+        (0, 7), (8, 14), (15, 30), (31, 60), (61, 90), (91, 999)
+    )
+    assert DEFAULT.iv_lookback_days == 90
+    assert DEFAULT.risk_free_rate == 0.02
+    assert DEFAULT.atm_width == 0.05
+    assert DEFAULT.min_volume == 10.0
+    assert DEFAULT.moneyness_thresholds == (0.90, 0.95, 1.05, 1.10)
+    assert DEFAULT.near_dte_max == 30 and DEFAULT.far_dte_min == 60
+    # greeks default rate follows the config constant
+    import inspect
+
+    from gapless_deribit_clickhouse_spark.functions.blackscholes import (
+        greeks_sql_exprs,
+        with_greeks,
+    )
+
+    assert inspect.signature(with_greeks).parameters["rate"].default == 0.02
+    assert inspect.signature(greeks_sql_exprs).parameters["rate"].default == 0.02
