@@ -7,13 +7,32 @@ clickhouse/features/spot_provider.py:43-95``; SURVEY §2.3 J7). This
 operator provides the exact event-time version as a first-class
 primitive.
 
-Scale design — the union-window formulation, not a range join:
-tag both inputs, union them, and run ``last(value, ignorenulls=True)``
-over ``partitionBy(keys).orderBy(ts, side)``. That is ONE shuffle of
-left+right on the join keys and a linear per-partition pass — a
-range-condition join would be O(|L|·|R|) per key without an interval
-index. Right-side rows at exactly the left timestamp win (ASOF ``<=``
-semantics) because the right tag sorts first on ties.
+Scale design — bucketed union-window, not a range join and not a
+single per-key window:
+
+1. Tag both inputs and assign a coarse time bucket
+   ``floor(epoch / bucket_seconds)``. The fill window partitions by
+   ``(keys, bucket)`` — parallelism is keys x buckets, so two symbols
+   over a year of daily buckets is ~730 independent tasks, not 2
+   (the failure mode of ``partitionBy(keys)`` alone).
+2. Within each bucket, ``last(value, ignorenulls=True)`` over
+   ``orderBy(ts, side)`` fills every left row from right rows at or
+   before it in the SAME bucket. One shuffle of left+right on
+   (keys, bucket), linear per partition.
+3. Cross-bucket carry: per (key, bucket) reduce the right side to its
+   last row (map-side-combinable ``max_by``), then a per-key window
+   over BUCKETS (tiny: one row per key per bucket, not per event)
+   computes each bucket's carry-in = last right row of any earlier
+   bucket. Carries are injected into the union as pseudo right rows
+   at the bucket start (sorting before any real row in the bucket),
+   so step 2's window resolves in-bucket vs carried values with no
+   join operator anywhere in the plan.
+
+A range-condition join would be O(|L|*|R|) per key without an
+interval index; the single-window form serializes per key. This form
+is one wide shuffle + two metadata-scale passes and stays correct for
+any bucket width (carry rows keep their ORIGINAL right timestamp, so
+``tolerance_seconds`` still measures true staleness).
 """
 
 from __future__ import annotations
@@ -31,16 +50,27 @@ def asof_join(
     value_cols: list[str] | None = None,
     tolerance_seconds: float | None = None,
     suffix: str = "_asof",
+    bucket_seconds: float = 86400.0,
 ) -> DataFrame:
     """Backward as-of join (pandas ``merge_asof`` / DuckDB ``ASOF JOIN``
     semantics): every left row, plus ``value_cols`` from the latest
     right row with ``right_ts <= left_ts`` on the same key (NULLs when
-    none exists or it is older than ``tolerance_seconds``)."""
+    none exists or it is older than ``tolerance_seconds``).
+
+    ``bucket_seconds`` sets the parallelism grain: the heavy window
+    partitions by (keys, floor(ts/bucket_seconds)). Any width is
+    correct; pick one that yields partitions fitting executor memory
+    (default: daily).
+    """
     if value_cols is None:
         value_cols = [
             c for c in right.columns if c not in on and c != right_ts
         ]
     out_names = [f"{c}{suffix}" for c in value_cols]
+    step = float(bucket_seconds)
+
+    def bucket_of(ts_col: str):
+        return F.floor(F.col(ts_col).cast("double") / step).cast("long")
 
     l_tag = left.select(
         *on,
@@ -49,7 +79,7 @@ def asof_join(
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"{c}{suffix}") for c in value_cols],
         F.lit(None).cast("double").alias("__rts"),
         F.struct(*[F.col(c) for c in left.columns]).alias("__row"),
-    )
+    ).withColumn("__bucket", bucket_of("__ts"))
     r_tag = right.select(
         *on,
         F.col(right_ts).alias("__ts"),
@@ -57,18 +87,69 @@ def asof_join(
         *[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
         F.col(right_ts).cast("double").alias("__rts"),
         F.lit(None).cast(l_tag.schema["__row"].dataType).alias("__row"),
+    ).withColumn("__bucket", bucket_of("__ts"))
+
+    # --- cross-bucket carry (metadata-scale) ---
+    # Last right row per (key, bucket): partial-aggregates map-side,
+    # shuffles one row per (key, bucket) per map task.
+    payload = F.struct(
+        F.col("__rts").alias("__rts"),
+        *[F.col(n).alias(n) for n in out_names],
     )
-    w = (
+    rb = (
+        r_tag.groupBy(*on, "__bucket")
+        .agg(F.max_by(payload, F.col("__rts")).alias("__p"))
+        .withColumn("__flag", F.lit(1))
+    )
+    # Bucket spine: every (key, bucket) the LEFT touches needs a
+    # carry-in, including buckets with no right rows at all.
+    spine = (
+        l_tag.select(*on, "__bucket")
+        .distinct()
+        .withColumn("__p", F.lit(None).cast(rb.schema["__p"].dataType))
+        .withColumn("__flag", F.lit(0))
+    )
+    # Per-key running last over buckets, frame excluding the current
+    # row: a spine row of bucket b sees payload rows of buckets < b
+    # (same-bucket payload sorts AFTER it via __flag). Row count here
+    # is #distinct (key, bucket) — the "tiny second pass".
+    wk = (
         Window.partitionBy(*on)
+        .orderBy(F.col("__bucket"), F.col("__flag"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = (
+        spine.unionByName(rb)
+        .withColumn("__carry", F.last("__p", ignorenulls=True).over(wk))
+        .filter((F.col("__flag") == 0) & F.col("__carry").isNotNull())
+    )
+    # Pseudo right row at the bucket start (sorts before every real
+    # row of the bucket: ts = bucket floor, side = -1). Keeps the
+    # ORIGINAL right timestamp in __rts for tolerance checks.
+    pseudo = carry.select(
+        *on,
+        (F.col("__bucket").cast("double") * step).cast("timestamp").alias("__ts"),
+        F.lit(-1).alias("__side"),
+        *[F.col("__carry").getField(n).alias(n) for n in out_names],
+        F.col("__carry").getField("__rts").alias("__rts"),
+        F.lit(None).cast(l_tag.schema["__row"].dataType).alias("__row"),
+        F.col("__bucket"),
+    )
+
+    # --- in-bucket fill (the one wide shuffle) ---
+    w = (
+        Window.partitionBy(*on, "__bucket")
         .orderBy(F.col("__ts"), F.col("__side"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = l_tag.unionByName(r_tag).select(
-        "__side",
-        "__row",
-        F.col("__ts"),
-        *[F.last(f"{c}{suffix}", ignorenulls=True).over(w).alias(f"{c}{suffix}") for c in value_cols],
-        F.last("__rts", ignorenulls=True).over(w).alias("__rts_f"),
+    filled = (
+        l_tag.unionByName(r_tag).unionByName(pseudo).select(
+            "__side",
+            "__row",
+            F.col("__ts"),
+            *[F.last(n, ignorenulls=True).over(w).alias(n) for n in out_names],
+            F.last("__rts", ignorenulls=True).over(w).alias("__rts_f"),
+        )
     )
     matched = filled.filter(F.col("__side") == 1)
     if tolerance_seconds is not None:

@@ -60,12 +60,47 @@ def test_asof_tolerance_nulls_out_stale(spark, spot_pdf):
 
 
 def test_asof_single_shuffle_plan(spark, spot_pdf):
-    """The operator is one exchange on the keys + a window — never a
-    range join (PLANS.md scale argument)."""
+    """The operator is exchanges + windows — never a range join
+    (PLANS.md scale argument). The bucketed carry pass is also
+    join-free (pseudo-rows injected via union)."""
     _, _, left, right = _frames(spark, spot_pdf)
     df = asof_join(left, right, on=["symbol"], value_cols=["close"])
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert "Join" not in plan  # union+window, no join operator at all
+
+
+def test_asof_bucketed_parallelism(spark, spot_pdf):
+    """Low key cardinality must NOT collapse the heavy window to
+    #keys partitions: with hourly buckets a 2-symbol input spreads
+    across >2 non-empty partitions (VERDICT r2 'What's wrong' #2)."""
+    _, _, left, right = _frames(spark, spot_pdf)
+    out = asof_join(
+        left, right, on=["symbol"], value_cols=["close"],
+        bucket_seconds=600.0,
+    )
+    # the heavy window partitions by (key, bucket), not key alone
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "__bucket" in plan
+    # AQE coalesces this tiny input to 1 partition; turn coalescing
+    # off to observe the real shuffle distribution
+    key = "spark.sql.adaptive.coalescePartitions.enabled"
+    old = spark.conf.get(key, "true")
+    try:
+        spark.conf.set(key, "false")
+        pids = {
+            r.p for r in out.withColumn("p", F.spark_partition_id()).collect()
+        }
+    finally:
+        spark.conf.set(key, old)
+    assert len(pids) > 2
+    # bucketing must not change results vs the wide-bucket run
+    a = out.orderBy("trade_id").toPandas()["close_asof"]
+    b = (
+        asof_join(left, right, on=["symbol"], value_cols=["close"],
+                  bucket_seconds=7 * 86400.0)
+        .orderBy("trade_id").toPandas()["close_asof"]
+    )
+    assert list(a) == list(b)
 
 
 def test_asof_no_right_match_is_null(spark, spot_pdf):
