@@ -208,12 +208,52 @@ SELECT query_id, vec_id, rank, cosine_sim FROM r WHERE rank <= 10
 """
 
 
-# --- embedding near-dup pairs (coarse-cell candidates) ---
+# --- embedding near-dup pairs (banded sign-LSH candidates) ---
 def emb_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(_emb(spark, sf_dir), threshold=0.35)
 
 
-_CELL = " + ".join(f"(CASE WHEN embedding[{d + 1}] > 0 THEN {2 ** d} ELSE 0 END)" for d in range(4))
+def _lsh_band_ctes(band_bits: int, dim: int = 64) -> str:
+    """CTE fragment replicating pipelines/embeddings.band_hashes in
+    DuckDB: same seeded projection matrix (literals round-trip
+    exactly through repr), same sign rule, same band packing."""
+    from gapless_deribit_clickhouse_spark.pipelines.embeddings import (
+        DEFAULT_N_BITS,
+        random_projections,
+    )
+
+    proj = random_projections(dim, DEFAULT_N_BITS)
+    values = ",\n".join(
+        f"({i}, [{', '.join(repr(w) for w in row)}]::DOUBLE[])"
+        for i, row in enumerate(proj)
+    )
+    r = band_bits
+    return f"""proj AS (SELECT * FROM (VALUES {values}) AS t(bit, w)),
+bits AS (
+  SELECT e.vec_id, p.bit,
+         CASE WHEN list_sum(list_transform(range(1, {dim} + 1),
+              d -> CAST(e.embedding[d] AS DOUBLE) * p.w[d])) > 0 THEN 1 ELSE 0 END AS bv
+  FROM embeddings e CROSS JOIN proj p),
+bands AS (
+  SELECT vec_id, CAST(bit // {r} AS INTEGER) AS band,
+         CAST(sum(bv * CAST(power(2, bit % {r}) AS INTEGER)) AS INTEGER) AS h
+  FROM bits GROUP BY 1, 2)"""
+
+
+def _lsh_ctes_topk() -> str:
+    from gapless_deribit_clickhouse_spark.pipelines.embeddings import DEFAULT_BAND_BITS
+
+    return _lsh_band_ctes(DEFAULT_BAND_BITS)
+
+
+def _lsh_ctes_near_dup() -> str:
+    from gapless_deribit_clickhouse_spark.pipelines.embeddings import NEAR_DUP_BAND_BITS
+
+    return _lsh_band_ctes(NEAR_DUP_BAND_BITS)
+
+
+_LSH_CTES = _lsh_ctes_near_dup()
+_LSH_CTES_TOPK = _lsh_ctes_topk()
 
 _COS_XY = (
     "list_sum(list_transform(range(1, len(x.embedding) + 1), i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)))"
@@ -222,9 +262,15 @@ _COS_XY = (
 )
 
 EMB_NEAR_DUP_SQL = f"""
-WITH c AS (SELECT vec_id AS id, embedding, {_CELL} AS cell FROM embeddings)
-SELECT x.id AS id_a, y.id AS id_b, {_COS_XY} AS cosine_sim
-FROM c x JOIN c y ON x.cell = y.cell AND x.id < y.id
+WITH {_LSH_CTES},
+cand AS (
+  SELECT DISTINCT bx.vec_id AS id_a, bb.vec_id AS id_b
+  FROM bands bx JOIN bands bb
+    ON bx.band = bb.band AND bx.h = bb.h AND bx.vec_id < bb.vec_id)
+SELECT cand.id_a, cand.id_b, {_COS_XY} AS cosine_sim
+FROM cand
+JOIN embeddings x ON cand.id_a = x.vec_id
+JOIN embeddings y ON cand.id_b = y.vec_id
 WHERE {_COS_XY} >= 0.35
 """
 
@@ -239,12 +285,17 @@ def ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 IVF_TOPK_SQL = f"""
-WITH q AS (SELECT vec_id AS query_id, embedding AS qv, {_CELL} AS cell
-           FROM embeddings WHERE vec_id < 5),
-c AS (SELECT vec_id, embedding, {_CELL} AS cell FROM embeddings),
+WITH {_LSH_CTES_TOPK},
+cand AS (
+  SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id
+  FROM bands cb JOIN bands qb ON cb.band = qb.band AND cb.h = qb.h
+  WHERE qb.vec_id < 5),
+q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
 scored AS (
-  SELECT q.query_id, e.vec_id, {_COS} AS cosine_sim
-  FROM c e JOIN q ON e.cell = q.cell),
+  SELECT cand.query_id, cand.vec_id, {_COS} AS cosine_sim
+  FROM cand
+  JOIN embeddings e ON cand.vec_id = e.vec_id
+  JOIN q ON cand.query_id = q.query_id),
 r AS (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id) AS rank
   FROM scored)
@@ -417,11 +468,16 @@ def dup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (UNION dedups rows, so the walk reaches a fixpoint), label = min
 # reachable id.
 DUP_CLUSTERS_SQL = f"""
-WITH RECURSIVE c AS (
-  SELECT vec_id AS id, embedding, {_CELL} AS cell FROM embeddings),
+WITH RECURSIVE {_LSH_CTES},
+cand AS (
+  SELECT DISTINCT bx.vec_id AS id_a, bb.vec_id AS id_b
+  FROM bands bx JOIN bands bb
+    ON bx.band = bb.band AND bx.h = bb.h AND bx.vec_id < bb.vec_id),
 pairs AS (
-  SELECT x.id AS id_a, y.id AS id_b
-  FROM c x JOIN c y ON x.cell = y.cell AND x.id < y.id
+  SELECT cand.id_a, cand.id_b
+  FROM cand
+  JOIN embeddings x ON cand.id_a = x.vec_id
+  JOIN embeddings y ON cand.id_b = y.vec_id
   WHERE {_COS_XY} >= 0.35),
 edges AS (
   SELECT id_a AS u, id_b AS v FROM pairs

@@ -3,10 +3,14 @@ bucketed ANN, plus embedding near-duplicate detection.
 
 Scale design: the query side is SMALL (a handful to thousands of
 probes) — broadcast it; the corpus side never shuffles for brute
-force. The IVF variant assigns corpus vectors to coarse cells
-(deterministic hyperplane-sign hash — data-independent, no k-means
-fit needed for reproducibility) so a probe only scans matching cells:
-the shuffle is keyed by cell, the standard inverted-file shape.
+force. The ANN tier uses seeded random-signed-projection LSH
+(Charikar SRP): ``n_bits`` sign bits split into ``n_bits/band_bits``
+bands; candidates share >= 1 (band, hash) key. Data-independent and
+seeded, so every engine regenerates identical buckets — no trained
+centroids to ship. Per-band buckets number 2**band_bits, keeping the
+bucket self-join bounded as the corpus grows; query-directed
+multi-probe (flip lowest-|margin| bits) buys recall on the tiny query
+side without touching the corpus index.
 
 Dot products use ``F.zip_with`` + ``aggregate`` (JVM-side, no Python)
 — a vectorized Pandas-UDF path is provided for wide batches where
@@ -85,14 +89,79 @@ def cosine_topk(
     )
 
 
-def hyperplane_cell(vec: Column, dims: tuple[int, ...] = (0, 1, 2, 3)) -> Column:
-    """Deterministic coarse cell id: sign bits of the listed
-    coordinates (a data-independent LSH — reproducible everywhere,
-    no trained centroids)."""
-    cell = F.lit(0)
-    for i, d in enumerate(dims):
-        cell = cell + F.when(vec[d] > 0, F.lit(2**i)).otherwise(F.lit(0))
-    return cell
+DEFAULT_N_BITS = 24
+# top-k search wants many small bands (OR-amplified recall for
+# moderate-similarity neighbors); near-dup detection wants fewer wide
+# bands (selectivity — a 0.95-cosine pair still matches a 6-bit band
+# with p~0.53 per band, ~95% over 4 bands, while random pairs collide
+# at only 2^-6 per band)
+DEFAULT_BAND_BITS = 4
+NEAR_DUP_BAND_BITS = 6
+DEFAULT_LSH_SEED = 42
+
+
+def random_projections(
+    dim: int, n_bits: int = DEFAULT_N_BITS, seed: int = DEFAULT_LSH_SEED
+) -> list[list[float]]:
+    """Seeded random Gaussian hyperplanes for sign-LSH (SRP: Charikar,
+    STOC'02). Data-independent and reproducible: any executor, any
+    round, any engine regenerates the identical matrix from (dim,
+    n_bits, seed) — no trained centroids to ship."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_bits, dim)).tolist()
+
+
+def _proj_dot(vec: Column, weights: list[float]) -> Column:
+    """JVM-side dot of a vector column against one literal hyperplane
+    (left fold, same evaluation order as the DuckDB oracle's
+    list_sum(list_transform(...)))."""
+    w = F.array(*[F.lit(float(x)) for x in weights])
+    return F.aggregate(
+        F.zip_with(vec, w, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def band_hashes(
+    vec: Column, proj: list[list[float]], band_bits: int = DEFAULT_BAND_BITS
+) -> Column:
+    """``array<int>`` of per-band bucket hashes: bit i of band j is the
+    sign of hyperplane ``j*band_bits+i``; a band packs ``band_bits``
+    signs into one int. Two vectors are LSH candidates iff they share
+    at least one (band, hash) key — the standard banded OR-construction
+    over sign bits, so bucket count per band is 2**band_bits and the
+    per-bucket self-join stays bounded at scale (vs. a single coarse
+    cell whose population grows linearly with the corpus)."""
+    bits = [
+        F.when(_proj_dot(vec, row) > 0, F.lit(1)).otherwise(F.lit(0)) for row in proj
+    ]
+    n_bands = len(proj) // band_bits
+    hashes = []
+    for j in range(n_bands):
+        h = F.lit(0)
+        for i in range(band_bits):
+            h = h + bits[j * band_bits + i] * F.lit(2**i)
+        hashes.append(h)
+    return F.array(*hashes)
+
+
+def lsh_band_table(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    proj: list[list[float]],
+    band_bits: int = DEFAULT_BAND_BITS,
+) -> DataFrame:
+    """(id, band, h) inverted-file rows — one small-int row per band
+    per vector. Vectors do NOT ride through this table: the band
+    shuffle moves 3 ints per row, and candidate pairs fetch vectors
+    afterwards via an id-keyed join."""
+    cv = F.col(vec_col).cast("array<double>")
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(band_hashes(cv, proj, band_bits)).alias("band", "h"),
+    )
 
 
 def ivf_topk(
@@ -103,31 +172,50 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
-    dims: tuple[int, ...] = (0, 1, 2, 3),
+    n_bits: int = DEFAULT_N_BITS,
+    band_bits: int = DEFAULT_BAND_BITS,
+    seed: int = DEFAULT_LSH_SEED,
+    multiprobe: int = 0,
 ) -> DataFrame:
-    """IVF-style approximate top-k: both sides keyed by the coarse
-    cell; a probe only scans its own cell (nprobe=1). Recall < 1 by
-    construction; pin with a recall test against ``cosine_topk``."""
+    """LSH-bucketed approximate top-k: candidates are corpus vectors
+    sharing >= 1 (band, hash) key with the query; exact cosine rerank
+    picks top-k among candidates.
+
+    ``multiprobe`` adds query-directed probes (Lv et al., VLDB'07):
+    per band, also probe the hashes obtained by flipping each of the
+    ``multiprobe`` lowest-|margin| sign bits — the bits most likely to
+    differ for a true neighbor. Raises recall without touching the
+    corpus index; probes multiply only the (tiny, broadcast) query
+    side. Recall is pinned vs ``cosine_topk`` in
+    tests/test_pipelines.py.
+    """
+    dim = _vec_dim(corpus, vec_col)
+    proj = random_projections(dim, n_bits, seed)
     cv = F.col(vec_col).cast("array<double>")
-    c = corpus.select(
-        id_col,
-        cv.alias("__v"),
-        l2_norm(cv).alias("__n"),
-        hyperplane_cell(F.col(vec_col), dims).alias("cell"),
-    )
+    c = corpus.select(id_col, cv.alias("__v"), l2_norm(cv).alias("__n"))
+    corpus_bands = lsh_band_table(corpus, id_col, vec_col, proj, band_bits)
+
     qv = F.col(query_vec_col).cast("array<double>")
-    q = queries.select(
-        query_id_col,
-        qv.alias("__qv"),
-        l2_norm(qv).alias("__qn"),
-        hyperplane_cell(F.col(query_vec_col), dims).alias("cell"),
+    q = queries.select(query_id_col, qv.alias("__qv"), l2_norm(qv).alias("__qn"))
+    q_probes = _query_probe_table(
+        queries, query_id_col, query_vec_col, proj, band_bits, multiprobe
     )
-    scored = c.join(F.broadcast(q), on="cell").select(
-        F.col(query_id_col),
-        F.col(id_col),
-        (dot(F.col("__v"), F.col("__qv")) / (F.col("__n") * F.col("__qn"))).alias(
-            "cosine_sim"
-        ),
+
+    cand = (
+        corpus_bands.join(F.broadcast(q_probes), on=["band", "h"])
+        .select(F.col(query_id_col), F.col("id").alias(id_col))
+        .distinct()
+    )
+    scored = (
+        cand.join(c, on=id_col)
+        .join(F.broadcast(q), on=query_id_col)
+        .select(
+            F.col(query_id_col),
+            F.col(id_col),
+            (dot(F.col("__v"), F.col("__qv")) / (F.col("__n") * F.col("__qn"))).alias(
+                "cosine_sim"
+            ),
+        )
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine_sim").desc(), F.col(id_col)
@@ -139,31 +227,101 @@ def ivf_topk(
     )
 
 
+def _vec_dim(df: DataFrame, vec_col: str) -> int:
+    """Vector width from one row (driver-side, metadata-scale)."""
+    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    if row is None or row["d"] is None:
+        raise ValueError(f"cannot infer dimension of empty column {vec_col!r}")
+    return int(row["d"])
+
+
+def _query_probe_table(
+    queries: DataFrame,
+    query_id_col: str,
+    query_vec_col: str,
+    proj: list[list[float]],
+    band_bits: int,
+    multiprobe: int,
+) -> DataFrame:
+    """(query_id, band, h) probe rows: each band's own hash plus, for
+    m in 1..multiprobe, the hash with the m-th smallest-|margin| bit
+    flipped (single-bit flips, query-directed). All JVM-side: margins
+    sort via sort_array over (|dot|, bit) structs."""
+    qv = F.col(query_vec_col).cast("array<double>")
+    dots = [_proj_dot(qv, row) for row in proj]
+    n_bands = len(proj) // band_bits
+    probe_structs = []
+    for j in range(n_bands):
+        base = F.lit(0)
+        for i in range(band_bits):
+            base = base + F.when(dots[j * band_bits + i] > 0, F.lit(2**i)).otherwise(
+                F.lit(0)
+            )
+        probe_structs.append(F.struct(F.lit(j).alias("band"), base.alias("h")))
+        if multiprobe > 0:
+            margins = F.sort_array(
+                F.array(
+                    *[
+                        F.struct(
+                            F.abs(dots[j * band_bits + i]).alias("m"),
+                            F.lit(i).alias("i"),
+                        )
+                        for i in range(band_bits)
+                    ]
+                )
+            )
+            for m in range(min(multiprobe, band_bits)):
+                # 2**bit_index as a Column (shiftleft needs a literal);
+                # exact for band_bits <= 30
+                flipped = base.bitwiseXOR(
+                    F.pow(F.lit(2.0), margins[m]["i"]).cast("int")
+                )
+                probe_structs.append(
+                    F.struct(F.lit(j).alias("band"), flipped.alias("h"))
+                )
+    return queries.select(
+        query_id_col, F.explode(F.array(*probe_structs)).alias("p")
+    ).select(query_id_col, F.col("p.band").alias("band"), F.col("p.h").alias("h"))
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    dims: tuple[int, ...] = (0, 1, 2, 3),
+    n_bits: int = DEFAULT_N_BITS,
+    band_bits: int = NEAR_DUP_BAND_BITS,
+    seed: int = DEFAULT_LSH_SEED,
 ) -> DataFrame:
-    """Near-duplicate vector pairs (cosine >= threshold), candidate-
-    generated by coarse-cell self-join (near-identical vectors share
-    sign bits with overwhelming probability)."""
+    """Near-duplicate vector pairs (cosine >= threshold). Candidates =
+    pairs sharing >= 1 of the ``n_bits/band_bits`` sign-LSH bands;
+    exact cosine verification kills false positives. The band
+    self-join is an equi-join on (band, h) over small-int rows —
+    per-bucket population is corpus/2**band_bits per band, so the
+    quadratic blowup of a single coarse cell never materializes."""
+    dim = _vec_dim(df, vec_col)
+    proj = random_projections(dim, n_bits, seed)
     cv = F.col(vec_col).cast("array<double>")
     c = df.select(
         F.col(id_col).alias("id"),
         cv.alias("v"),
         l2_norm(cv).alias("n"),  # once per vector, not per pair
-        hyperplane_cell(F.col(vec_col), dims).alias("cell"),
+    )
+    bands = lsh_band_table(df, id_col, vec_col, proj, band_bits)
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), on=["band", "h"])
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
     )
     pairs = (
-        c.alias("x")
-        .join(c.alias("y"), on="cell")
-        .filter(F.col("x.id") < F.col("y.id"))
+        cand.join(c.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na")), on="id_a")
+        .join(c.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb")), on="id_b")
         .select(
-            F.col("x.id").alias("id_a"),
-            F.col("y.id").alias("id_b"),
-            (dot(F.col("x.v"), F.col("y.v")) / (F.col("x.n") * F.col("y.n"))).alias(
+            "id_a",
+            "id_b",
+            (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias(
                 "cosine_sim"
             ),
         )

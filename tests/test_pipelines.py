@@ -53,18 +53,29 @@ def test_minhash_lsh_recall_vs_exact(docs):
     assert lsh <= exact  # verification step kills false positives
 
 
+def _ivf_recall(emb, queries, multiprobe):
+    exact = cosine_topk(emb, queries, k=5).toPandas()
+    approx = ivf_topk(emb, queries, k=5, multiprobe=multiprobe).toPandas()
+    e = exact.groupby("query_id").vec_id.apply(set)
+    a = approx.groupby("query_id").vec_id.apply(set)
+    return np.mean([len(e[q] & a.get(q, set())) / len(e[q]) for q in e.index]), approx
+
+
 def test_ivf_recall_vs_brute_force(emb):
+    """COVERAGE promise: banded SRP-LSH with query-directed multi-probe
+    recovers >= 0.9 of the brute-force top-k. The test corpus is
+    near-uniform (top-10 cosine ~0.25-0.4, barely above random), the
+    hardest case for LSH — real clustered embeddings hit the same
+    recall with fewer probes."""
     queries = emb.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    exact = cosine_topk(emb, queries, k=5).toPandas()
-    approx = ivf_topk(emb, queries, k=5).toPandas()
-    e = exact.groupby("query_id").vec_id.apply(set)
-    a = approx.groupby("query_id").vec_id.apply(set)
-    recalls = [len(e[q] & a.get(q, set())) / len(e[q]) for q in e.index]
-    # nprobe=1 over 16 sign-cells: recall well above random (5/500)
-    assert np.mean(recalls) >= 0.2
-    # rank 1 is the vector itself (cosine=1), always in its own cell
+    base_recall, _ = _ivf_recall(emb, queries, multiprobe=0)
+    probed_recall, approx = _ivf_recall(emb, queries, multiprobe=2)
+    assert probed_recall >= 0.9
+    # multi-probe only ever adds candidates
+    assert probed_recall >= base_recall
+    # rank 1 is the vector itself (cosine=1), always in its own buckets
     self_hits = approx[approx["rank"] == 1]
     assert (self_hits.query_id == self_hits.vec_id).all()
 
