@@ -31,6 +31,9 @@ _DEMOTED = (
     "pcr_aggregate",  # sibling: pcr_by_tenor (same conditional sums)
     "resample_by_dte_bucket",  # sibling: ohlc_15m + dte_bucket_agg
     "greeks_by_bucket",  # sibling: greeks + portfolio_greeks
+    "token_topk",  # sibling: tfidf_top_terms (same explode+group+top-k)
+    "dte_distribution",  # siblings: dte_bucket_agg (same single-pass
+    # bucket agg) + contract_chain_select (same window-share op)
 )
 ALL_BINDINGS = [b for b in ALL_BINDINGS if b[0] not in _DEMOTED] + [
     b for b in ALL_BINDINGS if b[0] in _DEMOTED

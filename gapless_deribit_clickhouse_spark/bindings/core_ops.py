@@ -220,9 +220,98 @@ LIMIT 20
 """
 
 
+# --- join + group + top-k (TPC-H Q3 shape) ---
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic sales-funnel shape: small dimension filter broadcasts
+    (customer segment), the fact-fact join shuffles on the order key,
+    aggregation is partial below the shuffle, and the top-10 compiles
+    to TakeOrderedAndProject — no global sort ever materializes.
+    (Testdata has no o_shippriority; o_orderpriority stands in.)"""
+    cutoff = "1997-06-01"
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit(cutoff))
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit(cutoff)
+    )
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+Q3_SQL = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       sum(l_extendedprice * (1 - l_discount)) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-06-01'
+  AND l_shipdate  > TIMESTAMP '1997-06-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+# --- large-agg-then-filter semi-join (TPC-H Q18 shape) ---
+def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-then-filter as a semi-join: the HAVING aggregation
+    over lineitem shrinks to a handful of qualifying orders, so the
+    'IN (subquery)' becomes a broadcast join against the agg output —
+    the fact table is scanned once and never self-joined. Threshold
+    250 ~ p99 of per-order quantity in the testdata (TPC-H uses 300
+    at its own scale)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            "sum_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+Q18_SQL = """
+WITH big AS (
+  SELECT l_orderkey, sum(l_quantity) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+FROM orders
+JOIN big      ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
 BINDINGS = [
     ("scan_topn", scan_topn, SCAN_TOPN_SQL),
     ("q10_returned_revenue", q10_returned_revenue, Q10_SQL),
+    ("q3_shipping_priority", q3_shipping_priority, Q3_SQL),
+    ("q18_large_volume_customer", q18_large_volume_customer, Q18_SQL),
     ("dedup_latest", dedup_latest_events, DEDUP_LATEST_SQL),
     ("ohlc_15m", ohlc_15m, OHLC_15M_SQL),
     ("top1_min_value", top1_min_value, TOP1_MIN_VALUE_SQL),

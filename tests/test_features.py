@@ -144,6 +144,40 @@ def test_rolling_impls_agree(spark, regular_iv_series):
     assert np.allclose(a.pct_rank, b.pct_rank, equal_nan=True)
 
 
+def test_minmax_rank_bucketed_parallelism(spark, regular_iv_series):
+    """VERDICT r2 #8: the min-max rank window partitions by (key,
+    bucket), not key alone — a 1-key input must spread across >2
+    partitions, with results identical to a one-bucket run."""
+    from gapless_deribit_clickhouse_spark.operators.rolling import rolling_minmax_rank
+
+    df = spark.createDataFrame(regular_iv_series).withColumn("k", F.lit("x"))
+    out = rolling_minmax_rank(df, "ts", "iv_close", ["k"], 3600, 4)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "__bucket" in plan
+    key = "spark.sql.adaptive.coalescePartitions.enabled"
+    old = spark.conf.get(key, "true")
+    try:
+        spark.conf.set(key, "false")
+        pids = {r.p for r in out.withColumn("p", F.spark_partition_id()).collect()}
+    finally:
+        spark.conf.set(key, old)
+    assert len(pids) > 2
+    # bucket width must not change results (single wide bucket == old
+    # per-key window)
+    a = out.toPandas().sort_values("ts").reset_index(drop=True)
+    b = (
+        rolling_minmax_rank(
+            df, "ts", "iv_close", ["k"], 3600, 4, bucket_seconds=365 * 86400
+        )
+        .toPandas()
+        .sort_values("ts")
+        .reset_index(drop=True)
+    )
+    assert np.allclose(a.minmax_rank, b.minmax_rank, equal_nan=True)
+    # carried copies must not leak into the output
+    assert len(a) == df.count()
+
+
 def test_contract_selection_strategies(trades_df):
     all_n = select_contracts(trades_df, "all").count()
     fm = select_contracts(trades_df, "front_month")
