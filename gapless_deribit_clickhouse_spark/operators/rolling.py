@@ -45,16 +45,51 @@ def rolling_percentile_rank(
     lookback_seconds: int,
     min_periods: int = 1,
     out_col: str = "pct_rank",
+    bucket_seconds: float | None = None,
 ) -> DataFrame:
     """Trailing event-time percentile: % of values in
     ``[ts − lookback, ts]`` (inclusive) that are <= the current value,
-    ×100; null when fewer than ``min_periods`` observations."""
+    ×100; null when fewer than ``min_periods`` observations.
+
+    ``bucket_seconds`` (>= lookback) makes the kernel bucket-parallel:
+    groups are (key, floor(ts/bucket)) with every row union-copied into
+    the next bucket as a window DONOR — a trailing frame spans at most
+    two adjacent buckets, so each group holds every frame member for
+    its own rows. The kernel ranks only own rows; donor copies are
+    dropped from the output. Default (None) keeps one group per key —
+    right for resampled-bar series (a 6-year 15-min series is one
+    in-task array); pass a bucket for raw-trade-grain inputs where a
+    single key's history exceeds one task."""
     # copy the fields: StructType.add mutates in place, and we must not
     # modify the input DataFrame's schema object
     schema = T.StructType(list(df.schema.fields) + [T.StructField(out_col, T.DoubleType())])
     lb = float(lookback_seconds)
     mp = int(min_periods)
     ts_name, v_name = ts_col, value_col
+
+    bucketed = bucket_seconds is not None
+    if bucketed:
+        width = float(bucket_seconds)
+        if width < lb:
+            raise ValueError(
+                f"bucket_seconds ({width}) must be >= lookback_seconds ({lb}): "
+                "a trailing frame may only span two adjacent buckets"
+            )
+        epoch = F.col(ts_col).cast("double")
+        bucket = F.floor(epoch / F.lit(width))
+        own = df.withColumn("__bucket", bucket).withColumn("__carry", F.lit(False))
+        carry = (
+            df.withColumn("__bucket", bucket + 1).withColumn("__carry", F.lit(True))
+        )
+        grouped = own.unionByName(carry)
+        group_cols = [*keys, "__bucket"]
+        kernel_schema = T.StructType(
+            list(grouped.schema.fields) + [T.StructField(out_col, T.DoubleType())]
+        )
+    else:
+        grouped = df
+        group_cols = list(keys)
+        kernel_schema = schema
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values([ts_name]).reset_index(drop=True)
@@ -63,14 +98,20 @@ def rolling_percentile_rank(
         n = len(pdf)
         out = np.full(n, np.nan)
         starts = np.searchsorted(ts, ts - lb, side="left")
-        for i in range(n):
+        own_rows = (
+            (~pdf["__carry"].to_numpy()).nonzero()[0] if bucketed else range(n)
+        )
+        for i in own_rows:
             w = v[starts[i] : i + 1]
             if len(w) >= mp:
                 out[i] = 100.0 * np.count_nonzero(w <= v[i]) / len(w)
         pdf[out_col] = out
         return pdf
 
-    return df.groupBy(*keys).applyInPandas(kernel, schema=schema)
+    ranked = grouped.groupBy(*group_cols).applyInPandas(kernel, schema=kernel_schema)
+    if bucketed:
+        ranked = ranked.filter(~F.col("__carry")).drop("__bucket", "__carry")
+    return ranked
 
 
 def rolling_percentile_rank_join(

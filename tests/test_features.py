@@ -144,6 +144,37 @@ def test_rolling_impls_agree(spark, regular_iv_series):
     assert np.allclose(a.pct_rank, b.pct_rank, equal_nan=True)
 
 
+def test_percentile_rank_bucketed_matches_unbucketed(spark, regular_iv_series):
+    """The bucket-parallel kernel (donor copies from the previous
+    bucket, ranks for own rows only) must reproduce the per-key kernel
+    exactly."""
+    from gapless_deribit_clickhouse_spark.operators.rolling import (
+        rolling_percentile_rank,
+    )
+
+    df = spark.createDataFrame(regular_iv_series).withColumn("k", F.lit("x"))
+    plain = (
+        rolling_percentile_rank(df, "ts", "iv_close", ["k"], 3600, 4)
+        .toPandas()
+        .sort_values("ts")
+        .reset_index(drop=True)
+    )
+    bucketed = (
+        rolling_percentile_rank(
+            df, "ts", "iv_close", ["k"], 3600, 4, bucket_seconds=3600
+        )
+        .toPandas()
+        .sort_values("ts")
+        .reset_index(drop=True)
+    )
+    assert len(bucketed) == len(plain)
+    assert np.allclose(plain.pct_rank, bucketed.pct_rank, equal_nan=True)
+    with pytest.raises(ValueError):
+        rolling_percentile_rank(
+            df, "ts", "iv_close", ["k"], 3600, 4, bucket_seconds=60
+        )
+
+
 def test_minmax_rank_bucketed_parallelism(spark, regular_iv_series):
     """VERDICT r2 #8: the min-max rank window partitions by (key,
     bucket), not key alone — a 1-key input must spread across >2
