@@ -152,11 +152,50 @@ def lsh_band_table(
     vec_col: str,
     proj: list[list[float]],
     band_bits: int = DEFAULT_BAND_BITS,
+    use_arrow: bool = True,
 ) -> DataFrame:
     """(id, band, h) inverted-file rows — one small-int row per band
     per vector. Vectors do NOT ride through this table: the band
     shuffle moves 3 ints per row, and candidate pairs fetch vectors
-    afterwards via an id-keyed join."""
+    afterwards via an id-keyed join.
+
+    ``use_arrow=True`` (default) computes signatures in one
+    ``mapInPandas`` stage: the whole Arrow batch hits BLAS as a single
+    (batch x dim) @ (dim x n_bits) matmul — the declared-crossing
+    pattern SURVEY §2.10 reserves for wide-vector math, ~2 orders of
+    magnitude over per-element lambda evaluation at 100 TB.
+    ``use_arrow=False`` keeps the pure-Column path whose left-fold
+    summation order matches the DuckDB oracle BIT-EXACTLY; the paths
+    can only disagree if some |projection| < ~1e-13 (measure-zero for
+    Gaussian hyperplanes — tests pin agreement on the testdata)."""
+    if use_arrow:
+        import numpy as np
+
+        n_bands = len(proj) // band_bits
+        w_matrix = np.asarray(proj, dtype="float64")
+        pow2 = (2 ** np.arange(band_bits)).astype("int64")
+        bc = df.sparkSession.sparkContext.broadcast((w_matrix, pow2, n_bands, band_bits))
+        id_type = df.schema[id_col].dataType.simpleString()
+
+        def sig(batches):
+            w_b, pow2_b, nb, bb = bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                mat = np.array(pdf[vec_col].tolist(), dtype="float64")
+                bits = (mat @ w_b.T > 0).astype("int64")
+                hashes = (bits.reshape(len(pdf), nb, bb) * pow2_b).sum(axis=2)
+                yield pd.DataFrame(
+                    {
+                        "id": np.repeat(pdf[id_col].to_numpy(), nb),
+                        "band": np.tile(np.arange(nb, dtype="int32"), len(pdf)),
+                        "h": hashes.reshape(-1).astype("int32"),
+                    }
+                )
+
+        return df.select(id_col, vec_col).mapInPandas(
+            sig, schema=f"id {id_type}, band int, h int"
+        )
     cv = F.col(vec_col).cast("array<double>")
     return df.select(
         F.col(id_col).alias("id"),

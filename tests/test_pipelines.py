@@ -80,6 +80,32 @@ def test_ivf_recall_vs_brute_force(emb):
     assert (self_hits.query_id == self_hits.vec_id).all()
 
 
+def test_lsh_band_table_arrow_matches_column(emb):
+    """The BLAS signature stage (mapInPandas) and the pure-Column
+    left-fold path must produce identical (id, band, h) rows — they
+    can only diverge if a |projection| lands within float summation
+    error of zero (measure-zero for Gaussian hyperplanes)."""
+    from gapless_deribit_clickhouse_spark.pipelines.embeddings import (
+        lsh_band_table,
+        random_projections,
+    )
+
+    proj = random_projections(64, 24)
+    for bb in (4, 6):
+        arrow = sorted(
+            map(tuple, lsh_band_table(emb, "vec_id", "embedding", proj, bb).collect())
+        )
+        column = sorted(
+            map(
+                tuple,
+                lsh_band_table(
+                    emb, "vec_id", "embedding", proj, bb, use_arrow=False
+                ).collect(),
+            )
+        )
+        assert arrow == column
+
+
 def test_pandas_topk_matches_jvm_topk(emb):
     queries = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
