@@ -80,6 +80,38 @@ def test_ivf_recall_vs_brute_force(emb):
     assert (self_hits.query_id == self_hits.vec_id).all()
 
 
+def test_embedding_near_dup_recovers_planted_dups(spark, emb):
+    """At the operator's design point (cosine >= 0.95): plant a noisy
+    copy of every 5th vector and require the banded 4x6-bit LSH to
+    recover >= 90% of the planted pairs (analytic recall ~0.95) with
+    zero false positives (exact-cosine verification)."""
+    from gapless_deribit_clickhouse_spark.pipelines.embeddings import (
+        embedding_near_dup_pairs,
+    )
+
+    rng = np.random.default_rng(99)
+    base = emb.orderBy("vec_id").toPandas()
+    planted = []
+    rows = []
+    for _, r in base.iterrows():
+        rows.append((int(r.vec_id), [float(x) for x in r.embedding]))
+        if r.vec_id % 5 == 0:
+            v = np.asarray(r.embedding, dtype="float64")
+            noisy = v + rng.standard_normal(len(v)) * 0.02 * np.linalg.norm(v) / np.sqrt(len(v))
+            cos = float(v @ noisy / (np.linalg.norm(v) * np.linalg.norm(noisy)))
+            assert cos >= 0.95, "planted copy must sit above the threshold"
+            dup_id = int(r.vec_id) + 100_000
+            rows.append((dup_id, [float(x) for x in noisy]))
+            planted.append((int(r.vec_id), dup_id))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    result = embedding_near_dup_pairs(df, threshold=0.95).collect()
+    # exact verification: nothing below the threshold survives
+    assert all(r.cosine_sim >= 0.95 for r in result)
+    got = {(r.id_a, r.id_b) for r in result}
+    hit = sum(1 for p in planted if p in got)
+    assert hit / len(planted) >= 0.9
+
+
 def test_lsh_band_table_arrow_matches_column(emb):
     """The BLAS signature stage (mapInPandas) and the pure-Column
     left-fold path must produce identical (id, band, h) rows — they
