@@ -235,7 +235,8 @@ def ivf_topk(
     corpus_bands = lsh_band_table(corpus, id_col, vec_col, proj, band_bits, use_arrow)
 
     qv = F.col(query_vec_col).cast("array<double>")
-    q_probes = _query_probe_table(
+    probe_fn = _query_probe_table_arrow if use_arrow else _query_probe_table
+    q_probes = probe_fn(
         queries, query_id_col, query_vec_col, proj, band_bits, multiprobe
     )
 
@@ -317,6 +318,60 @@ def _cosine_score_arrow(
             yield pd.DataFrame(out)
 
     return df.mapInPandas(score, schema=out_schema)
+
+
+def _query_probe_table_arrow(
+    queries: DataFrame,
+    query_id_col: str,
+    query_vec_col: str,
+    proj: list[list[float]],
+    band_bits: int,
+    multiprobe: int,
+) -> DataFrame:
+    """Arrow twin of ``_query_probe_table``: margins via one matmul per
+    batch, probe expansion in numpy. Pinned equal to the Column path by
+    test; preferred when building many probes (each Column probe adds
+    an expression tree, a fixed driver-side analysis cost)."""
+    import numpy as np
+
+    n_bands = len(proj) // band_bits
+    w_matrix = np.asarray(proj, dtype="float64")
+    m_probes = min(multiprobe, band_bits)
+    bc = queries.sparkSession.sparkContext.broadcast(
+        (w_matrix, n_bands, band_bits, m_probes)
+    )
+    qid_t = queries.schema[query_id_col].dataType.simpleString()
+
+    def probes(batches):
+        w_b, nb, bb, mp = bc.value
+        pow2 = 2 ** np.arange(bb)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.array(pdf[query_vec_col].tolist(), dtype="float64")
+            margins = mat @ w_b.T  # (n, n_bits)
+            bits = (margins > 0).astype("int64").reshape(len(pdf), nb, bb)
+            base = (bits * pow2).sum(axis=2)  # (n, nb)
+            out_ids, out_bands, out_h = [], [], []
+            ids = pdf[query_id_col].to_numpy()
+            for r in range(len(pdf)):
+                for j in range(nb):
+                    out_ids.append(ids[r])
+                    out_bands.append(j)
+                    out_h.append(base[r, j])
+                    if mp > 0:
+                        seg = np.abs(margins[r, j * bb : (j + 1) * bb])
+                        for i in np.argsort(seg, kind="stable")[:mp]:
+                            out_ids.append(ids[r])
+                            out_bands.append(j)
+                            out_h.append(int(base[r, j]) ^ (1 << int(i)))
+            yield pd.DataFrame(
+                {"qid": out_ids, "band": out_bands, "h": out_h}
+            )
+
+    return queries.select(query_id_col, query_vec_col).mapInPandas(
+        probes, schema=f"qid {qid_t}, band int, h int"
+    ).withColumnRenamed("qid", query_id_col)
 
 
 def _query_probe_table(

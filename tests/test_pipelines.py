@@ -138,6 +138,40 @@ def test_lsh_band_table_arrow_matches_column(emb):
         assert arrow == column
 
 
+def test_query_probe_table_arrow_matches_column(spark, emb):
+    """Arrow probe expansion == Column probe expansion (same base
+    hashes, same lowest-|margin| flips, same tie-break by bit index)."""
+    from gapless_deribit_clickhouse_spark.pipelines.embeddings import (
+        _query_probe_table,
+        _query_probe_table_arrow,
+        random_projections,
+    )
+
+    queries = emb.filter(F.col("vec_id") < 25).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    proj = random_projections(64, 24)
+    for mp in (0, 2):
+        a = sorted(
+            map(
+                tuple,
+                _query_probe_table_arrow(
+                    queries, "query_id", "query_vec", proj, 4, mp
+                ).collect(),
+            )
+        )
+        b = sorted(
+            map(
+                tuple,
+                _query_probe_table(
+                    queries, "query_id", "query_vec", proj, 4, mp
+                ).collect(),
+            )
+        )
+        assert a == b
+        assert len(a) == 25 * 6 * (1 + mp)
+
+
 def test_pandas_topk_matches_jvm_topk(emb):
     queries = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
