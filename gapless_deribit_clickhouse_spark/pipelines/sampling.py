@@ -45,6 +45,7 @@ def sample_n_per_group(
     n: int,
     key_col: str,
     salt: str = "",
+    splits: int = 32,
 ) -> DataFrame:
     """Deterministic fixed-size sample: the ``n`` rows with the
     smallest salted key hash per group — reproducible across runs,
@@ -52,18 +53,29 @@ def sample_n_per_group(
     inspection/eval-subset builder ("give me 100 docs per language,
     the same 100 every time").
 
-    Scale shape: one shuffle on ``group_col``; rank via row_number
-    over the hash order. For heavily skewed groups AQE splits the
-    oversized partitions; the hash order means no value-ordered index
-    is ever needed."""
+    Scale shape: a two-level tournament so parallelism never collapses
+    to group cardinality (2 groups over 100 TB must not mean 2 sort
+    tasks). Level 1 ranks within (group, key-hash split) — ``splits``
+    independent partitions per group, each sorting only its share;
+    level 2 re-ranks the surviving ``splits x n`` rows per group, a
+    metadata-scale window. Exact by construction: every global top-n
+    row is top-n within its split. Same (hash, key) order at both
+    levels keeps the winners identical to a single-window run."""
     from pyspark.sql import Window
 
     h = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
-    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(key_col).asc())
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
+    split = hash_bucket(F.col(key_col), salt + "|split") % splits
+    w1 = Window.partitionBy(group_col, "__split").orderBy(h.asc(), F.col(key_col).asc())
+    survivors = (
+        df.withColumn("__split", split)
+        .withColumn("__rn", F.row_number().over(w1))
         .filter(F.col("__rn") <= n)
-        .drop("__rn")
+    )
+    w2 = Window.partitionBy(group_col).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        survivors.withColumn("__rn2", F.row_number().over(w2))
+        .filter(F.col("__rn2") <= n)
+        .drop("__split", "__rn", "__rn2")
     )
 
 

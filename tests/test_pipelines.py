@@ -251,6 +251,12 @@ def test_sample_n_per_group_fixed_and_stable(docs):
         docs, group_col="lang", n=5, key_col="doc_id", salt="v2"
     ).toPandas()
     assert sorted(c.doc_id) != sorted(a.doc_id)
+    # the two-level tournament must select the identical rows a single
+    # per-group window would (exactness of the split pre-rank)
+    d = sample_n_per_group(
+        docs, group_col="lang", n=5, key_col="doc_id", splits=1
+    ).toPandas()
+    assert sorted(a.doc_id) == sorted(d.doc_id)
 
 
 def test_token_topk_vocab_head(docs):
