@@ -441,7 +441,15 @@ def embedding_near_dup_pairs(
     quadratic blowup of a single coarse cell never materializes.
     ``use_arrow`` selects BLAS-batched signature + verification stages
     (default) vs the pure-Column path whose fold order is bit-exact
-    with the DuckDB oracle."""
+    with the DuckDB oracle.
+
+    Sizing: random pairs collide in some band at ~(n_bits/band_bits) *
+    2**-band_bits — the candidate floor that exact verification must
+    absorb. Grow ``band_bits`` toward ~log2(corpus) as the corpus
+    grows (keeping enough bands for recall at your threshold: a
+    0.95-cosine pair matches one band with p ~ 0.9**band_bits); the
+    defaults target the 10^3-10^4 test corpus, e.g. 8x8 of 64 bits
+    suits 10^6+."""
     dim = _vec_dim(df, vec_col)
     proj = random_projections(dim, n_bits, seed)
     cv = F.col(vec_col).cast("array<double>")

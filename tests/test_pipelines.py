@@ -138,6 +138,25 @@ def test_lsh_band_table_arrow_matches_column(emb):
         assert arrow == column
 
 
+def test_lsh_pairs_invariant_to_partitioning(spark, emb):
+    """Shuffle-layout invariance: the near-dup pair set must not
+    depend on how the input happens to be partitioned (catches
+    accidental partition-local logic or nondeterministic dedup)."""
+    from gapless_deribit_clickhouse_spark.pipelines.embeddings import (
+        embedding_near_dup_pairs,
+    )
+
+    a = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_pairs(emb.repartition(17), threshold=0.35).collect()
+    }
+    b = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_pairs(emb.coalesce(1), threshold=0.35).collect()
+    }
+    assert a == b and len(a) > 0
+
+
 def test_query_probe_table_arrow_matches_column(spark, emb):
     """Arrow probe expansion == Column probe expansion (same base
     hashes, same lowest-|margin| flips, same tie-break by bit index)."""
