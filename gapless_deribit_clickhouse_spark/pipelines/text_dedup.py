@@ -284,10 +284,16 @@ def simhash64(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    base_hash: str = "md5",
 ) -> DataFrame:
     """60-bit SimHash over unigram tokens: for each bit, sum(+1/−1 by
-    token-hash bit) > 0. Pure column algebra: explode tokens, md5 ->
-    60-bit int, per-bit vote via groupBy sum — one shuffle."""
+    token-hash bit) > 0. Pure column algebra: explode tokens, hash ->
+    60-bit int, per-bit vote via groupBy sum — one shuffle.
+
+    ``base_hash``: ``md5`` (default) is bit-reproducible in the DuckDB
+    oracle; ``xxhash64`` is the scale path (codegen'd 64-bit hash, no
+    hex digest + parse — same tradeoff as the MinHash tier).
+    Signatures are NOT comparable across the two modes."""
     toks = ensure_parallelism(df).select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(F.split(normalized_text(F.col(text_col)), " "))).alias("tok"),
@@ -296,7 +302,13 @@ def simhash64(
     # reference the already-computed long instead of embedding their
     # own md5+conv subtree (aggregate expressions don't get
     # subexpression elimination -> it would re-run md5 per vote).
-    toks = toks.select("id", _md5_hash64(F.col("tok"), 0).alias("__h"))
+    if base_hash == "md5":
+        toks = toks.select("id", _md5_hash64(F.col("tok"), 0).alias("__h"))
+    elif base_hash == "xxhash64":
+        # two's-complement bits of a signed long are still uniform
+        toks = toks.select("id", F.xxhash64("tok").alias("__h"))
+    else:
+        raise ValueError(f"base_hash must be md5|xxhash64, got {base_hash!r}")
     h = F.col("__h")
     # Pack the 60 per-bit one-counts into 15 longs of 4x16-bit lanes:
     # aggregation state (and therefore partial-agg shuffle bytes) is
@@ -330,10 +342,11 @@ def simhash_near_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    base_hash: str = "md5",
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= k, found by bucketing
     on 15-bit chunks (pigeonhole over 4 chunks covers k <= 3)."""
-    sig = simhash64(df, text_col, id_col)
+    sig = simhash64(df, text_col, id_col, base_hash)
     chunks = F.array(*[
         F.shiftright(F.col("simhash"), c * 15).bitwiseAND(F.lit(0x7FFF)).alias(f"c{c}")
         for c in range(4)

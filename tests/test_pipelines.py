@@ -232,6 +232,36 @@ def test_frame_sample_plan(spark):
     assert (frames.frame_ts_ms % 500 == 0).all()
 
 
+def test_simhash_base_hash_modes_agree_on_exact_dups(docs):
+    """Docs with identical distinct-token sets hash identically under
+    EITHER signature mode, so those pairs must be hamming-0 in both
+    md5 (oracle-exact) and xxhash64 (scale path). (Full hamming-0 sets
+    may differ: unrelated docs can vote-collide, and collisions are
+    hash-family-dependent.)"""
+    from gapless_deribit_clickhouse_spark.pipelines.text_dedup import (
+        simhash_near_pairs,
+    )
+
+    pdf = docs.toPandas()
+    tokset = {
+        r.doc_id: frozenset(str(r.text).lower().split()) for _, r in pdf.iterrows()
+    }
+    ids = sorted(tokset)
+    same_tokens = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if tokset[a] == tokset[b]
+    }
+    assert same_tokens, "fixture should contain exact near-duplicates"
+    for mode in ("md5", "xxhash64"):
+        got = {
+            (r.id_a, r.id_b)
+            for r in simhash_near_pairs(docs, max_hamming=0, base_hash=mode).collect()
+        }
+        assert same_tokens <= got
+
+
 def test_hash_sample_deterministic_and_stratified(docs):
     from gapless_deribit_clickhouse_spark.pipelines.sampling import (
         hash_sample,
