@@ -230,6 +230,12 @@ def ivf_topk(
     tests/test_pipelines.py.
     """
     dim = _vec_dim(corpus, vec_col)
+    if dim is None:  # empty corpus -> empty result, not a failure
+        id_t = corpus.schema[id_col].dataType.simpleString()
+        qid_t = queries.schema[query_id_col].dataType.simpleString()
+        return corpus.sparkSession.createDataFrame(
+            [], f"{query_id_col} {qid_t}, {id_col} {id_t}, rank int, cosine_sim double"
+        )
     proj = random_projections(dim, n_bits, seed)
     cv = F.col(vec_col).cast("array<double>")
     corpus_bands = lsh_band_table(corpus, id_col, vec_col, proj, band_bits, use_arrow)
@@ -285,11 +291,14 @@ def ivf_topk(
     )
 
 
-def _vec_dim(df: DataFrame, vec_col: str) -> int:
-    """Vector width from one row (driver-side, metadata-scale)."""
+def _vec_dim(df: DataFrame, vec_col: str) -> int | None:
+    """Vector width from one row (driver-side, metadata-scale);
+    ``None`` for an empty/all-null column — callers short-circuit to
+    an empty result instead of failing a whole pipeline on an empty
+    partition of inputs."""
     row = df.select(F.size(F.col(vec_col)).alias("d")).first()
     if row is None or row["d"] is None:
-        raise ValueError(f"cannot infer dimension of empty column {vec_col!r}")
+        return None
     return int(row["d"])
 
 
@@ -451,6 +460,11 @@ def embedding_near_dup_pairs(
     defaults target the 10^3-10^4 test corpus, e.g. 8x8 of 64 bits
     suits 10^6+."""
     dim = _vec_dim(df, vec_col)
+    if dim is None:  # empty corpus -> empty result, not a failure
+        id_t = df.schema[id_col].dataType.simpleString()
+        return df.sparkSession.createDataFrame(
+            [], f"id_a {id_t}, id_b {id_t}, cosine_sim double"
+        )
     proj = random_projections(dim, n_bits, seed)
     cv = F.col(vec_col).cast("array<double>")
     bands = lsh_band_table(df, id_col, vec_col, proj, band_bits, use_arrow)

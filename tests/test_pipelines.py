@@ -138,6 +138,24 @@ def test_lsh_band_table_arrow_matches_column(emb):
         assert arrow == column
 
 
+def test_embedding_ops_empty_input_yields_empty_output(spark):
+    """An empty corpus (e.g. a fully-filtered upstream stage) must
+    yield empty, correctly-typed results — not a pipeline failure."""
+    from gapless_deribit_clickhouse_spark.pipelines.embeddings import (
+        embedding_near_dup_pairs,
+        ivf_topk,
+    )
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    pairs = embedding_near_dup_pairs(empty)
+    assert pairs.count() == 0
+    assert set(pairs.columns) == {"id_a", "id_b", "cosine_sim"}
+    queries = spark.createDataFrame([], "query_id long, query_vec array<double>")
+    topk = ivf_topk(empty, queries, k=5)
+    assert topk.count() == 0
+    assert set(topk.columns) == {"query_id", "vec_id", "rank", "cosine_sim"}
+
+
 def test_lsh_pairs_invariant_to_partitioning(spark, emb):
     """Shuffle-layout invariance: the near-dup pair set must not
     depend on how the input happens to be partitioned (catches
