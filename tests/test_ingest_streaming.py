@@ -208,6 +208,52 @@ def test_streaming_ohlc_windows(spark, tmp_path):
     assert (got.n_obs == 30).all()
 
 
+def test_streaming_ohlc_drops_data_later_than_watermark(spark, tmp_path):
+    """Late-data contract: an event arriving AFTER the watermark passed
+    its window must be dropped — the closed bar is never re-emitted or
+    duplicated (append-mode correctness under out-of-order arrival)."""
+    src = str(tmp_path / "late_src")
+    base = dt.datetime(2024, 1, 1)
+    schema = "timestamp timestamp, iv double, amount double"
+
+    # batch 1: one full 15-min window (3 obs) + a sentinel 2h ahead
+    # that drags the watermark far past the window's end
+    rows1 = [
+        (base + dt.timedelta(minutes=m), 0.5 + m / 100, 1.0) for m in (1, 5, 9)
+    ] + [(base + dt.timedelta(hours=2), 0.9, 1.0)]
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    bars = streaming_ohlc(
+        stream, ts_col="timestamp", window="15 minutes", watermark_delay="1 minute"
+    )
+    q = (
+        bars.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        first = spark.sql("SELECT * FROM late_out").toPandas()
+        closed = first[first.bucket_ts == base]
+        assert len(closed) == 1 and closed.n_obs.iloc[0] == 3
+
+        # batch 2: an event inside the ALREADY-CLOSED first window —
+        # hours older than the current watermark
+        rows2 = [(base + dt.timedelta(minutes=3), 0.99, 1.0)]
+        spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        second = spark.sql("SELECT * FROM late_out").toPandas()
+    finally:
+        q.stop()
+
+    # the late row must not resurrect the closed window: no duplicate
+    # bar for it, original n_obs stands
+    closed2 = second[second.bucket_ts == base]
+    assert len(closed2) == 1 and closed2.n_obs.iloc[0] == 3
+
+
 def test_streaming_sessionize_merging_windows(spark, tmp_path):
     import datetime as dt
 
