@@ -35,18 +35,18 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table, adapting the events timestamp.
 
-    Side effect (events only): sets two session confs for the rest of
-    the session — ``nanosAsLong`` (a TIMESTAMP(NANOS) footer is
-    otherwise rejected outright; later nanos reads get LongType and
-    must normalize as done here) and a UTC session timezone (the NTZ
-    fallback cast below interprets wall-clock in session time; on a
-    bare session that falls back to the machine zone and would drift
-    vs the UTC-based oracle). Runtime-settable confs, applied HERE
-    because callers (including the correctness harness) may hand us a
-    bare SparkSession."""
+    Side effects, applied for the rest of the session: a UTC session
+    timezone on EVERY load (date/hour extraction in any binding drifts
+    vs the UTC-based oracle if a bare session on a non-UTC machine
+    keeps its machine zone — and it must not flip mid-run depending on
+    which table loads first), plus ``nanosAsLong`` for events (a
+    TIMESTAMP(NANOS) footer is otherwise rejected outright; later
+    nanos reads get LongType and must normalize as done here).
+    Runtime-settable confs, applied HERE because callers (including
+    the correctness harness) may hand us a bare SparkSession."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         # Normalize ts to microsecond TimestampType regardless of how the

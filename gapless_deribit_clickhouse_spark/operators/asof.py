@@ -128,7 +128,11 @@ def asof_join(
     # ORIGINAL right timestamp in __rts for tolerance checks.
     pseudo = carry.select(
         *on,
-        (F.col("__bucket").cast("double") * step).cast("timestamp").alias("__ts"),
+        # cast to the tagged __ts type, not a hard timestamp: left_ts
+        # may be a numeric epoch column and unionByName must line up
+        (F.col("__bucket").cast("double") * step)
+        .cast(l_tag.schema["__ts"].dataType)
+        .alias("__ts"),
         F.lit(-1).alias("__side"),
         *[F.col("__carry").getField(n).alias(n) for n in out_names],
         F.col("__carry").getField("__rts").alias("__rts"),

@@ -70,6 +70,8 @@ def rolling_percentile_rank(
     bucketed = bucket_seconds is not None
     if bucketed:
         width = float(bucket_seconds)
+        if width <= 0:
+            raise ValueError(f"bucket_seconds must be positive, got {width}")
         if width < lb:
             raise ValueError(
                 f"bucket_seconds ({width}) must be >= lookback_seconds ({lb}): "
@@ -172,7 +174,8 @@ def rolling_minmax_rank(
     rows: ts, value, keys). Copies only donate to frames; their own
     output rows are dropped."""
     lb = int(lookback_seconds)
-    width = int(bucket_seconds if bucket_seconds is not None else lb)
+    # width >= 1: a zero lookback (frame [t, t]) must not divide by 0
+    width = max(int(bucket_seconds if bucket_seconds is not None else lb), 1)
     if width < lb:
         raise ValueError(
             f"bucket_seconds ({width}) must be >= lookback_seconds ({lb}): "

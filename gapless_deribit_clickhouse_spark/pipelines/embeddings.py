@@ -167,7 +167,12 @@ def lsh_band_table(
     ``use_arrow=False`` keeps the pure-Column path whose left-fold
     summation order matches the DuckDB oracle BIT-EXACTLY; the paths
     can only disagree if some |projection| < ~1e-13 (measure-zero for
-    Gaussian hyperplanes — tests pin agreement on the testdata)."""
+    Gaussian hyperplanes — tests pin agreement on the testdata).
+
+    Null vectors are excluded up front in both paths: they can never
+    verify above a cosine threshold, and np.array over a batch
+    containing None would otherwise fail the whole task."""
+    df = df.filter(F.col(vec_col).isNotNull())
     if use_arrow:
         import numpy as np
 
@@ -240,6 +245,7 @@ def ivf_topk(
     cv = F.col(vec_col).cast("array<double>")
     corpus_bands = lsh_band_table(corpus, id_col, vec_col, proj, band_bits, use_arrow)
 
+    queries = queries.filter(F.col(query_vec_col).isNotNull())
     qv = F.col(query_vec_col).cast("array<double>")
     probe_fn = _query_probe_table_arrow if use_arrow else _query_probe_table
     q_probes = probe_fn(
@@ -292,11 +298,15 @@ def ivf_topk(
 
 
 def _vec_dim(df: DataFrame, vec_col: str) -> int | None:
-    """Vector width from one row (driver-side, metadata-scale);
-    ``None`` for an empty/all-null column — callers short-circuit to
-    an empty result instead of failing a whole pipeline on an empty
-    partition of inputs."""
-    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    """Vector width from the first NON-NULL row (driver-side,
+    metadata-scale — the scan stops at the first match); ``None`` for
+    an empty/all-null column, where callers short-circuit to an empty
+    result instead of failing a whole pipeline."""
+    row = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(F.size(F.col(vec_col)).alias("d"))
+        .first()
+    )
     if row is None or row["d"] is None:
         return None
     return int(row["d"])

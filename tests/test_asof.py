@@ -103,6 +103,26 @@ def test_asof_bucketed_parallelism(spark, spot_pdf):
     assert list(a) == list(b)
 
 
+def test_asof_numeric_epoch_timestamps(spark, spot_pdf):
+    """left/right ts as numeric epoch columns (not TimestampType):
+    the carry pseudo-rows must cast to the tagged ts type so the
+    union lines up."""
+    trades, spot, left, right = _frames(spark, spot_pdf)
+    lnum = left.withColumn("timestamp", F.col("timestamp").cast("double"))
+    rnum = right.withColumn("timestamp", F.col("timestamp").cast("double"))
+    got = (
+        asof_join(lnum, rnum, on=["symbol"], value_cols=["close"])
+        .orderBy("trade_id")
+        .toPandas()
+    )
+    want = (
+        asof_join(left, right, on=["symbol"], value_cols=["close"])
+        .orderBy("trade_id")
+        .toPandas()
+    )
+    assert list(got["close_asof"]) == list(want["close_asof"])
+
+
 def test_asof_no_right_match_is_null(spark, spot_pdf):
     _, _, left, right = _frames(spark, spot_pdf)
     early = left.withColumn(

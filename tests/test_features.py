@@ -207,6 +207,11 @@ def test_minmax_rank_bucketed_parallelism(spark, regular_iv_series):
     assert np.allclose(a.minmax_rank, b.minmax_rank, equal_nan=True)
     # carried copies must not leak into the output
     assert len(a) == df.count()
+    # zero lookback (frame [t, t]) must not divide by a zero bucket
+    # width; every row sees exactly itself
+    z = rolling_minmax_rank(df, "ts", "iv_close", ["k"], 0, 1).toPandas()
+    assert len(z) == len(a)
+    assert z.minmax_rank.isna().all()  # max == min in a 1-row frame
 
 
 def test_contract_selection_strategies(trades_df):

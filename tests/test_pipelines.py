@@ -138,6 +138,36 @@ def test_lsh_band_table_arrow_matches_column(emb):
         assert arrow == column
 
 
+def test_embedding_ops_ignore_null_vectors(spark, emb):
+    """A null embedding row (corrupt upstream record) must neither
+    crash the Arrow stages nor silently empty the result: non-null
+    vectors are processed exactly as if the null row were absent."""
+    from gapless_deribit_clickhouse_spark.pipelines.embeddings import (
+        embedding_near_dup_pairs,
+        ivf_topk,
+    )
+
+    clean = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    # null row FIRST so a naive dim probe would hit it
+    null_row = spark.createDataFrame([(-1, None)], "vec_id long, embedding array<double>")
+    dirty = null_row.unionByName(clean)
+    want = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_pairs(clean, threshold=0.35).collect()
+    }
+    got = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_pairs(dirty, threshold=0.35).collect()
+    }
+    assert got == want and len(got) > 0
+    queries = clean.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    a = ivf_topk(clean, queries, k=5).collect()
+    b = ivf_topk(dirty, queries, k=5).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
 def test_embedding_ops_empty_input_yields_empty_output(spark):
     """An empty corpus (e.g. a fully-filtered upstream stage) must
     yield empty, correctly-typed results — not a pipeline failure."""
