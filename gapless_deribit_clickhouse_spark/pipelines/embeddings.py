@@ -39,7 +39,10 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    # try_divide: a zero-norm vector yields NULL (dropped by every
+    # downstream threshold/ordering) instead of an ANSI-mode
+    # DIVIDE_BY_ZERO error — and matches the Arrow stages' null mask
+    return F.try_divide(dot(a, b), l2_norm(a) * l2_norm(b))
 
 
 def cosine_topk(
@@ -74,9 +77,9 @@ def cosine_topk(
         .select(
             F.col(query_id_col),
             F.col(id_col),
-            (dot(F.col("__v"), F.col("__qv")) / (F.col("__n") * F.col("__qn"))).alias(
-                "cosine_sim"
-            ),
+            F.try_divide(
+                dot(F.col("__v"), F.col("__qv")), F.col("__n") * F.col("__qn")
+            ).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy(query_id_col).orderBy(
@@ -282,8 +285,8 @@ def ivf_topk(
             .select(
                 F.col(query_id_col),
                 F.col(id_col),
-                (
-                    dot(F.col("__v"), F.col("__qv")) / (F.col("__n") * F.col("__qn"))
+                F.try_divide(
+                    dot(F.col("__v"), F.col("__qv")), F.col("__n") * F.col("__qn")
                 ).alias("cosine_sim"),
             )
         )
@@ -318,7 +321,14 @@ def _cosine_score_arrow(
     """Arrow-batched exact-cosine stage: per batch, one einsum + two
     norms over the stacked vector matrices (BLAS), replacing per-pair
     lambda folds. Values agree with the Column/DuckDB fold to ~1e-15
-    relative — far inside every comparison tolerance."""
+    relative — far inside every comparison tolerance.
+
+    Zero-norm vectors: the Column path divides by zero and Spark yields
+    NULL, which every downstream ``>=``/ordering drops; naive numpy
+    yields NaN, which Spark ORDERS ABOVE every number — an all-zero
+    embedding would rank first in top-k and pass near-dup thresholds.
+    We mask ``denom == 0`` to null (nullable Float64) so both paths
+    agree (ADVICE r3)."""
     import numpy as np
 
     keep = list(out_cols)
@@ -329,11 +339,13 @@ def _cosine_score_arrow(
                 continue
             mat_a = np.array(pdf[a_col].tolist(), dtype="float64")
             mat_b = np.array(pdf[b_col].tolist(), dtype="float64")
-            cos = np.einsum("ij,ij->i", mat_a, mat_b) / (
-                np.linalg.norm(mat_a, axis=1) * np.linalg.norm(mat_b, axis=1)
-            )
+            denom = np.linalg.norm(mat_a, axis=1) * np.linalg.norm(mat_b, axis=1)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.einsum("ij,ij->i", mat_a, mat_b) / denom
+            masked = pd.array(cos, dtype="Float64")
+            masked[denom == 0.0] = pd.NA
             out = {c: pdf[c] for c in keep}
-            out["cosine_sim"] = cos
+            out["cosine_sim"] = masked
             yield pd.DataFrame(out)
 
     return df.mapInPandas(score, schema=out_schema)
@@ -515,9 +527,9 @@ def embedding_near_dup_pairs(
             .select(
                 "id_a",
                 "id_b",
-                (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias(
-                    "cosine_sim"
-                ),
+                F.try_divide(
+                    dot(F.col("va"), F.col("vb")), F.col("na") * F.col("nb")
+                ).alias("cosine_sim"),
             )
         )
     return pairs.filter(F.col("cosine_sim") >= threshold)
@@ -546,13 +558,19 @@ def cosine_topk_pandas(
         for pdf in it:
             mat = np.array(pdf[vec_col].tolist(), dtype="float64")
             norms = np.linalg.norm(mat, axis=1)
-            sims = (mat @ qmat_b.T) / np.outer(norms, qnorm_b)
+            denom = np.outer(norms, qnorm_b)
+            # zero-norm mask: NaN would sort ABOVE every real cosine in
+            # Spark; null matches the Column path's divide-by-zero
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = (mat @ qmat_b.T) / denom
             for j, qid in enumerate(qids_b):
+                col = pd.array(sims[:, j], dtype="Float64")
+                col[denom[:, j] == 0.0] = pd.NA
                 out = pd.DataFrame(
                     {
                         "query_id": qid,
                         id_col: pdf[id_col].to_numpy(),
-                        "cosine_sim": sims[:, j],
+                        "cosine_sim": col,
                     }
                 )
                 yield out

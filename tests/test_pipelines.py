@@ -168,6 +168,42 @@ def test_embedding_ops_ignore_null_vectors(spark, emb):
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
 
 
+def test_embedding_ops_drop_zero_norm_vectors(spark, emb):
+    """A zero-norm embedding (all-zero vector) must never surface as a
+    near-dup or a top-k hit (ADVICE r3): naive numpy cosine yields NaN
+    for 0/0 and Spark orders NaN ABOVE every number, so an unmasked
+    Arrow path would rank the zero vector first. Both Arrow and Column
+    paths must agree with the clean-corpus result."""
+    from gapless_deribit_clickhouse_spark.pipelines.embeddings import (
+        cosine_topk_pandas,
+        embedding_near_dup_pairs,
+        ivf_topk,
+    )
+
+    clean = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    dim = len(clean.first().embedding)
+    zero_row = spark.createDataFrame(
+        [(-1, [0.0] * dim)], "vec_id long, embedding array<double>"
+    )
+    dirty = zero_row.unionByName(clean)
+    queries = clean.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    for use_arrow in (True, False):
+        pairs = embedding_near_dup_pairs(
+            dirty, threshold=0.35, use_arrow=use_arrow
+        ).collect()
+        assert all(r.id_a != -1 and r.id_b != -1 for r in pairs)
+        topk = ivf_topk(dirty, queries, k=5, use_arrow=use_arrow).collect()
+        assert all(r.vec_id != -1 for r in topk)
+        assert all(r.cosine_sim is not None for r in topk)
+    qvecs = [(int(r.query_id), list(r.query_vec)) for r in queries.collect()]
+    pk = cosine_topk_pandas(dirty, qvecs, k=5).collect()
+    assert all(r.vec_id != -1 for r in pk)
+
+
 def test_embedding_ops_empty_input_yields_empty_output(spark):
     """An empty corpus (e.g. a fully-filtered upstream stage) must
     yield empty, correctly-typed results — not a pipeline failure."""
