@@ -116,6 +116,10 @@ def rolling_rank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         lookback_seconds=7 * 86400,
         min_periods=4,
         out_col="minmax_rank",
+        # opt into the bucket-parallel window: event_type has single-
+        # digit cardinality, so the key-only window would cap at a
+        # handful of tasks at any scale
+        bucket_seconds=7 * 86400,
     )
 
 

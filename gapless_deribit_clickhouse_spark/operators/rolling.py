@@ -161,27 +161,42 @@ def rolling_minmax_rank(
     over the trailing event-time window; degenerate window (max==min)
     -> null (reference iv_percentile.py:142-147, inf -> NaN).
 
-    Bucket-parallel (VERDICT r2 #8): partitioning the range window by
-    key alone bounds parallelism at key cardinality (2 underlyings = 2
-    tasks). Instead, rows are hashed to (key, floor(ts/bucket)) with
-    ``bucket_seconds >= lookback_seconds``, and each row is ALSO
-    union-copied into the next bucket: a trailing frame ``[t−L, t]``
-    with ``bucket >= L`` only ever reaches back into the previous
-    bucket, so partition (key, b) = own rows of b + copies of b−1
-    contains every frame member. The range frame then excludes
+    ``bucket_seconds`` (>= lookback) opts into the bucket-parallel
+    plan (VERDICT r2 #8): partitioning the range window by key alone
+    bounds parallelism at key cardinality (2 underlyings = 2 tasks).
+    Bucketed, rows are hashed to (key, floor(ts/bucket)) and each row
+    is ALSO union-copied into the next bucket: a trailing frame
+    ``[t−L, t]`` with ``bucket >= L`` only ever reaches back into the
+    previous bucket, so partition (key, b) = own rows of b + copies of
+    b−1 contains every frame member. The range frame then excludes
     anything older than ``t−L`` exactly as before — identical results,
-    parallelism = keys × buckets, 2× data through one shuffle (small
-    rows: ts, value, keys). Copies only donate to frames; their own
-    output rows are dropped."""
+    parallelism = keys × buckets, at the cost of 2× rows through one
+    shuffle (small rows: ts, value, keys). Copies only donate to
+    frames; their own output rows are dropped.
+
+    Default (None) keeps ONE window per key with no carry copies —
+    matching ``rolling_percentile_rank``'s opt-in semantics (ADVICE
+    r3): right for low-row-count-per-key inputs (resampled bars),
+    where doubling rows through the shuffle costs more than the
+    parallelism buys. Pass a bucket for raw-grain or few-key inputs.
+    """
     lb = int(lookback_seconds)
+    epoch = F.col(ts_col).cast("long")
+    v = F.col(value_col)
+
+    if bucket_seconds is None:
+        w = Window.partitionBy(*keys).orderBy(epoch).rangeBetween(-lb, 0)
+        lo, hi, cnt = F.min(v).over(w), F.max(v).over(w), F.count(v).over(w)
+        rank = (v - lo) / nullif_zero(hi - lo) * 100.0
+        return df.withColumn(out_col, F.when(cnt >= min_periods, rank))
+
     # width >= 1: a zero lookback (frame [t, t]) must not divide by 0
-    width = max(int(bucket_seconds if bucket_seconds is not None else lb), 1)
+    width = max(int(bucket_seconds), 1)
     if width < lb:
         raise ValueError(
             f"bucket_seconds ({width}) must be >= lookback_seconds ({lb}): "
             "a trailing frame may only span two adjacent buckets"
         )
-    epoch = F.col(ts_col).cast("long")
     bucket = F.floor(epoch / F.lit(width))
     own = df.withColumn("__bucket", bucket).withColumn("__carry", F.lit(False))
     carry = df.withColumn("__bucket", bucket + 1).withColumn("__carry", F.lit(True))
@@ -191,7 +206,6 @@ def rolling_minmax_rank(
         .orderBy(epoch)
         .rangeBetween(-lb, 0)
     )
-    v = F.col(value_col)
     lo, hi, cnt = F.min(v).over(w), F.max(v).over(w), F.count(v).over(w)
     rank = (v - lo) / nullif_zero(hi - lo) * 100.0
     return (

@@ -176,13 +176,20 @@ def test_percentile_rank_bucketed_matches_unbucketed(spark, regular_iv_series):
 
 
 def test_minmax_rank_bucketed_parallelism(spark, regular_iv_series):
-    """VERDICT r2 #8: the min-max rank window partitions by (key,
-    bucket), not key alone — a 1-key input must spread across >2
-    partitions, with results identical to a one-bucket run."""
+    """VERDICT r2 #8 + ADVICE r3: with ``bucket_seconds`` given, the
+    min-max rank window partitions by (key, bucket), not key alone — a
+    1-key input must spread across >2 partitions, with results
+    identical to the default single-window run. Default (None) keeps
+    one window per key with NO carry copies (opt-in semantics matching
+    rolling_percentile_rank)."""
     from gapless_deribit_clickhouse_spark.operators.rolling import rolling_minmax_rank
 
     df = spark.createDataFrame(regular_iv_series).withColumn("k", F.lit("x"))
-    out = rolling_minmax_rank(df, "ts", "iv_close", ["k"], 3600, 4)
+    default = rolling_minmax_rank(df, "ts", "iv_close", ["k"], 3600, 4)
+    assert "__bucket" not in default._jdf.queryExecution().optimizedPlan().toString()
+    out = rolling_minmax_rank(
+        df, "ts", "iv_close", ["k"], 3600, 4, bucket_seconds=3600
+    )
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert "__bucket" in plan
     key = "spark.sql.adaptive.coalescePartitions.enabled"
@@ -193,9 +200,10 @@ def test_minmax_rank_bucketed_parallelism(spark, regular_iv_series):
     finally:
         spark.conf.set(key, old)
     assert len(pids) > 2
-    # bucket width must not change results (single wide bucket == old
-    # per-key window)
+    # bucketing must not change results: default (single per-key
+    # window) == tight buckets == one wide bucket
     a = out.toPandas().sort_values("ts").reset_index(drop=True)
+    d = default.toPandas().sort_values("ts").reset_index(drop=True)
     b = (
         rolling_minmax_rank(
             df, "ts", "iv_close", ["k"], 3600, 4, bucket_seconds=365 * 86400
@@ -205,11 +213,14 @@ def test_minmax_rank_bucketed_parallelism(spark, regular_iv_series):
         .reset_index(drop=True)
     )
     assert np.allclose(a.minmax_rank, b.minmax_rank, equal_nan=True)
+    assert np.allclose(a.minmax_rank, d.minmax_rank, equal_nan=True)
     # carried copies must not leak into the output
     assert len(a) == df.count()
     # zero lookback (frame [t, t]) must not divide by a zero bucket
     # width; every row sees exactly itself
-    z = rolling_minmax_rank(df, "ts", "iv_close", ["k"], 0, 1).toPandas()
+    z = rolling_minmax_rank(
+        df, "ts", "iv_close", ["k"], 0, 1, bucket_seconds=0
+    ).toPandas()
     assert len(z) == len(a)
     assert z.minmax_rank.isna().all()  # max == min in a 1-row frame
 
