@@ -34,6 +34,9 @@ _DEMOTED = (
     "token_topk",  # sibling: tfidf_top_terms (same explode+group+top-k)
     "dte_distribution",  # siblings: dte_bucket_agg (same single-pass
     # bucket agg) + contract_chain_select (same window-share op)
+    "multimodal_features",  # sibling: image_decode_features (same
+    # mapInPandas blob-feature shape; the window slot now exercises
+    # the REAL decode kernel with a value-level oracle)
 )
 ALL_BINDINGS = [b for b in ALL_BINDINGS if b[0] not in _DEMOTED] + [
     b for b in ALL_BINDINGS if b[0] in _DEMOTED

@@ -209,6 +209,46 @@ FROM documents
 """
 
 
+# --- multimodal: REAL image decode (pure-stdlib PGM/PNG kernel) ---
+def image_decode_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-level oracle for the real decode path: each ASCII document
+    is wrapped into a valid binary PGM (16x4 gray = first 64 chars,
+    space-padded), decoded by the stdlib image kernel, and reduced to
+    (shape, mean pixel). Because PGM pixels ARE the text bytes, DuckDB
+    can compute the same mean from character codes — a hash-checkable
+    oracle for an operator SQL cannot normally express. ASCII filter
+    (octet_length == char_length) keeps bytes == code points on both
+    sides."""
+    from gapless_deribit_clickhouse_spark.pipelines.multimodal import (
+        image_feature_extract,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.octet_length(F.col("text")) == F.length(F.col("text"))
+    )
+    padded = F.rpad(F.substring(F.col("text"), 1, 64), 64, " ")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(F.lit(b"P5 16 4 255\n"), F.encode(padded, "UTF-8")).alias(
+            "payload"
+        ),
+    )
+    return image_feature_extract(media).select(
+        "media_id", "height", "width", "channels", "mean_pixel"
+    )
+
+
+IMAGE_DECODE_SQL = """
+SELECT doc_id AS media_id,
+       4 AS height, 16 AS width, 1 AS channels,
+       list_avg(list_transform(range(1, 65),
+                i -> ascii(substr(rpad(substr(text, 1, 64), 64, ' '), i, 1))))
+           AS mean_pixel
+FROM documents
+WHERE octet_length(encode(text)) = length(text)
+"""
+
+
 # --- §2.8 string tier: instrument format -> parse roundtrip ---
 def instrument_parse_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gapless_deribit_clickhouse_spark.functions.instrument import (
@@ -426,5 +466,8 @@ BINDINGS = [
     ("smile_metrics", smile_metrics_q, SMILE_METRICS_SQL),
     ("spot_coverage", spot_coverage_q, SPOT_COVERAGE_SQL),
     ("egarch_params", egarch_params_q, None),
+    # real-decode binding holds the driver-window multimodal slot; the
+    # fake-kernel byte-feature variant is demoted to the CI-oracle tail
+    ("image_decode_features", image_decode_features_q, IMAGE_DECODE_SQL),
     ("multimodal_features", multimodal_features_q, MULTIMODAL_SQL),
 ]

@@ -55,11 +55,230 @@ def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
 
 
+def synthetic_images(spark, n: int = 32, size: int = 16, seed: int = 42) -> DataFrame:
+    """Deterministic REAL-decodable PNG blobs in MEDIA_SCHEMA — unlike
+    :func:`synthetic_media`'s opaque bytes, these roundtrip through
+    :func:`decode_image`, so the decode kernel is exercised end-to-end
+    with no imaging dependency."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        h, w = size + (i % 3), size + (i % 5)
+        c = (1, 3, 4)[i % 3]
+        arr = rng.integers(0, 256, size=(h, w, c)).astype("uint8")
+        rows.append(
+            (i, "image", "image/png", bytearray(encode_png(arr)), w, h, None)
+        )
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+
 def decode_image(payload: bytes) -> "np.ndarray":
-    """Real decode requires PIL/libjpeg — not in this container."""
-    raise NotImplementedError(
-        "image decode requires an imaging library not present in this "
-        "environment; use fake_feature_extract for pipeline testing"
+    """Decode an image payload to an (H, W, C) uint8 array.
+
+    Always-available paths (stdlib + numpy only — no imaging library
+    needed): PNG (zlib inflate + per-scanline unfilter; 8-bit
+    gray/gray-alpha/RGB/RGBA, non-interlaced) and binary PPM/PGM.
+    Other formats (JPEG, ...) go through PIL when it is importable;
+    without PIL they raise ``NotImplementedError`` — the documented
+    optional-dependency seam (libjpeg is not re-implementable in
+    stdlib, unlike PNG's DEFLATE)."""
+    data = bytes(payload)
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        return _decode_png(data)
+    if data[:2] in (b"P5", b"P6"):
+        return _decode_pnm(data)
+    try:
+        import io
+
+        from PIL import Image  # optional dependency
+    except ImportError:
+        raise NotImplementedError(
+            "non-PNG/PNM image decode requires PIL, which is not present "
+            "in this environment; PNG and binary PPM/PGM decode natively"
+        ) from None
+    return np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+
+
+def _decode_png(data: bytes) -> "np.ndarray":
+    """Minimal PNG reader: IHDR/IDAT/IEND chunks, zlib inflate, filter
+    reconstruction (types 0-4). Vectorized rows for filters 0/2; the
+    serial filters (Sub/Average/Paeth) fall back to a per-byte loop —
+    fine for thumbnail/feature-extract scale, and encoders we control
+    emit filter 0."""
+    import struct
+    import zlib
+
+    pos, idat, meta = 8, [], None
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            w, h, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8 or interlace != 0 or color not in (0, 2, 4, 6):
+                raise NotImplementedError(
+                    "PNG subset: 8-bit depth, gray/RGB(+alpha), non-interlaced"
+                )
+            meta = (w, h, {0: 1, 2: 3, 4: 2, 6: 4}[color])
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if meta is None:
+        raise ValueError("PNG without IHDR")
+    w, h, c = meta
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * c
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG payload size mismatch")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    pos = 0
+    for y in range(h):
+        ftype = raw[pos]
+        line = np.frombuffer(raw[pos + 1 : pos + 1 + stride], dtype=np.uint8).astype(
+            "int32"
+        )
+        pos += 1 + stride
+        if ftype == 0:
+            cur = line
+        elif ftype == 2:  # Up
+            cur = (line + prev) % 256
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth — serial in x
+            cur = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = int(cur[x - c]) if x >= c else 0
+                b = int(prev[x])
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (a + b) // 2
+                else:
+                    cc = int(prev[x - c]) if x >= c else 0
+                    p = a + b - cc
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else cc)
+                cur[x] = (line[x] + pred) % 256
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return out.reshape(h, w, c)
+
+
+def _decode_pnm(data: bytes) -> "np.ndarray":
+    """Binary PPM (P6, RGB) / PGM (P5, gray), 8-bit maxval."""
+    tokens, pos = [], 0
+    while len(tokens) < 4 and pos < len(data):
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        if data[pos : pos + 1] == b"#":  # comment to end of line
+            while pos < len(data) and data[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(data[start:pos])
+    magic, w, h, maxval = tokens[0], int(tokens[1]), int(tokens[2]), int(tokens[3])
+    if maxval > 255:
+        raise NotImplementedError("PNM subset: 8-bit maxval")
+    pos += 1  # single whitespace after maxval
+    c = 3 if magic == b"P6" else 1
+    arr = np.frombuffer(data[pos : pos + w * h * c], dtype=np.uint8)
+    return arr.reshape(h, w, c)
+
+
+def encode_png(arr: "np.ndarray") -> bytes:
+    """Minimal PNG writer (filter 0, one IDAT): gives tests and the
+    synthetic generator REAL decodable payloads without an imaging
+    dependency. Accepts (H, W) or (H, W, C) uint8 with C in 1/2/3/4."""
+    import struct
+    import zlib
+
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, c = a.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    raw = b"".join(b"\x00" + a[y].tobytes() for y in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+IMAGE_DECODE_SCHEMA = (
+    "media_id long, height int, width int, channels int, "
+    "mean_pixel double, feature array<float>, error string"
+)
+
+
+def image_feature_extract(
+    media: DataFrame, dim: int = 8, batch_limit: int = 256
+) -> DataFrame:
+    """REAL decode + feature extraction over ``mapInPandas``: each blob
+    is decoded via :func:`decode_image` and reduced to (shape, mean
+    pixel, ``dim``-bin pixel histogram). Decode failures (unsupported
+    format without PIL, corrupt payload) land in the ``error`` column
+    instead of failing the task — per-row isolation, same contract as
+    the EGARCH group fitter. Blobs never pass this stage: the output
+    carries features only, so downstream shuffles move no binary."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_limit):
+                chunk = pdf.iloc[start : start + batch_limit]
+                rows = []
+                for mid, payload in zip(chunk["media_id"], chunk["payload"]):
+                    try:
+                        img = decode_image(bytes(payload))
+                        px = img.reshape(-1).astype("float64")
+                        hist = np.histogram(px, bins=dim, range=(0, 256))[0].astype(
+                            "float32"
+                        )
+                        total = hist.sum() or 1.0
+                        rows.append(
+                            (
+                                int(mid),
+                                img.shape[0],
+                                img.shape[1],
+                                img.shape[2],
+                                float(px.mean()),
+                                (hist / total).tolist(),
+                                None,
+                            )
+                        )
+                    except (NotImplementedError, ValueError, KeyError) as exc:
+                        rows.append(
+                            (int(mid), None, None, None, None, None,
+                             f"{type(exc).__name__}: {exc}")
+                        )
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "media_id", "height", "width", "channels",
+                        "mean_pixel", "feature", "error",
+                    ],
+                )
+
+    return media.select("media_id", "payload").mapInPandas(
+        kernel, schema=IMAGE_DECODE_SCHEMA
     )
 
 

@@ -360,11 +360,128 @@ def test_multimodal_feature_plumbing(spark):
     assert sorted(feats.payload_sha) == sorted(again.payload_sha)
 
 
-def test_multimodal_decode_stub_raises():
+def test_multimodal_decode_unsupported_format():
+    """Formats outside the stdlib-decodable set (PNG/PPM/PGM) need PIL;
+    without it decode raises the documented NotImplementedError."""
     from gapless_deribit_clickhouse_spark.pipelines.multimodal import decode_image
 
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("PIL present: JPEG decode is delegated to it")
+    except ImportError:
+        pass
     with pytest.raises(NotImplementedError):
-        decode_image(b"\x00")
+        decode_image(b"\xff\xd8\xff\xe0jpegish")
+
+
+def test_png_roundtrip_all_channel_counts():
+    """encode_png -> decode_image is the identity for 8-bit gray,
+    gray-alpha, RGB and RGBA — pure stdlib zlib, no imaging library."""
+    from gapless_deribit_clickhouse_spark.pipelines.multimodal import (
+        decode_image,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(3)
+    for c in (1, 2, 3, 4):
+        arr = rng.integers(0, 256, size=(9, 7, c)).astype("uint8")
+        out = decode_image(encode_png(arr))
+        assert out.shape == arr.shape
+        assert (out == arr).all()
+
+
+def test_png_decode_handles_all_filter_types():
+    """The decoder reconstructs scanlines under every PNG filter type
+    (None/Sub/Up/Average/Paeth), not just the filter-0 rows our own
+    encoder emits — real-world PNGs mix them per row."""
+    import struct
+    import zlib
+
+    from gapless_deribit_clickhouse_spark.pipelines.multimodal import decode_image
+
+    rng = np.random.default_rng(5)
+    h, w, c = 5, 6, 3
+    img = rng.integers(0, 256, size=(h, w, c)).astype("int32")
+    stride = w * c
+    flat = img.reshape(h, stride)
+
+    def paeth(a, b, cc):
+        p = a + b - cc
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else cc)
+
+    raw = bytearray()
+    prev = np.zeros(stride, dtype="int32")
+    for y, ftype in enumerate([0, 1, 2, 3, 4]):
+        cur = flat[y]
+        raw.append(ftype)
+        for x in range(stride):
+            a = int(cur[x - c]) if x >= c else 0
+            b = int(prev[x])
+            cc = int(prev[x - c]) if x >= c else 0
+            pred = {0: 0, 1: a, 2: b, 3: (a + b) // 2, 4: paeth(a, b, cc)}[ftype]
+            raw.append((int(cur[x]) - pred) % 256)
+        prev = cur
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    out = decode_image(png)
+    assert (out == img.astype("uint8")).all()
+
+
+def test_pnm_decode():
+    from gapless_deribit_clickhouse_spark.pipelines.multimodal import decode_image
+
+    rng = np.random.default_rng(11)
+    rgb = rng.integers(0, 256, size=(4, 5, 3)).astype("uint8")
+    ppm = b"P6\n# comment\n5 4\n255\n" + rgb.tobytes()
+    assert (decode_image(ppm) == rgb).all()
+    gray = rng.integers(0, 256, size=(3, 2, 1)).astype("uint8")
+    pgm = b"P5 2 3 255\n" + gray.tobytes()
+    assert (decode_image(pgm) == gray).all()
+
+
+def test_image_feature_extract_real_decode(spark):
+    """The real decode kernel end-to-end over mapInPandas: every
+    synthetic PNG decodes (no error rows), shapes match the generator,
+    and a corrupt payload isolates into its error column instead of
+    failing the task."""
+    from gapless_deribit_clickhouse_spark.pipelines.multimodal import (
+        MEDIA_SCHEMA,
+        image_feature_extract,
+        synthetic_images,
+    )
+
+    media = synthetic_images(spark, n=24, size=12)
+    feats = image_feature_extract(media, dim=8).toPandas()
+    assert len(feats) == 24
+    assert feats.error.isna().all()
+    meta = media.select("media_id", "width", "height").toPandas()
+    merged = feats.merge(meta, on="media_id")
+    assert (merged.width_x == merged.width_y).all()
+    assert (merged.height_x == merged.height_y).all()
+    assert all(abs(sum(f) - 1.0) < 1e-5 for f in feats.feature)
+    bad = spark.createDataFrame(
+        [(999, "image", "image/png", bytearray(b"\x89PNG\r\n\x1a\nbroken"), 1, 1, None)],
+        schema=MEDIA_SCHEMA,
+    )
+    out = image_feature_extract(media.unionByName(bad)).toPandas()
+    err = out[out.media_id == 999]
+    assert len(err) == 1 and err.error.notna().all()
+    assert out[out.media_id != 999].error.isna().all()
 
 
 def test_frame_sample_plan(spark):

@@ -21,6 +21,7 @@ SF_DIR = "/root/testdata/sf0.001"
 REQUIRED_PYTHON = {
     "egarch_params",
     "multimodal_features",
+    "image_decode_features",  # real decode kernel (stdlib PNG/PGM)
     "rolling_percentile",
     "embedding_near_dup",
     "ivf_topk",
