@@ -221,13 +221,42 @@ def minhash_signatures(
     return harr.select("id", F.expr(f"array({mins})").alias("signature"))
 
 
+def minhash_params(
+    threshold: float,
+    target_recall: float = 0.9,
+    max_hashes: int = 256,
+) -> tuple[int, int]:
+    """Derive ``(num_hashes, bands)`` for banded MinHash-LSH from the
+    Jaccard threshold — the companion of ``embeddings.lsh_params``.
+
+    A band of ``r`` rows matches a pair at Jaccard ``s`` with ``s**r``;
+    ``B`` bands give recall ``1 − (1 − s**r)**B``. Larger ``r`` is more
+    selective (random low-similarity pairs collide at ``s_low**r``),
+    so we pick the LARGEST ``r`` whose band count for the recall
+    target still fits the ``max_hashes`` signature budget. Unlike
+    sign-LSH, bucket count here is the full hash space, so corpus size
+    does not enter — selectivity is governed by ``r`` alone.
+    """
+    import math
+
+    s = min(max(threshold, 1e-6), 1.0 - 1e-9)
+    best = (1, 1)
+    for r in range(1, 17):
+        sr = s**r
+        b = max(1, math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - sr)))
+        if r * b <= max_hashes:
+            best = (r, b)
+    r, b = best
+    return (r * b, b)
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
-    num_hashes: int = 32,
-    bands: int = 8,
+    num_hashes: int | None = 32,
+    bands: int | None = 8,
     threshold: float = 0.5,
     base_hash: str = "md5",
 ) -> DataFrame:
@@ -237,7 +266,15 @@ def minhash_lsh_pairs(
     sub-signature matches exactly (bucket equi-join on the band hash —
     sub-quadratic, shuffle keyed by (band, hash)). Verification joins
     candidates back to shingle sets and keeps jaccard >= threshold.
+
+    ``num_hashes=None`` auto-sizes the signature from ``threshold``
+    via :func:`minhash_params` (the defaults 32/8 stay for oracle
+    stability).
     """
+    if num_hashes is None or bands is None:
+        auto_hashes, auto_bands = minhash_params(threshold)
+        num_hashes = auto_hashes if num_hashes is None else num_hashes
+        bands = auto_bands if bands is None else bands
     r = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, n, num_hashes, base_hash)
     band_sql = ", ".join(

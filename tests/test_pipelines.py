@@ -53,6 +53,35 @@ def test_minhash_lsh_recall_vs_exact(docs):
     assert lsh <= exact  # verification step kills false positives
 
 
+def test_minhash_params_rule_and_auto_recall(docs):
+    """minhash_params: analytic recall at the threshold clears the
+    target, r grows with the threshold (selectivity), the budget holds;
+    and auto-sized minhash_lsh_pairs (num_hashes=None) matches exact
+    Jaccard with >= 0.9 recall."""
+    from gapless_deribit_clickhouse_spark.pipelines.text_dedup import minhash_params
+
+    prev_r = 0
+    for t in (0.3, 0.5, 0.7, 0.9):
+        num_hashes, bands = minhash_params(t)
+        r = num_hashes // bands
+        assert r >= prev_r, "rows-per-band must not shrink as threshold rises"
+        prev_r = r
+        assert num_hashes <= 256 and num_hashes % bands == 0
+        assert 1.0 - (1.0 - t**r) ** bands >= 0.9
+    exact = {
+        (p.id_a, p.id_b)
+        for p in ngram_jaccard_pairs(docs, n=3, threshold=0.8).collect()
+    }
+    auto = {
+        (p.id_a, p.id_b)
+        for p in minhash_lsh_pairs(
+            docs, n=3, num_hashes=None, bands=None, threshold=0.8
+        ).collect()
+    }
+    assert exact and len(exact & auto) / len(exact) >= 0.9
+    assert auto <= exact
+
+
 def _ivf_recall(emb, queries, multiprobe):
     exact = cosine_topk(emb, queries, k=5).toPandas()
     approx = ivf_topk(emb, queries, k=5, multiprobe=multiprobe).toPandas()
