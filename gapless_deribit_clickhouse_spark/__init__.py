@@ -116,6 +116,17 @@ def __getattr__(name: str):
         "session_stats": "operators.sessionize",
         "streaming_sessionize": "operators.sessionize",
         "salted_agg": "operators.skew",
+        "ServingConnector": "sinks.connector",
+        "ParquetServingConnector": "sinks.connector",
+        "ClickHouseHTTPConnector": "sinks.connector",
+        "ClickHouseConnectorConfig": "sinks.connector",
+        "write_stream_to_connector": "sinks.connector",
+        "lsh_params": "pipelines.embeddings",
+        "minhash_params": "pipelines.text_dedup",
+        "decode_image": "pipelines.multimodal",
+        "encode_png": "pipelines.multimodal",
+        "image_feature_extract": "pipelines.multimodal",
+        "synthetic_images": "pipelines.multimodal",
     }
     # reference-name aliases (reference __init__.py:42-65 /
     # features/__init__.py:61-88): a reference user's import keeps working
@@ -209,6 +220,13 @@ __all__ = [
     "connected_components", "dedup_clusters", "compact_table", "interval_join",
     "sessionize", "session_stats", "streaming_sessionize",
     "salted_agg",
+    "lsh_params", "minhash_params",
+    "decode_image", "encode_png", "image_feature_extract",
+    "synthetic_images",
+    # serving-layer connector seam (lazy)
+    "ServingConnector", "ParquetServingConnector",
+    "ClickHouseHTTPConnector", "ClickHouseConnectorConfig",
+    "write_stream_to_connector",
     # reference-name aliases
     "calculate_greeks", "calculate_portfolio_greeks",
     "aggregate_greeks_by_bucket", "get_quality_metrics",
