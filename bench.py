@@ -346,6 +346,7 @@ def main() -> None:
     total = round(sum(timings.values()), 4)
     sidecar = {
         "telemetry": telemetry,
+        "timings_4dp": timings,  # full precision; headline carries 2dp
         "conditions": conditions,
         "streaming": streaming,
         "new_in_r4": WRITE_BENCHES,
@@ -373,7 +374,9 @@ def main() -> None:
                 "metric": "headline_queries_total_runtime",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                # 2dp keeps the one-line summary comfortably inside
+                # any tail-capture window; 4dp lives in the sidecar
+                "queries": {k: round(v, 2) for k, v in timings.items()},
                 "sf": sf,
             }
         ),
