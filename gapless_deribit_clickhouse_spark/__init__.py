@@ -127,6 +127,9 @@ def __getattr__(name: str):
         "encode_png": "pipelines.multimodal",
         "image_feature_extract": "pipelines.multimodal",
         "synthetic_images": "pipelines.multimodal",
+        "decode_audio": "pipelines.multimodal",
+        "encode_wav": "pipelines.multimodal",
+        "audio_feature_extract": "pipelines.multimodal",
     }
     # reference-name aliases (reference __init__.py:42-65 /
     # features/__init__.py:61-88): a reference user's import keeps working
@@ -223,6 +226,7 @@ __all__ = [
     "lsh_params", "minhash_params",
     "decode_image", "encode_png", "image_feature_extract",
     "synthetic_images",
+    "decode_audio", "encode_wav", "audio_feature_extract",
     # serving-layer connector seam (lazy)
     "ServingConnector", "ParquetServingConnector",
     "ClickHouseHTTPConnector", "ClickHouseConnectorConfig",

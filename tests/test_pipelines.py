@@ -483,6 +483,45 @@ def test_pnm_decode():
     assert (decode_image(pgm) == gray).all()
 
 
+def test_wav_roundtrip_and_audio_features(spark):
+    """encode_wav -> decode_audio roundtrips 16-bit PCM (mono and
+    stereo), and the mapInPandas audio kernel extracts the analytic
+    features of a known sine tone (duration, RMS ~ 1/sqrt(2) of
+    amplitude, zero-crossing rate ~ 2*f/rate) with corrupt payloads
+    isolated into the error column."""
+    from gapless_deribit_clickhouse_spark.pipelines.multimodal import (
+        MEDIA_SCHEMA,
+        audio_feature_extract,
+        decode_audio,
+        encode_wav,
+    )
+
+    rate, freq, secs = 8000, 440.0, 0.5
+    t = np.arange(int(rate * secs)) / rate
+    tone = 0.5 * np.sin(2 * np.pi * freq * t)
+    out, got_rate = decode_audio(encode_wav(tone, rate))
+    assert got_rate == rate and out.shape == (len(t), 1)
+    assert np.allclose(out[:, 0], tone, atol=1e-3)
+    stereo = np.stack([tone, -tone], axis=1)
+    out2, _ = decode_audio(encode_wav(stereo, rate))
+    assert out2.shape == (len(t), 2)
+    assert np.allclose(out2, stereo, atol=1e-3)
+
+    rows = [
+        (0, "audio", "audio/wav", bytearray(encode_wav(tone, rate)), None, None, int(secs * 1000)),
+        (1, "audio", "audio/mpeg", bytearray(b"ID3broken"), None, None, None),
+    ]
+    media = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    feats = audio_feature_extract(media).toPandas().set_index("media_id")
+    ok = feats.loc[0]
+    assert ok.error is None or (isinstance(ok.error, float) and np.isnan(ok.error))
+    assert ok.n_frames == len(t) and ok.sample_rate == rate
+    assert abs(ok.duration_ms - 500.0) < 1e-6
+    assert abs(ok.rms - 0.5 / np.sqrt(2)) < 1e-3
+    assert abs(ok.zero_crossing_rate - 2 * freq / rate) < 0.01
+    assert isinstance(feats.loc[1].error, str) and "NotImplementedError" in feats.loc[1].error
+
+
 def test_image_feature_extract_real_decode(spark):
     """The real decode kernel end-to-end over mapInPandas: every
     synthetic PNG decodes (no error rows), shapes match the generator,
