@@ -256,7 +256,9 @@ def decode_audio(payload: bytes) -> tuple["np.ndarray", int]:
         raise ValueError("WAV without fmt/data chunk")
     channels, rate, bits = fmt
     if bits == 16:
-        samples = np.frombuffer(raw, dtype="<i2").astype("float64") / 32768.0
+        # /32767 mirrors the encoder's round(x*32767): the roundtrip
+        # error stays within half a quantization step
+        samples = np.frombuffer(raw, dtype="<i2").astype("float64") / 32767.0
     elif bits == 8:
         samples = (np.frombuffer(raw, dtype="u1").astype("float64") - 128.0) / 128.0
     else:
@@ -274,7 +276,7 @@ def encode_wav(samples: "np.ndarray", sample_rate: int) -> bytes:
     a = np.asarray(samples, dtype="float64")
     if a.ndim == 1:
         a = a[:, None]
-    pcm = np.clip(a * 32767.0, -32768, 32767).astype("<i2").tobytes()
+    pcm = np.clip(np.rint(a * 32767.0), -32768, 32767).astype("<i2").tobytes()
     channels = a.shape[1]
     byte_rate = sample_rate * channels * 2
     fmt = struct.pack("<HHIIHH", 1, channels, sample_rate, byte_rate, channels * 2, 16)

@@ -140,3 +140,84 @@ def test_dedup_resample_top1_deterministic_under_repartition(spark, trades_df):
         a = _sorted_rows(build(noisy.repartition(1)))
         b = _sorted_rows(build(noisy.repartition(17, "option_type")))
         assert a == b
+
+
+@given(
+    h=st.integers(1, 12),
+    w=st.integers(1, 12),
+    c=st.sampled_from([1, 2, 3, 4]),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_png_roundtrip_property(h, w, c, seed):
+    """encode_png ∘ decode_image == identity for every 8-bit shape."""
+    import numpy as np
+
+    from gapless_deribit_clickhouse_spark.pipelines.multimodal import (
+        decode_image,
+        encode_png,
+    )
+
+    arr = np.random.default_rng(seed).integers(0, 256, size=(h, w, c)).astype("uint8")
+    out = decode_image(encode_png(arr))
+    assert out.shape == arr.shape and (out == arr).all()
+
+
+@given(
+    n=st.integers(1, 400),
+    channels=st.sampled_from([1, 2]),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_wav_roundtrip_property(n, channels, rate, seed):
+    """encode_wav ∘ decode_audio preserves shape, rate and values to
+    16-bit quantization error."""
+    import numpy as np
+
+    from gapless_deribit_clickhouse_spark.pipelines.multimodal import (
+        decode_audio,
+        encode_wav,
+    )
+
+    a = np.random.default_rng(seed).uniform(-1, 1, size=(n, channels))
+    out, got_rate = decode_audio(encode_wav(a, rate))
+    assert got_rate == rate and out.shape == a.shape
+    assert np.allclose(out, a, atol=0.51 / 32767)
+
+
+@given(
+    n=st.integers(2, 10**9),
+    threshold=st.floats(0.5, 0.99),
+    recall=st.floats(0.5, 0.99),
+)
+@settings(max_examples=200, deadline=None)
+def test_lsh_params_always_meets_recall_within_budget(n, threshold, recall):
+    """For any corpus size/threshold/recall target: the derived config
+    respects the bit budget, and (unless clipped to the b=4 floor)
+    analytically clears the recall target."""
+    import math
+
+    from gapless_deribit_clickhouse_spark.pipelines.embeddings import lsh_params
+
+    n_bits, b = lsh_params(n, threshold=threshold, target_recall=recall)
+    assert 4 <= b <= 16 and n_bits % b == 0 and n_bits <= 512
+    p = 1.0 - math.acos(threshold) / math.pi
+    achieved = 1.0 - (1.0 - p**b) ** (n_bits // b)
+    if b > 4 or n_bits > 4:  # not clipped by the floor/budget corner
+        assert achieved >= recall - 1e-9
+
+
+@given(
+    threshold=st.floats(0.2, 0.95),
+    recall=st.floats(0.5, 0.99),
+)
+@settings(max_examples=200, deadline=None)
+def test_minhash_params_always_meets_recall_within_budget(threshold, recall):
+    from gapless_deribit_clickhouse_spark.pipelines.text_dedup import minhash_params
+
+    num_hashes, bands = minhash_params(threshold, target_recall=recall)
+    r = num_hashes // bands
+    assert num_hashes <= 256 and num_hashes % bands == 0 and r >= 1
+    achieved = 1.0 - (1.0 - threshold**r) ** bands
+    assert achieved >= recall - 1e-9
