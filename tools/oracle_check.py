@@ -5,13 +5,18 @@ DuckDB over the same sf directory, then compares row count, column
 names/ordering-insensitive schema, and values (floats rounded before
 comparison; rows sorted by all columns).
 
-Usage: python tools/oracle_check.py [--bare] [sf_dir] [query ...]
+Usage: python tools/oracle_check.py [--bare] [--determinism] [sf_dir] [query ...]
 
 ``--bare`` runs the queries on a SparkSession built WITHOUT our session
 factory — no pre-set confs, exactly like the driver's harness. Round-1
 shipped a bug only visible on a bare session; this flag is the gate
 against that class of failure. Run the full registry with it before
 every round ends.
+
+``--determinism`` runs each selected query TWICE and diffs the sorted
+collected rows instead of comparing to DuckDB — the probe for
+shuffle-order-dependent results (run it at sf0.1, where inputs are
+multi-partition, after touching dedup/resample/topk/window operators).
 """
 
 from __future__ import annotations
@@ -90,14 +95,15 @@ def _bare_spark():
 def main() -> int:
     argv = sys.argv[1:]
     bare = "--bare" in argv
-    argv = [a for a in argv if a != "--bare"]
+    determinism = "--determinism" in argv
+    argv = [a for a in argv if a not in ("--bare", "--determinism")]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as e
 
     spark = _bare_spark() if bare else get_spark()
-    con = _duck_con(sf_dir)
+    con = None if determinism else _duck_con(sf_dir)
     qs, oracles = e.queries(), e.oracle_sql()
     failures = 0
     for name, fn in qs.items():
@@ -106,7 +112,12 @@ def main() -> int:
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
-            if name in oracles:
+            if determinism:
+                a = sorted(map(str, sdf.collect()))
+                b = sorted(map(str, fn(spark, sf_dir).collect()))
+                ok = a == b
+                msg = f"deterministic rows={len(a)}" if ok else "RUNS DIFFER"
+            elif name in oracles:
                 ok, msg = compare(name, sdf, con.execute(oracles[name]).df())
             else:
                 n = sdf.count()
