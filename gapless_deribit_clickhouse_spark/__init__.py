@@ -130,6 +130,9 @@ def __getattr__(name: str):
         "decode_audio": "pipelines.multimodal",
         "encode_wav": "pipelines.multimodal",
         "audio_feature_extract": "pipelines.multimodal",
+        "encode_framepack": "pipelines.multimodal",
+        "decode_framepack": "pipelines.multimodal",
+        "video_frame_features": "pipelines.multimodal",
     }
     # reference-name aliases (reference __init__.py:42-65 /
     # features/__init__.py:61-88): a reference user's import keeps working
@@ -227,6 +230,7 @@ __all__ = [
     "decode_image", "encode_png", "image_feature_extract",
     "synthetic_images",
     "decode_audio", "encode_wav", "audio_feature_extract",
+    "encode_framepack", "decode_framepack", "video_frame_features",
     # serving-layer connector seam (lazy)
     "ServingConnector", "ParquetServingConnector",
     "ClickHouseHTTPConnector", "ClickHouseConnectorConfig",

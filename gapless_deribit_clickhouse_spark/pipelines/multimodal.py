@@ -341,6 +341,88 @@ def audio_feature_extract(media: DataFrame, batch_limit: int = 256) -> DataFrame
     )
 
 
+def encode_framepack(frames: list["np.ndarray"], fps: float = 10.0) -> bytes:
+    """Minimal video container for pipeline testing: ``FPK1`` magic,
+    fps, then length-prefixed PNG frames (an MJPEG-style intra-only
+    stream). Real containers (MP4/H.264...) need ffmpeg — the
+    documented optional-dependency seam; this keeps the frame-sampling
+    and per-frame-decode plumbing REAL and testable without it."""
+    import struct
+
+    body = b"".join(
+        struct.pack("<I", len(p)) + p for p in (encode_png(f) for f in frames)
+    )
+    return b"FPK1" + struct.pack("<dI", float(fps), len(frames)) + body
+
+
+def decode_framepack(payload: bytes) -> tuple[list["np.ndarray"], float]:
+    """Inverse of :func:`encode_framepack`; other video formats raise
+    ``NotImplementedError`` (codec libraries absent)."""
+    import struct
+
+    data = bytes(payload)
+    if data[:4] != b"FPK1":
+        raise NotImplementedError(
+            "real video containers need ffmpeg, which is not present in "
+            "this environment; FPK1 framepacks decode natively"
+        )
+    fps, count = struct.unpack("<dI", data[4:16])
+    frames, pos = [], 16
+    for _ in range(count):
+        (ln,) = struct.unpack("<I", data[pos : pos + 4])
+        frames.append(decode_image(data[pos + 4 : pos + 4 + ln]))
+        pos += 4 + ln
+    return frames, fps
+
+
+VIDEO_DECODE_SCHEMA = (
+    "media_id long, frame_idx int, frame_ts_ms double, height int, "
+    "width int, channels int, mean_pixel double, error string"
+)
+
+
+def video_frame_features(
+    media: DataFrame, every_n: int = 1, batch_limit: int = 64
+) -> DataFrame:
+    """REAL per-frame decode over ``mapInPandas``: each framepack blob
+    explodes into one row per sampled frame (every ``every_n``-th) with
+    shape + mean pixel — the row-explosion shape
+    :func:`frame_sample_plan` declares, now fed by actual decoded
+    frames. Per-blob error isolation; blobs never leave this stage."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "media_id", "frame_idx", "frame_ts_ms", "height",
+            "width", "channels", "mean_pixel", "error",
+        ]
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_limit):
+                chunk = pdf.iloc[start : start + batch_limit]
+                rows = []
+                for mid, payload in zip(chunk["media_id"], chunk["payload"]):
+                    try:
+                        frames, fps = decode_framepack(bytes(payload))
+                        for i in range(0, len(frames), max(every_n, 1)):
+                            f = frames[i]
+                            rows.append(
+                                (
+                                    int(mid), i, 1000.0 * i / fps,
+                                    f.shape[0], f.shape[1], f.shape[2],
+                                    float(f.mean()), None,
+                                )
+                            )
+                    except (NotImplementedError, ValueError, KeyError) as exc:
+                        rows.append(
+                            (int(mid), None, None, None, None, None, None,
+                             f"{type(exc).__name__}: {exc}")
+                        )
+                yield pd.DataFrame(rows, columns=cols)
+
+    return media.select("media_id", "payload").mapInPandas(
+        kernel, schema=VIDEO_DECODE_SCHEMA
+    )
+
+
 IMAGE_DECODE_SCHEMA = (
     "media_id long, height int, width int, channels int, "
     "mean_pixel double, feature array<float>, error string"

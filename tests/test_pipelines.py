@@ -522,6 +522,42 @@ def test_wav_roundtrip_and_audio_features(spark):
     assert isinstance(feats.loc[1].error, str) and "NotImplementedError" in feats.loc[1].error
 
 
+def test_framepack_roundtrip_and_video_features(spark):
+    """encode_framepack -> decode_framepack roundtrips the frames, and
+    the mapInPandas video kernel samples every Nth frame with correct
+    timestamps; a real-codec payload isolates into the error column."""
+    from gapless_deribit_clickhouse_spark.pipelines.multimodal import (
+        MEDIA_SCHEMA,
+        decode_framepack,
+        encode_framepack,
+        video_frame_features,
+    )
+
+    rng = np.random.default_rng(21)
+    frames = [
+        rng.integers(0, 256, size=(6, 8, 3)).astype("uint8") for _ in range(10)
+    ]
+    pack = encode_framepack(frames, fps=20.0)
+    got, fps = decode_framepack(pack)
+    assert fps == 20.0 and len(got) == 10
+    assert all((a == b).all() for a, b in zip(got, frames))
+
+    rows = [
+        (0, "video", "video/x-fpk", bytearray(pack), 8, 6, 500),
+        (1, "video", "video/mp4", bytearray(b"\x00\x00\x00 ftypmp42"), None, None, None),
+    ]
+    media = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    feats = video_frame_features(media, every_n=3).toPandas()
+    ok = feats[feats.media_id == 0].sort_values("frame_idx")
+    assert ok.frame_idx.tolist() == [0, 3, 6, 9]
+    assert np.allclose(ok.frame_ts_ms, [0.0, 150.0, 300.0, 450.0])
+    assert (ok.height == 6).all() and (ok.width == 8).all()
+    expected_means = [float(frames[i].mean()) for i in (0, 3, 6, 9)]
+    assert np.allclose(ok.mean_pixel, expected_means)
+    err = feats[feats.media_id == 1]
+    assert len(err) == 1 and "NotImplementedError" in err.error.iloc[0]
+
+
 def test_image_feature_extract_real_decode(spark):
     """The real decode kernel end-to-end over mapInPandas: every
     synthetic PNG decodes (no error rows), shapes match the generator,
