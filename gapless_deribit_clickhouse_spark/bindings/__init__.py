@@ -37,6 +37,8 @@ _DEMOTED = (
     "multimodal_features",  # sibling: image_decode_features (same
     # mapInPandas blob-feature shape; the window slot now exercises
     # the REAL decode kernel with a value-level oracle)
+    "audio_decode_features",  # sibling: image_decode_features (same
+    # real-decode mapInPandas shape, audio kernel; CI value-oracle)
 )
 ALL_BINDINGS = [b for b in ALL_BINDINGS if b[0] not in _DEMOTED] + [
     b for b in ALL_BINDINGS if b[0] in _DEMOTED

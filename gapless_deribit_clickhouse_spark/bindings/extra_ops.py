@@ -249,6 +249,60 @@ WHERE octet_length(encode(text)) = length(text)
 """
 
 
+# --- multimodal: REAL audio decode (stdlib PCM-WAV kernel) ---
+def audio_decode_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio twin of ``image_decode_features_q``: each ASCII document
+    becomes a valid 8-bit PCM WAV (8 kHz mono, first 64 chars as
+    samples), decoded by the stdlib RIFF kernel and reduced to
+    duration/RMS/zero-crossing-rate. WAV samples ARE the text bytes
+    ((code-128)/128), so DuckDB recomputes the same statistics from
+    character codes — a value-level oracle for audio decode."""
+    import struct
+
+    from gapless_deribit_clickhouse_spark.pipelines.multimodal import (
+        audio_feature_extract,
+    )
+
+    header = (
+        b"RIFF" + struct.pack("<I", 100) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16)
+        + struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+        + b"data" + struct.pack("<I", 64)
+    )
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.octet_length(F.col("text")) == F.length(F.col("text"))
+    )
+    padded = F.rpad(F.substring(F.col("text"), 1, 64), 64, " ")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(F.lit(header), F.encode(padded, "UTF-8")).alias("payload"),
+    )
+    return audio_feature_extract(media).select(
+        "media_id", "n_frames", "channels", "sample_rate",
+        "duration_ms", "rms", "zero_crossing_rate",
+    )
+
+
+AUDIO_DECODE_SQL = """
+WITH base AS (
+  SELECT doc_id,
+         list_transform(range(1, 65),
+             i -> (ascii(substr(rpad(substr(text, 1, 64), 64, ' '), i, 1))
+                   - 128.0) / 128.0) AS v
+  FROM documents
+  WHERE octet_length(encode(text)) = length(text)
+)
+SELECT doc_id AS media_id,
+       CAST(64 AS BIGINT) AS n_frames, 1 AS channels, 8000 AS sample_rate,
+       8.0 AS duration_ms,
+       sqrt(list_avg(list_transform(v, x -> x * x))) AS rms,
+       list_avg(list_transform(range(2, 65),
+           i -> CASE WHEN (v[i] < 0) <> (v[i - 1] < 0)
+                     THEN 1.0 ELSE 0.0 END)) AS zero_crossing_rate
+FROM base
+"""
+
+
 # --- §2.8 string tier: instrument format -> parse roundtrip ---
 def instrument_parse_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gapless_deribit_clickhouse_spark.functions.instrument import (
@@ -470,4 +524,5 @@ BINDINGS = [
     # fake-kernel byte-feature variant is demoted to the CI-oracle tail
     ("image_decode_features", image_decode_features_q, IMAGE_DECODE_SQL),
     ("multimodal_features", multimodal_features_q, MULTIMODAL_SQL),
+    ("audio_decode_features", audio_decode_features_q, AUDIO_DECODE_SQL),
 ]

@@ -22,6 +22,7 @@ REQUIRED_PYTHON = {
     "egarch_params",
     "multimodal_features",
     "image_decode_features",  # real decode kernel (stdlib PNG/PGM)
+    "audio_decode_features",  # real decode kernel (stdlib PCM-WAV)
     "rolling_percentile",
     "embedding_near_dup",
     "ivf_topk",

@@ -24,6 +24,7 @@ SIBLINGS = {
     "token_topk": ["tfidf_top_terms"],
     "dte_distribution": ["dte_bucket_agg", "contract_chain_select"],
     "multimodal_features": ["image_decode_features"],
+    "audio_decode_features": ["image_decode_features"],
 }
 
 
