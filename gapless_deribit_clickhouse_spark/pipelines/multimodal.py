@@ -291,11 +291,22 @@ AUDIO_DECODE_SCHEMA = (
 )
 
 
-def audio_feature_extract(media: DataFrame, batch_limit: int = 256) -> DataFrame:
-    """REAL audio decode + features over ``mapInPandas``: duration,
-    RMS level, zero-crossing rate (the cheap voiced/unvoiced signal
-    proxy) per blob, with per-row error isolation like the image
-    kernel. Blobs stop here; downstream shuffles carry features only."""
+def _blob_feature_rows(
+    media: DataFrame,
+    per_row,
+    columns: list[str],
+    schema: str,
+    batch_limit: int,
+) -> DataFrame:
+    """Shared ``mapInPandas`` scaffolding for every decode kernel:
+    chunked Arrow batches, ``per_row(media_id, payload) ->
+    list[tuple]`` per blob, per-blob error isolation. Blobs are
+    UNTRUSTED bytes — a corrupt payload can raise ``struct.error``,
+    ``zlib.error``, ``IndexError``, ``ZeroDivisionError``, ... from
+    anywhere inside a parser, so ANY exception must land in the last
+    (``error``) column rather than failing the task and aborting the
+    whole job. One implementation of the contract; the three kernels
+    only supply their per-blob feature function."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -304,40 +315,53 @@ def audio_feature_extract(media: DataFrame, batch_limit: int = 256) -> DataFrame
                 rows = []
                 for mid, payload in zip(chunk["media_id"], chunk["payload"]):
                     try:
-                        samples, rate = decode_audio(bytes(payload))
-                        mono = samples.mean(axis=1)
-                        zc = (
-                            float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1])))
-                            if len(mono) > 1
-                            else 0.0
-                        )
+                        rows.extend(per_row(int(mid), bytes(payload)))
+                    except Exception as exc:  # noqa: BLE001 — untrusted blobs
                         rows.append(
-                            (
-                                int(mid),
-                                samples.shape[0],
-                                samples.shape[1],
-                                rate,
-                                1000.0 * samples.shape[0] / rate,
-                                float(np.sqrt(np.mean(mono**2))) if len(mono) else 0.0,
-                                zc,
-                                None,
-                            )
-                        )
-                    except (NotImplementedError, ValueError, KeyError) as exc:
-                        rows.append(
-                            (int(mid), None, None, None, None, None, None,
+                            (int(mid), *[None] * (len(columns) - 2),
                              f"{type(exc).__name__}: {exc}")
                         )
-                yield pd.DataFrame(
-                    rows,
-                    columns=[
-                        "media_id", "n_frames", "channels", "sample_rate",
-                        "duration_ms", "rms", "zero_crossing_rate", "error",
-                    ],
-                )
+                yield pd.DataFrame(rows, columns=columns)
 
-    return media.select("media_id", "payload").mapInPandas(
-        kernel, schema=AUDIO_DECODE_SCHEMA
+    return media.select("media_id", "payload").mapInPandas(kernel, schema=schema)
+
+
+def audio_feature_extract(media: DataFrame, batch_limit: int = 256) -> DataFrame:
+    """REAL audio decode + features over ``mapInPandas``: duration,
+    RMS level, zero-crossing rate (the cheap voiced/unvoiced signal
+    proxy) per blob, with per-blob error isolation like the image
+    kernel. Blobs stop here; downstream shuffles carry features only."""
+
+    def per_row(mid: int, payload: bytes) -> list[tuple]:
+        samples, rate = decode_audio(payload)
+        mono = samples.mean(axis=1)
+        zc = (
+            float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1])))
+            if len(mono) > 1
+            else 0.0
+        )
+        return [
+            (
+                mid,
+                samples.shape[0],
+                samples.shape[1],
+                rate,
+                1000.0 * samples.shape[0] / rate,
+                float(np.sqrt(np.mean(mono**2))) if len(mono) else 0.0,
+                zc,
+                None,
+            )
+        ]
+
+    return _blob_feature_rows(
+        media,
+        per_row,
+        [
+            "media_id", "n_frames", "channels", "sample_rate",
+            "duration_ms", "rms", "zero_crossing_rate", "error",
+        ],
+        AUDIO_DECODE_SCHEMA,
+        batch_limit,
     )
 
 
@@ -390,36 +414,26 @@ def video_frame_features(
     :func:`frame_sample_plan` declares, now fed by actual decoded
     frames. Per-blob error isolation; blobs never leave this stage."""
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cols = [
+    def per_row(mid: int, payload: bytes) -> list[tuple]:
+        frames, fps = decode_framepack(payload)
+        return [
+            (
+                mid, i, 1000.0 * i / fps,
+                frames[i].shape[0], frames[i].shape[1], frames[i].shape[2],
+                float(frames[i].mean()), None,
+            )
+            for i in range(0, len(frames), max(every_n, 1))
+        ]
+
+    return _blob_feature_rows(
+        media,
+        per_row,
+        [
             "media_id", "frame_idx", "frame_ts_ms", "height",
             "width", "channels", "mean_pixel", "error",
-        ]
-        for pdf in batches:
-            for start in range(0, len(pdf), batch_limit):
-                chunk = pdf.iloc[start : start + batch_limit]
-                rows = []
-                for mid, payload in zip(chunk["media_id"], chunk["payload"]):
-                    try:
-                        frames, fps = decode_framepack(bytes(payload))
-                        for i in range(0, len(frames), max(every_n, 1)):
-                            f = frames[i]
-                            rows.append(
-                                (
-                                    int(mid), i, 1000.0 * i / fps,
-                                    f.shape[0], f.shape[1], f.shape[2],
-                                    float(f.mean()), None,
-                                )
-                            )
-                    except (NotImplementedError, ValueError, KeyError) as exc:
-                        rows.append(
-                            (int(mid), None, None, None, None, None, None,
-                             f"{type(exc).__name__}: {exc}")
-                        )
-                yield pd.DataFrame(rows, columns=cols)
-
-    return media.select("media_id", "payload").mapInPandas(
-        kernel, schema=VIDEO_DECODE_SCHEMA
+        ],
+        VIDEO_DECODE_SCHEMA,
+        batch_limit,
     )
 
 
@@ -436,49 +450,36 @@ def image_feature_extract(
     is decoded via :func:`decode_image` and reduced to (shape, mean
     pixel, ``dim``-bin pixel histogram). Decode failures (unsupported
     format without PIL, corrupt payload) land in the ``error`` column
-    instead of failing the task — per-row isolation, same contract as
+    instead of failing the task — per-blob isolation, same contract as
     the EGARCH group fitter. Blobs never pass this stage: the output
     carries features only, so downstream shuffles move no binary."""
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            for start in range(0, len(pdf), batch_limit):
-                chunk = pdf.iloc[start : start + batch_limit]
-                rows = []
-                for mid, payload in zip(chunk["media_id"], chunk["payload"]):
-                    try:
-                        img = decode_image(bytes(payload))
-                        px = img.reshape(-1).astype("float64")
-                        hist = np.histogram(px, bins=dim, range=(0, 256))[0].astype(
-                            "float32"
-                        )
-                        total = hist.sum() or 1.0
-                        rows.append(
-                            (
-                                int(mid),
-                                img.shape[0],
-                                img.shape[1],
-                                img.shape[2],
-                                float(px.mean()),
-                                (hist / total).tolist(),
-                                None,
-                            )
-                        )
-                    except (NotImplementedError, ValueError, KeyError) as exc:
-                        rows.append(
-                            (int(mid), None, None, None, None, None,
-                             f"{type(exc).__name__}: {exc}")
-                        )
-                yield pd.DataFrame(
-                    rows,
-                    columns=[
-                        "media_id", "height", "width", "channels",
-                        "mean_pixel", "feature", "error",
-                    ],
-                )
+    def per_row(mid: int, payload: bytes) -> list[tuple]:
+        img = decode_image(payload)
+        px = img.reshape(-1).astype("float64")
+        hist = np.histogram(px, bins=dim, range=(0, 256))[0].astype("float32")
+        total = hist.sum() or 1.0
+        return [
+            (
+                mid,
+                img.shape[0],
+                img.shape[1],
+                img.shape[2],
+                float(px.mean()),
+                (hist / total).tolist(),
+                None,
+            )
+        ]
 
-    return media.select("media_id", "payload").mapInPandas(
-        kernel, schema=IMAGE_DECODE_SCHEMA
+    return _blob_feature_rows(
+        media,
+        per_row,
+        [
+            "media_id", "height", "width", "channels",
+            "mean_pixel", "feature", "error",
+        ],
+        IMAGE_DECODE_SCHEMA,
+        batch_limit,
     )
 
 

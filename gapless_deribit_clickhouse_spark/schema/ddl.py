@@ -64,7 +64,11 @@ def with_partition_columns(df: DataFrame, schema: TableSchema) -> DataFrame:
     for p in schema.partition_by:
         if p not in df.columns and p.endswith("_month"):
             src = p[: -len("_month")] if p != "trade_month" else "timestamp"
-            df = df.withColumn(p, F.date_format(F.col(src), "yyyyMM"))
+            # best-effort: a frame without the source column (e.g. a
+            # projected subset headed to a connector) passes through
+            # unchanged rather than failing analysis
+            if src in df.columns:
+                df = df.withColumn(p, F.date_format(F.col(src), "yyyyMM"))
     return df
 
 

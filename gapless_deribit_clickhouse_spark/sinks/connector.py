@@ -162,17 +162,30 @@ class ClickHouseHTTPConnector(ServingConnector):
 
     # -- pure statement builders -------------------------------------
     def ddl_statement(self, schema: TableSchema) -> str:
-        cols = ",\n".join(
-            f"  {c.name} {_CH_TYPES[c.spark_type]}"
-            + ("" if c.nullable and c.name not in schema.required else "")
-            for c in schema.columns
-        )
-        version = (
-            f"({', '.join(schema.dedup_version)})" if schema.dedup_version else ""
-        )
+        col_lines = []
+        for c in schema.columns:
+            ch_type = _CH_TYPES[c.spark_type]
+            # ORDER BY / PARTITION BY keys cannot be Nullable in
+            # ClickHouse; everything else nullable-but-not-required
+            # wraps, so a JSON null stays NULL instead of silently
+            # becoming the type default
+            key_cols = set(schema.dedup_key) | set(schema.partition_by)
+            if c.nullable and c.name not in schema.required and c.name not in key_cols:
+                ch_type = f"Nullable({ch_type})"
+            col_lines.append(f"  {c.name} {ch_type}")
+        for p in schema.partition_by:
+            if p not in schema.column_names:
+                # derived partition column (e.g. trade_month) must be
+                # declared or the PARTITION BY clause is rejected
+                col_lines.append(f"  {p} String")
+        # ReplacingMergeTree takes at most ONE version column (a second
+        # argument means is_deleted and must be UInt8) — ties beyond it
+        # are the deterministic-winner concern of the Spark dedup path,
+        # not the engine's
+        version = f"({schema.dedup_version[0]})" if schema.dedup_version else ""
         lines = [
             f"CREATE TABLE IF NOT EXISTS {self.config.database}.{schema.table} (",
-            cols,
+            ",\n".join(col_lines),
             f") ENGINE = ReplacingMergeTree{version}",
         ]
         if schema.partition_by:
@@ -209,6 +222,14 @@ class ClickHouseHTTPConnector(ServingConnector):
     def write_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         if self._table is None:
             raise RuntimeError("call ensure_table(schema) before write_batch")
+        from gapless_deribit_clickhouse_spark.schema.ddl import (
+            with_partition_columns,
+        )
+
+        # derive declared partition columns (e.g. trade_month) exactly
+        # as the parquet write path does, so rows land in the partition
+        # the DDL declares instead of falling back to column defaults
+        batch_df = with_partition_columns(batch_df, self._table)
         url = self.insert_url(self._table.table)
         transport, headers = self.transport, self._headers()
         cols = [c for c in batch_df.columns]
@@ -227,15 +248,20 @@ class ClickHouseHTTPConnector(ServingConnector):
 
 def rows_to_jsoneachrow(rows: Iterable, cols: list[str]) -> bytes:
     """Serialize Spark Rows to ClickHouse JSONEachRow lines. Timestamps
-    render as ISO-8601 microseconds (DateTime64(6) best_effort parse);
-    bytes as latin-1-safe str."""
+    render as ISO-8601 microseconds (DateTime64(6) best_effort parse),
+    dates as YYYY-MM-DD (``date.isoformat`` takes no ``sep`` — passing
+    one raises TypeError); bytes as latin-1-safe str."""
+    import datetime as _dt
+
     out = []
     for r in rows:
         d = {}
         for c in cols:
             v = r[c]
-            if hasattr(v, "isoformat"):
+            if isinstance(v, _dt.datetime):
                 v = v.isoformat(sep=" ")
+            elif isinstance(v, _dt.date):
+                v = v.isoformat()
             elif isinstance(v, (bytes, bytearray)):
                 v = bytes(v).decode("latin-1")
             d[c] = v

@@ -522,6 +522,65 @@ def test_wav_roundtrip_and_audio_features(spark):
     assert isinstance(feats.loc[1].error, str) and "NotImplementedError" in feats.loc[1].error
 
 
+def test_decode_kernels_isolate_corrupt_payloads(spark):
+    """Blobs are untrusted: corruption shapes that raise struct.error,
+    zlib.error, IndexError or ZeroDivisionError inside the parsers must
+    land in the error column, never fail the Spark task (the r4 review
+    finding: the original except-list missed all four)."""
+    import struct
+    import zlib
+
+    import pandas as pd
+
+    from gapless_deribit_clickhouse_spark.pipelines.multimodal import (
+        MEDIA_SCHEMA,
+        audio_feature_extract,
+        encode_framepack,
+        encode_png,
+        image_feature_extract,
+        video_frame_features,
+    )
+
+    # corrupt IDAT: valid signature+IHDR, garbage deflate stream
+    good_png = encode_png(np.zeros((2, 2, 1), dtype="uint8"))
+    bad_idat = good_png[:33] + good_png[33:].replace(
+        zlib.compress(b"\x00\x00\x00\x00\x00\x00"), b"notdeflate00"
+    )
+    images = [
+        (0, bytearray(good_png)),
+        (1, bytearray(good_png[:12])),           # truncated IHDR -> struct/IndexError
+        (2, bytearray(bad_idat)),                 # zlib.error
+        (3, bytearray(b"P5 2")),                  # truncated PGM header
+    ]
+    media = spark.createDataFrame(
+        [(i, "image", None, p, None, None, None) for i, p in images],
+        schema=MEDIA_SCHEMA,
+    )
+    out = image_feature_extract(media).toPandas().set_index("media_id")
+    assert pd.isna(out.loc[0].error)
+    assert all(isinstance(out.loc[i].error, str) for i in (1, 2, 3))
+
+    # truncated WAV fmt chunk -> struct.error
+    bad_wav = b"RIFF" + struct.pack("<I", 20) + b"WAVE" + b"fmt " + struct.pack("<I", 16) + b"\x01\x00"
+    audio = spark.createDataFrame(
+        [(0, "audio", None, bytearray(bad_wav), None, None, None)],
+        schema=MEDIA_SCHEMA,
+    )
+    a = audio_feature_extract(audio).toPandas()
+    assert len(a) == 1 and isinstance(a.error.iloc[0], str)
+
+    # fps=0 framepack -> ZeroDivisionError in the timestamp math
+    zed = encode_framepack([np.zeros((2, 2, 1), dtype="uint8")], fps=0.0)
+    video = spark.createDataFrame(
+        [(0, "video", None, bytearray(zed), None, None, None),
+         (1, "video", None, bytearray(b"FPK1" + b"\x00" * 4), None, None, None)],
+        schema=MEDIA_SCHEMA,
+    )
+    v = video_frame_features(video).toPandas().set_index("media_id")
+    assert "ZeroDivisionError" in v.loc[0].error
+    assert isinstance(v.loc[1].error, str)  # truncated header
+
+
 def test_framepack_roundtrip_and_video_features(spark):
     """encode_framepack -> decode_framepack roundtrips the frames, and
     the mapInPandas video kernel samples every Nth frame with correct

@@ -64,12 +64,48 @@ def test_clickhouse_ddl_from_ssot():
     schema = load_schema("options_trades")
     ddl = ClickHouseHTTPConnector().ddl_statement(schema)
     assert "CREATE TABLE IF NOT EXISTS default.options_trades" in ddl
-    assert "ENGINE = ReplacingMergeTree" in ddl
+    engine_line = ddl.split("ReplacingMergeTree", 1)[1].split("\n")[0]
     if schema.dedup_version:
-        assert schema.dedup_version[0] in ddl.split("ReplacingMergeTree", 1)[1].split("\n")[0]
+        # ClickHouse accepts ONE version column; a second arg means
+        # is_deleted (must be UInt8) and would reject the DDL
+        assert engine_line == f"({schema.dedup_version[0]})"
     for k in schema.dedup_key:
         assert k in ddl.split("ORDER BY", 1)[1]
     assert "timestamp DateTime64(6, 'UTC')" in ddl
+    # derived partition columns must be declared or PARTITION BY fails
+    for p in schema.partition_by:
+        col_block = ddl.split("(", 1)[1].split(") ENGINE", 1)[0]
+        assert f"  {p} " in col_block, p
+    # nullable non-key columns must be Nullable so JSON nulls stay NULL
+    key_cols = set(schema.dedup_key) | set(schema.partition_by)
+    for c in schema.columns:
+        if c.nullable and c.name not in schema.required and c.name not in key_cols:
+            assert f"  {c.name} Nullable(" in ddl, c.name
+        else:
+            assert f"  {c.name} Nullable(" not in ddl, c.name
+
+
+def test_jsoneachrow_serializes_dates_and_timestamps():
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from gapless_deribit_clickhouse_spark.sinks.connector import (
+        rows_to_jsoneachrow,
+    )
+
+    rows = [
+        Row(
+            ts=dt.datetime(2024, 3, 7, 12, 30, 15, 123456),
+            d=dt.date(2024, 3, 7),
+            b=b"\x01\xff",
+            x=None,
+        )
+    ]
+    line = json.loads(rows_to_jsoneachrow(rows, ["ts", "d", "b", "x"]).decode())
+    assert line["ts"] == "2024-03-07 12:30:15.123456"
+    assert line["d"] == "2024-03-07"  # date.isoformat takes no sep
+    assert line["x"] is None and len(line["b"]) == 2
 
 
 def test_clickhouse_insert_url_carries_dedup_settings():
