@@ -133,6 +133,8 @@ def __getattr__(name: str):
         "encode_framepack": "pipelines.multimodal",
         "decode_framepack": "pipelines.multimodal",
         "video_frame_features": "pipelines.multimodal",
+        "pack_sequences": "pipelines.packing",
+        "pack_stats": "pipelines.packing",
     }
     # reference-name aliases (reference __init__.py:42-65 /
     # features/__init__.py:61-88): a reference user's import keeps working
@@ -231,6 +233,7 @@ __all__ = [
     "synthetic_images",
     "decode_audio", "encode_wav", "audio_feature_extract",
     "encode_framepack", "decode_framepack", "video_frame_features",
+    "pack_sequences", "pack_stats",
     # serving-layer connector seam (lazy)
     "ServingConnector", "ParquetServingConnector",
     "ClickHouseHTTPConnector", "ClickHouseConnectorConfig",

@@ -1,0 +1,143 @@
+"""Sequence packing: assign documents to fixed-token-budget packs.
+
+The staple pre-training step the reference (a market-data engine) has
+no analogue for, but a 100 TB training-data pipeline needs: group
+documents into packs whose cumulative token count fits a context
+window, minimizing padding waste.
+
+Scale design — two-level, no global coordination:
+
+1. Docs hash deterministically into ``num_shards`` shards (one
+   shuffle). Shard count bounds per-task memory: each shard's
+   (id, n_tokens) pairs — two longs per doc, never the text — must fit
+   one task, so 10^9 docs at 1024 shards is ~16 MB per task.
+2. Each shard packs independently with first-fit-decreasing
+   (``applyInPandas``, a declared Arrow crossing): sort by length
+   descending, place each doc in the first open pack with room. FFD
+   wastes <= 22% of optimal in the worst case and ~2-5% on natural
+   length distributions; cross-shard packing could recover at most a
+   final partial pack per shard, which vanishes as shards fill.
+
+Pack ids are globally unique and deterministic
+(``shard * 2**40 + local``), so re-running on the same input yields
+identical packs regardless of partitioning — the same reproducibility
+contract as the md5-bucket samplers (``pipelines/sampling.py``).
+
+Oversized single documents (n_tokens > max_tokens) get a pack of
+their own and are flagged, never dropped or truncated here — chunking
+policy belongs to the caller.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from gapless_deribit_clickhouse_spark.pipelines.text_stats import (
+    bpe_ish_token_count,
+)
+
+PACK_SCHEMA_SUFFIX = "pack_id long, pack_pos int, n_tokens long, oversized boolean"
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_col: str | None = None,
+    max_tokens: int = 2048,
+    num_shards: int = 64,
+) -> DataFrame:
+    """Assign each document a ``pack_id`` / ``pack_pos`` under a
+    ``max_tokens`` budget.
+
+    ``token_col`` supplies precomputed token counts; otherwise the
+    BPE-ish regex proxy (``text_stats.bpe_ish_token_count``) is
+    computed in the same projection. Output columns: ``id_col``,
+    ``n_tokens``, ``pack_id``, ``pack_pos`` (order within the pack,
+    longest first), ``oversized`` (single doc exceeding the budget —
+    its own pack, caller decides chunking).
+    """
+    if max_tokens <= 0:
+        raise ValueError(f"max_tokens must be positive, got {max_tokens}")
+    tokens: Column = (
+        F.col(token_col).cast("long")
+        if token_col
+        else bpe_ish_token_count(F.col(text_col)).cast("long")
+    )
+    id_t = df.schema[id_col].dataType.simpleString()
+    slim = df.select(
+        F.col(id_col).alias("__id"),
+        tokens.alias("n_tokens"),
+        F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(num_shards)).alias(
+            "__shard"
+        ),
+    )
+
+    budget = int(max_tokens)
+
+    def pack_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        shard = int(pdf["__shard"].iloc[0])
+        base = shard * (1 << 40)
+        # stable sort: length desc, id asc — deterministic under any
+        # incoming row order
+        pdf = pdf.sort_values(
+            ["n_tokens", "__id"], ascending=[False, True], kind="mergesort"
+        ).reset_index(drop=True)
+        remaining: list[int] = []  # room left per open pack
+        pack_of = []
+        pos_of = []
+        counts: list[int] = []
+        for t in pdf["n_tokens"]:
+            t = int(t)
+            placed = None
+            if t <= budget:
+                for j, room in enumerate(remaining):
+                    if room >= t:
+                        placed = j
+                        break
+            if placed is None:
+                remaining.append(max(budget - t, 0))
+                counts.append(0)
+                placed = len(remaining) - 1
+            else:
+                remaining[placed] -= t
+            pack_of.append(base + placed)
+            pos_of.append(counts[placed])
+            counts[placed] += 1
+        out = pd.DataFrame(
+            {
+                "__id": pdf["__id"],
+                "n_tokens": pdf["n_tokens"],
+                "pack_id": pack_of,
+                "pack_pos": pos_of,
+                "oversized": pdf["n_tokens"].astype("int64") > budget,
+            }
+        )
+        return out
+
+    packed = slim.groupBy("__shard").applyInPandas(
+        pack_shard, schema=f"__id {id_t}, {PACK_SCHEMA_SUFFIX}"
+    )
+    return packed.withColumnRenamed("__id", id_col)
+
+
+def pack_stats(packed: DataFrame, max_tokens: int) -> DataFrame:
+    """Packing quality rollup: pack count, docs/pack, fill rate (the
+    padding-waste complement), oversized count — one aggregation."""
+    per_pack = packed.groupBy("pack_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("pack_tokens"),
+        F.max(F.col("oversized").cast("int")).alias("has_oversized"),
+    )
+    return per_pack.agg(
+        F.count("*").alias("n_packs"),
+        F.sum("n_docs").alias("n_docs"),
+        F.avg("n_docs").alias("avg_docs_per_pack"),
+        (
+            F.sum(F.least(F.col("pack_tokens"), F.lit(max_tokens)))
+            / (F.count("*") * F.lit(max_tokens))
+        ).alias("fill_rate"),
+        F.sum("has_oversized").alias("oversized_packs"),
+    )

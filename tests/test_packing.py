@@ -1,0 +1,110 @@
+"""Sequence packing: budget respected, nothing lost, deterministic
+under partitioning, decent fill rate on natural length mixes."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from gapless_deribit_clickhouse_spark.pipelines.packing import (
+    pack_sequences,
+    pack_stats,
+)
+
+MAX = 512
+
+
+@pytest.fixture(scope="module")
+def docs_with_lengths(spark):
+    rng = np.random.default_rng(17)
+    lengths = np.concatenate(
+        [
+            rng.integers(10, 200, size=400),     # short tail
+            rng.integers(200, 500, size=150),    # mid
+            [600, 900, 2000],                    # oversized singles
+        ]
+    )
+    pdf = pd.DataFrame(
+        {"doc_id": np.arange(len(lengths), dtype="int64"), "n_tok": lengths}
+    )
+    return spark.createDataFrame(pdf)
+
+
+def test_packing_respects_budget_and_loses_nothing(spark, docs_with_lengths):
+    packed = pack_sequences(
+        docs_with_lengths,
+        id_col="doc_id",
+        token_col="n_tok",
+        max_tokens=MAX,
+        num_shards=8,
+    ).cache()
+    n_in = docs_with_lengths.count()
+    assert packed.count() == n_in  # no doc lost
+    assert packed.select("doc_id").distinct().count() == n_in  # none duplicated
+    per_pack = packed.groupBy("pack_id").agg(
+        F.sum("n_tokens").alias("tot"), F.count("*").alias("n"),
+        F.max(F.col("oversized").cast("int")).alias("over"),
+    )
+    # every non-oversized pack fits the budget; oversized docs sit alone
+    bad = per_pack.filter((F.col("over") == 0) & (F.col("tot") > MAX)).count()
+    assert bad == 0
+    solo = per_pack.filter(F.col("over") == 1)
+    assert solo.count() == 3 and solo.filter(F.col("n") != 1).count() == 0
+    # pack_pos is a dense 0..n-1 order within each pack
+    pos_ok = (
+        packed.groupBy("pack_id")
+        .agg(F.count("*").alias("n"), F.max("pack_pos").alias("mx"), F.min("pack_pos").alias("mn"))
+        .filter((F.col("mx") != F.col("n") - 1) | (F.col("mn") != 0))
+        .count()
+    )
+    assert pos_ok == 0
+
+
+def test_packing_deterministic_under_partitioning(docs_with_lengths):
+    a = sorted(
+        map(
+            tuple,
+            pack_sequences(
+                docs_with_lengths.repartition(13),
+                token_col="n_tok", max_tokens=MAX, num_shards=8,
+            ).collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            pack_sequences(
+                docs_with_lengths.coalesce(1),
+                token_col="n_tok", max_tokens=MAX, num_shards=8,
+            ).collect(),
+        )
+    )
+    assert a == b and len(a) > 0
+
+
+def test_packing_fill_rate_and_stats(spark, docs_with_lengths):
+    packed = pack_sequences(
+        docs_with_lengths, token_col="n_tok", max_tokens=MAX, num_shards=8
+    )
+    stats = pack_stats(packed, MAX).collect()[0]
+    assert stats.n_docs == docs_with_lengths.count()
+    assert stats.oversized_packs == 3
+    # FFD on this mix should waste little: >= 80% fill
+    assert stats.fill_rate >= 0.8
+
+
+def test_packing_from_text_column(spark):
+    docs = spark.createDataFrame(
+        [(1, "one two three"), (2, "a b c d e"), (3, "x")],
+        "doc_id long, text string",
+    )
+    packed = pack_sequences(docs, max_tokens=8, num_shards=2).collect()
+    assert {r.doc_id for r in packed} == {1, 2, 3}
+    assert all(r.n_tokens > 0 for r in packed)
+
+
+def test_packing_rejects_bad_budget(spark, docs_with_lengths):
+    with pytest.raises(ValueError):
+        pack_sequences(docs_with_lengths, token_col="n_tok", max_tokens=0)
