@@ -294,7 +294,6 @@ AUDIO_DECODE_SCHEMA = (
 def _blob_feature_rows(
     media: DataFrame,
     per_row,
-    columns: list[str],
     schema: str,
     batch_limit: int,
 ) -> DataFrame:
@@ -306,7 +305,10 @@ def _blob_feature_rows(
     anywhere inside a parser, so ANY exception must land in the last
     (``error``) column rather than failing the task and aborting the
     whole job. One implementation of the contract; the three kernels
-    only supply their per-blob feature function."""
+    only supply their per-blob feature function. Column names come
+    from the DDL ``schema`` string itself, so row shape and declared
+    Arrow schema cannot drift apart."""
+    columns = [f.strip().split()[0] for f in schema.split(",")]
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -353,16 +355,7 @@ def audio_feature_extract(media: DataFrame, batch_limit: int = 256) -> DataFrame
             )
         ]
 
-    return _blob_feature_rows(
-        media,
-        per_row,
-        [
-            "media_id", "n_frames", "channels", "sample_rate",
-            "duration_ms", "rms", "zero_crossing_rate", "error",
-        ],
-        AUDIO_DECODE_SCHEMA,
-        batch_limit,
-    )
+    return _blob_feature_rows(media, per_row, AUDIO_DECODE_SCHEMA, batch_limit)
 
 
 def encode_framepack(frames: list["np.ndarray"], fps: float = 10.0) -> bytes:
@@ -425,16 +418,7 @@ def video_frame_features(
             for i in range(0, len(frames), max(every_n, 1))
         ]
 
-    return _blob_feature_rows(
-        media,
-        per_row,
-        [
-            "media_id", "frame_idx", "frame_ts_ms", "height",
-            "width", "channels", "mean_pixel", "error",
-        ],
-        VIDEO_DECODE_SCHEMA,
-        batch_limit,
-    )
+    return _blob_feature_rows(media, per_row, VIDEO_DECODE_SCHEMA, batch_limit)
 
 
 IMAGE_DECODE_SCHEMA = (
@@ -471,16 +455,7 @@ def image_feature_extract(
             )
         ]
 
-    return _blob_feature_rows(
-        media,
-        per_row,
-        [
-            "media_id", "height", "width", "channels",
-            "mean_pixel", "feature", "error",
-        ],
-        IMAGE_DECODE_SCHEMA,
-        batch_limit,
-    )
+    return _blob_feature_rows(media, per_row, IMAGE_DECODE_SCHEMA, batch_limit)
 
 
 def fake_feature_extract(

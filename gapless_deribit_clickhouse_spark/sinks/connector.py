@@ -162,14 +162,20 @@ class ClickHouseHTTPConnector(ServingConnector):
 
     # -- pure statement builders -------------------------------------
     def ddl_statement(self, schema: TableSchema) -> str:
+        # ORDER BY / PARTITION BY / ReplacingMergeTree-version columns
+        # cannot be Nullable in ClickHouse; everything else
+        # nullable-but-not-required wraps, so a JSON null stays NULL
+        # instead of silently becoming the type default
+        order = schema.dedup_key or schema.column_names[:1]
+        key_cols = (
+            set(schema.dedup_key)
+            | set(schema.partition_by)
+            | set(schema.dedup_version[:1])
+            | set(order)
+        )
         col_lines = []
         for c in schema.columns:
             ch_type = _CH_TYPES[c.spark_type]
-            # ORDER BY / PARTITION BY keys cannot be Nullable in
-            # ClickHouse; everything else nullable-but-not-required
-            # wraps, so a JSON null stays NULL instead of silently
-            # becoming the type default
-            key_cols = set(schema.dedup_key) | set(schema.partition_by)
             if c.nullable and c.name not in schema.required and c.name not in key_cols:
                 ch_type = f"Nullable({ch_type})"
             col_lines.append(f"  {c.name} {ch_type}")
@@ -190,7 +196,6 @@ class ClickHouseHTTPConnector(ServingConnector):
         ]
         if schema.partition_by:
             lines.append(f"PARTITION BY ({', '.join(schema.partition_by)})")
-        order = schema.dedup_key or schema.column_names[:1]
         lines.append(f"ORDER BY ({', '.join(order)})")
         return "\n".join(lines)
 
@@ -230,6 +235,14 @@ class ClickHouseHTTPConnector(ServingConnector):
         # as the parquet write path does, so rows land in the partition
         # the DDL declares instead of falling back to column defaults
         batch_df = with_partition_columns(batch_df, self._table)
+        missing = [p for p in self._table.partition_by if p not in batch_df.columns]
+        if missing:
+            # fail LOUDLY: an insert without the partition column would
+            # silently default it ('' partition) and break pruning
+            raise ValueError(
+                f"batch is missing partition column(s) {missing} and their "
+                "derivation sources; project them before write_batch"
+            )
         url = self.insert_url(self._table.table)
         transport, headers = self.transport, self._headers()
         cols = [c for c in batch_df.columns]

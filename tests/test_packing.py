@@ -108,3 +108,84 @@ def test_packing_from_text_column(spark):
 def test_packing_rejects_bad_budget(spark, docs_with_lengths):
     with pytest.raises(ValueError):
         pack_sequences(docs_with_lengths, token_col="n_tok", max_tokens=0)
+
+
+def test_zero_token_docs_never_join_oversized_packs(spark):
+    """r4 review finding: a zero-token doc used to first-fit into an
+    oversized doc's room-0 pack, breaking the 'oversized sits alone'
+    contract. Oversized packs are now closed at creation."""
+    pdf = pd.DataFrame(
+        {"doc_id": [1, 2, 3, 4], "n_tok": [2000, 0, 0, 100]}
+    )
+    packed = (
+        pack_sequences(
+            spark.createDataFrame(pdf),
+            token_col="n_tok", max_tokens=512, num_shards=1,
+        )
+        .toPandas()
+        .set_index("doc_id")
+    )
+    over_pack = packed.loc[1].pack_id
+    assert packed.loc[1].oversized
+    assert (packed.drop(index=1).pack_id != over_pack).all()
+    # zero-token docs still land somewhere exactly once
+    assert len(packed) == 4
+
+
+def test_null_token_counts_pack_as_zero(spark):
+    """A null token count (corrupt upstream row) must not fail the
+    job: it packs as 0 tokens."""
+    df = spark.createDataFrame(
+        [(1, 100), (2, None), (3, 50)], "doc_id long, n_tok long"
+    )
+    packed = pack_sequences(df, token_col="n_tok", max_tokens=512, num_shards=1)
+    out = packed.toPandas().set_index("doc_id")
+    assert len(out) == 3
+    assert out.loc[2].n_tokens == 0 and not out.loc[2].oversized
+    null_text = spark.createDataFrame(
+        [(1, "some text"), (2, None)], "doc_id long, text string"
+    )
+    out2 = pack_sequences(null_text, max_tokens=64, num_shards=1).toPandas()
+    assert len(out2) == 2
+
+
+def test_segment_tree_ffd_budget_and_quality(spark):
+    """Exact FFD via the segment tree: budget never violated and fill
+    is near-optimal (>= 0.95 on a uniform mix — the bounded-window
+    variant this replaced measured only ~0.78 here)."""
+    rng = np.random.default_rng(23)
+    pdf = pd.DataFrame(
+        {
+            "doc_id": np.arange(5000, dtype="int64"),
+            "n_tok": rng.integers(10, 500, size=5000),
+        }
+    )
+    packed = pack_sequences(
+        spark.createDataFrame(pdf),
+        token_col="n_tok", max_tokens=MAX, num_shards=4,
+    )
+    per_pack = packed.groupBy("pack_id").agg(F.sum("n_tokens").alias("tot"))
+    assert per_pack.filter(F.col("tot") > MAX).count() == 0
+    stats = pack_stats(packed, MAX).collect()[0]
+    assert stats.n_docs == 5000 and stats.fill_rate >= 0.95
+
+
+def test_first_fit_tree_matches_naive_scan():
+    """The segment-tree first-fit must place identically to the naive
+    linear scan (lowest-indexed pack with room) on random streams."""
+    from gapless_deribit_clickhouse_spark.pipelines.packing import _FirstFitTree
+
+    rng = np.random.default_rng(5)
+    for _ in range(20):
+        tree = _FirstFitTree()
+        rooms: list[int] = []
+        for t in rng.integers(1, 100, size=200):
+            t = int(t)
+            naive = next((j for j, r in enumerate(rooms) if r >= t), None)
+            got = tree.find_and_take(t)
+            assert got == naive
+            if naive is None:
+                rooms.append(int(rng.integers(0, 150)))
+                tree.add(rooms[-1])
+            else:
+                rooms[naive] -= t

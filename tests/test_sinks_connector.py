@@ -146,6 +146,7 @@ def test_clickhouse_write_batch_posts_all_rows(spark, tmp_path):
         F.col("id").alias("trade_id"),
         F.lit("BTC").alias("underlying"),
         (F.col("id") * 1.5).alias("price"),
+        F.lit("2024-03-07 12:00:00").cast("timestamp").alias("timestamp"),
     )
     conn.write_batch(df, batch_id=0)
     rows = []
@@ -158,6 +159,19 @@ def test_clickhouse_write_batch_posts_all_rows(spark, tmp_path):
     assert len(rows) == 20
     assert {r["trade_id"] for r in rows} == set(range(20))
     assert all(r["underlying"] == "BTC" for r in rows)
+    # derived partition column rides along, matching the DDL
+    assert all(r["trade_month"] == "202403" for r in rows)
+
+
+def test_clickhouse_write_batch_rejects_underivable_partition(spark):
+    """A projected batch with neither the partition column nor its
+    derivation source must fail LOUDLY — a silent insert would land
+    every row in the '' default partition (r4 review finding)."""
+    conn = ClickHouseHTTPConnector(transport=lambda u, b, h: 200)
+    conn.ensure_table(load_schema("options_trades"))
+    df = spark.range(3).select(F.col("id").alias("trade_id"))
+    with pytest.raises(ValueError, match="partition column"):
+        conn.write_batch(df, batch_id=0)
 
 
 def test_write_batch_requires_ensure_table(spark):
