@@ -135,6 +135,9 @@ def __getattr__(name: str):
         "video_frame_features": "pipelines.multimodal",
         "pack_sequences": "pipelines.packing",
         "pack_stats": "pipelines.packing",
+        "redact_pii": "pipelines.scrub",
+        "pii_counts": "pipelines.scrub",
+        "scrub_documents": "pipelines.scrub",
     }
     # reference-name aliases (reference __init__.py:42-65 /
     # features/__init__.py:61-88): a reference user's import keeps working
@@ -234,6 +237,7 @@ __all__ = [
     "decode_audio", "encode_wav", "audio_feature_extract",
     "encode_framepack", "decode_framepack", "video_frame_features",
     "pack_sequences", "pack_stats",
+    "redact_pii", "pii_counts", "scrub_documents",
     # serving-layer connector seam (lazy)
     "ServingConnector", "ParquetServingConnector",
     "ClickHouseHTTPConnector", "ClickHouseConnectorConfig",

@@ -39,6 +39,8 @@ _DEMOTED = (
     # the REAL decode kernel with a value-level oracle)
     "audio_decode_features",  # sibling: image_decode_features (same
     # real-decode mapInPandas shape, audio kernel; CI value-oracle)
+    "pii_scrub",  # sibling: text_quality (same map-only regex/column
+    # projection over documents; CI value-oracle)
 )
 ALL_BINDINGS = [b for b in ALL_BINDINGS if b[0] not in _DEMOTED] + [
     b for b in ALL_BINDINGS if b[0] in _DEMOTED

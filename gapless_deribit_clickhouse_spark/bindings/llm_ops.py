@@ -654,6 +654,41 @@ WHERE m.n_matched >= 1
 """
 
 
+# --- PII scrubbing (pure regex column algebra, CI-oracle demoted) ---
+def pii_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gapless_deribit_clickhouse_spark.pipelines.scrub import scrub_documents
+
+    return scrub_documents(load_table(spark, sf_dir, "documents"))
+
+
+def _pii_scrub_sql() -> str:
+    """Oracle generated from the SAME PII_PATTERNS list the Spark side
+    applies (single source of truth — a pattern edit cannot desync the
+    two engines). Patterns stay within the Java-regex/RE2 common
+    subset; DuckDB needs the 'g' flag to match Spark's replace-all."""
+    from gapless_deribit_clickhouse_spark.pipelines.scrub import PII_PATTERNS
+
+    clean = "text"
+    for _name, pattern, repl in PII_PATTERNS:
+        p = pattern.replace("'", "''")
+        clean = f"regexp_replace({clean}, '{p}', '{repl}', 'g')"
+    counts = ", ".join(
+        f"coalesce(len(regexp_extract_all(text, '{pattern}')), 0) AS n_{name}"
+        for name, pattern, _repl in PII_PATTERNS
+    )
+    total = " + ".join(
+        f"coalesce(len(regexp_extract_all(text, '{pattern}')), 0)"
+        for _name, pattern, _repl in PII_PATTERNS
+    )
+    return (
+        f"SELECT doc_id, {clean} AS clean_text, {counts}, "
+        f"{total} AS n_pii_total FROM documents"
+    )
+
+
+PII_SCRUB_SQL = _pii_scrub_sql()
+
+
 BINDINGS = [
     ("tfidf_top_terms", tfidf_q, TFIDF_SQL),
     ("repetition_stats", repetition_q, REPETITION_SQL),
@@ -675,4 +710,5 @@ BINDINGS = [
     ("lang_id", lang_id_q, LANG_ID_SQL),
     ("doc_fingerprint", fingerprint_q, FINGERPRINT_SQL),
     ("token_counts", token_counts_q, TOKEN_COUNTS_SQL),
+    ("pii_scrub", pii_scrub_q, PII_SCRUB_SQL),
 ]

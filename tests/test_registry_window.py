@@ -25,6 +25,7 @@ SIBLINGS = {
     "dte_distribution": ["dte_bucket_agg", "contract_chain_select"],
     "multimodal_features": ["image_decode_features"],
     "audio_decode_features": ["image_decode_features"],
+    "pii_scrub": ["text_quality"],
 }
 
 
