@@ -121,6 +121,7 @@ def __getattr__(name: str):
         "ClickHouseHTTPConnector": "sinks.connector",
         "ClickHouseConnectorConfig": "sinks.connector",
         "write_stream_to_connector": "sinks.connector",
+        "write_jsonl_shards": "sinks.connector",
         "lsh_params": "pipelines.embeddings",
         "minhash_params": "pipelines.text_dedup",
         "decode_image": "pipelines.multimodal",
@@ -241,7 +242,7 @@ __all__ = [
     # serving-layer connector seam (lazy)
     "ServingConnector", "ParquetServingConnector",
     "ClickHouseHTTPConnector", "ClickHouseConnectorConfig",
-    "write_stream_to_connector",
+    "write_stream_to_connector", "write_jsonl_shards",
     # reference-name aliases
     "calculate_greeks", "calculate_portfolio_greeks",
     "aggregate_greeks_by_bucket", "get_quality_metrics",
