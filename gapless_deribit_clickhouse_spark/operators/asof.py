@@ -72,33 +72,40 @@ def asof_join(
     def bucket_of(ts_col: str):
         return F.floor(F.col(ts_col).cast("double") / step).cast("long")
 
-    l_tag = left.select(
-        *on,
-        F.col(left_ts).alias("__ts"),
-        F.lit(1).alias("__side"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"{c}{suffix}") for c in value_cols],
-        F.lit(None).cast("double").alias("__rts"),
-        F.struct(*[F.col(c) for c in left.columns]).alias("__row"),
-    ).withColumn("__bucket", bucket_of("__ts"))
+    # The right row travels as ONE struct (__payload): the in-bucket
+    # fill must carry the latest right ROW atomically — per-column
+    # last(ignorenulls) would stitch values from DIFFERENT right rows
+    # when the latest row has nulls (merge_asof/ASOF JOIN semantics
+    # are row-atomic, and the cross-bucket carry below already is).
     r_tag = right.select(
         *on,
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
-        *[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
-        F.col(right_ts).cast("double").alias("__rts"),
-        F.lit(None).cast(l_tag.schema["__row"].dataType).alias("__row"),
+        F.struct(
+            F.col(right_ts).cast("double").alias("__rts"),
+            *[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
+        ).alias("__payload"),
     ).withColumn("__bucket", bucket_of("__ts"))
+    payload_t = r_tag.schema["__payload"].dataType
+    l_tag = left.select(
+        *on,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(payload_t).alias("__payload"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__row"),
+    ).withColumn("__bucket", bucket_of("__ts"))
+    r_tag = r_tag.withColumn(
+        "__row", F.lit(None).cast(l_tag.schema["__row"].dataType)
+    )
 
     # --- cross-bucket carry (metadata-scale) ---
     # Last right row per (key, bucket): partial-aggregates map-side,
     # shuffles one row per (key, bucket) per map task.
-    payload = F.struct(
-        F.col("__rts").alias("__rts"),
-        *[F.col(n).alias(n) for n in out_names],
-    )
     rb = (
         r_tag.groupBy(*on, "__bucket")
-        .agg(F.max_by(payload, F.col("__rts")).alias("__p"))
+        .agg(
+            F.max_by(F.col("__payload"), F.col("__payload.__rts")).alias("__p")
+        )
         .withColumn("__flag", F.lit(1))
     )
     # Bucket spine: every (key, bucket) the LEFT touches needs a
@@ -134,8 +141,7 @@ def asof_join(
         .cast(l_tag.schema["__ts"].dataType)
         .alias("__ts"),
         F.lit(-1).alias("__side"),
-        *[F.col("__carry").getField(n).alias(n) for n in out_names],
-        F.col("__carry").getField("__rts").alias("__rts"),
+        F.col("__carry").alias("__payload"),
         F.lit(None).cast(l_tag.schema["__row"].dataType).alias("__row"),
         F.col("__bucket"),
     )
@@ -151,22 +157,26 @@ def asof_join(
             "__side",
             "__row",
             F.col("__ts"),
-            *[F.last(n, ignorenulls=True).over(w).alias(n) for n in out_names],
-            F.last("__rts", ignorenulls=True).over(w).alias("__rts_f"),
+            # one row-atomic carry: the latest right ROW, nulls and all
+            F.last("__payload", ignorenulls=True).over(w).alias("__pf"),
         )
     )
     matched = filled.filter(F.col("__side") == 1)
+    rts_f = F.col("__pf").getField("__rts")
     if tolerance_seconds is not None:
-        within = (F.col("__ts").cast("double") - F.col("__rts_f")) <= float(tolerance_seconds)
+        within = (F.col("__ts").cast("double") - rts_f) <= float(tolerance_seconds)
         matched = matched.select(
             "__row",
             *[
-                F.when(within, F.col(name)).alias(name)
+                F.when(within, F.col("__pf").getField(name)).alias(name)
                 for name in out_names
             ],
         )
     else:
-        matched = matched.select("__row", *out_names)
+        matched = matched.select(
+            "__row",
+            *[F.col("__pf").getField(name).alias(name) for name in out_names],
+        )
     return matched.select(
         *[F.col(f"__row.{c}").alias(c) for c in left.columns], *out_names
     )

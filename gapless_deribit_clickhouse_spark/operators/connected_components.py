@@ -114,14 +114,24 @@ def connected_components(
         return e, (sig["n"], sig["h"])
 
     edges, prev_sig = materialize(edges)
+    converged = False
     for _ in range(max_iter):
         if prev_sig[0] <= local_threshold:
             rows = [(r["u"], r["v"]) for r in edges.collect()]
             return spark.createDataFrame(_local_union_find(rows), out_schema)
         edges, sig = materialize(_round(edges))
         if sig == prev_sig:
+            converged = True
             break
         prev_sig = sig
+    if not converged:
+        # the star extraction below is only valid at the fixpoint;
+        # labeling from an intermediate state would silently return
+        # non-minimal component representatives
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter={max_iter} "
+            "rounds; raise max_iter (rounds needed ~ O(log n))"
+        )
     # converged distributed: stars rooted at component minima. u > v
     # everywhere, so membership of u is its min partner; roots appear
     # only on the v side and map to themselves.

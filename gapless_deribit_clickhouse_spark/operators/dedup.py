@@ -116,18 +116,41 @@ def compact_table(
             f.parent.relative_to(staging)
             for f in staging.rglob("*.parquet")
         }
+        # aside area OUTSIDE the table root (an __old dir inside it
+        # would be discovered as a bogus partition value on a crashed
+        # run's next read)
+        aside_root = root.with_name(root.name + "__old")
+        if aside_root.exists():
+            shutil.rmtree(aside_root)
         for rel in sorted(leaves):
             target = root / rel
-            if target.exists():
-                shutil.rmtree(target)
+            # rename the live partition ASIDE before moving the
+            # replacement in: deleting it first opens a crash window
+            # where the only surviving copy sits in the staging dir —
+            # which a recovery rerun would rmtree. With rename-aside,
+            # every instant has either the old or the new partition
+            # complete under the table root.
+            old = aside_root / rel
+            had_old = target.exists()
+            if had_old:
+                old.parent.mkdir(parents=True, exist_ok=True)
+                target.rename(old)
             target.parent.mkdir(parents=True, exist_ok=True)
             shutil.move(str(staging / rel), str(target))
+            if had_old:
+                shutil.rmtree(old)
             swapped.append(str(rel))
+        shutil.rmtree(aside_root, ignore_errors=True)
     else:
+        old = root.with_name(root.name + "__old")
+        if old.exists():
+            shutil.rmtree(old)
+        old.mkdir()
         for f in root.glob("*.parquet"):
-            f.unlink()
+            f.rename(old / f.name)
         for f in staging.glob("*.parquet"):
             shutil.move(str(f), str(root / f.name))
+        shutil.rmtree(old)
         swapped.append(".")
     shutil.rmtree(staging, ignore_errors=True)
 

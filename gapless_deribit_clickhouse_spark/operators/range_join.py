@@ -41,7 +41,9 @@ def interval_join(
 
     ``how`` may be ``inner`` or ``left`` (unmatched left rows kept with
     NULL right columns). Right columns clashing with left names are
-    dropped except the interval bounds.
+    dropped except the interval bounds, which are kept under a
+    ``_right`` suffix when their names clash (keeping the bare name
+    would make every reference to them ambiguous).
     """
     if how not in ("inner", "left"):
         raise ValueError(f"how must be inner|left, got {how!r}")
@@ -50,21 +52,29 @@ def interval_join(
     b = F.lit(int(bucket_seconds))
     lb = left.withColumn("__b", F.floor(F.unix_timestamp(F.col(left_ts)) / b))
     dup = [c for c in right.columns if c in left.columns and c not in on]
-    rb = (
-        right.drop(*dup)
-        if not {start_col, end_col} & set(dup)
-        else right.drop(*[c for c in dup if c not in (start_col, end_col)])
-    )
+    rb = right.drop(*[c for c in dup if c not in (start_col, end_col)])
+    s_name, e_name = start_col, end_col
+    if start_col in dup:
+        s_name = f"{start_col}_right"
+        rb = rb.withColumnRenamed(start_col, s_name)
+    if end_col in dup:
+        e_name = f"{end_col}_right"
+        rb = rb.withColumnRenamed(end_col, e_name)
+    if {s_name, e_name} & set(left.columns):
+        raise ValueError(
+            f"cannot disambiguate interval bounds {s_name!r}/{e_name!r}: "
+            "suffixed name also exists on the left side"
+        )
     rb = rb.withColumn(
         "__b",
         F.explode(
             F.sequence(
-                F.floor(F.unix_timestamp(F.col(start_col)) / b),
-                F.floor(F.unix_timestamp(F.col(end_col)) / b),
+                F.floor(F.unix_timestamp(F.col(s_name)) / b),
+                F.floor(F.unix_timestamp(F.col(e_name)) / b),
             )
         ),
     )
-    contained = F.col(left_ts).between(F.col(start_col), F.col(end_col))
+    contained = F.col(left_ts).between(F.col(s_name), F.col(e_name))
     if how == "inner":
         return lb.join(rb, on=on + ["__b"], how="inner").filter(contained).drop("__b")
     # left join: containment must be part of the join condition, not a

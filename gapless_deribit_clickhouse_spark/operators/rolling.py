@@ -95,16 +95,28 @@ def rolling_percentile_rank(
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values([ts_name]).reset_index(drop=True)
-        ts = pdf[ts_name].to_numpy(dtype="datetime64[us]").astype("int64") / 1e6
+        col = pdf[ts_name]
+        # numeric ts columns are epoch SECONDS already; casting them
+        # through datetime64[us] would silently rescale by 1e-6 and
+        # make every trailing window span the whole series
+        if pd.api.types.is_numeric_dtype(col):
+            ts = col.to_numpy(dtype="float64")
+        else:
+            ts = col.to_numpy(dtype="datetime64[us]").astype("int64") / 1e6
         v = pdf[v_name].to_numpy(dtype="float64")
         n = len(pdf)
         out = np.full(n, np.nan)
         starts = np.searchsorted(ts, ts - lb, side="left")
+        # window END includes ALL rows tied on the current timestamp
+        # (matching the join twin's `r.ts <= l.ts`), not just rows that
+        # happened to sort earlier — tied rows would otherwise get
+        # shuffle-order-dependent results
+        ends = np.searchsorted(ts, ts, side="right")
         own_rows = (
             (~pdf["__carry"].to_numpy()).nonzero()[0] if bucketed else range(n)
         )
         for i in own_rows:
-            w = v[starts[i] : i + 1]
+            w = v[starts[i] : ends[i]]
             if len(w) >= mp:
                 out[i] = 100.0 * np.count_nonzero(w <= v[i]) / len(w)
         pdf[out_col] = out
@@ -127,10 +139,15 @@ def rolling_percentile_rank_join(
 ) -> DataFrame:
     """Declarative twin of ``rolling_percentile_rank``: range self-join
     + conditional count. Used as the oracle shape and for plans where
-    the optimizer's range-join handling wins."""
+    the optimizer's range-join handling wins.
+
+    Null-safe key equality keeps NULL-key groups (a plain ``=`` join
+    would silently drop them while the kernel ranks them), and a row
+    tag keeps fully-duplicate rows distinct through the groupBy."""
+    df = df.withColumn("__rowtag", F.monotonically_increasing_id())
     left = df.alias("l")
     right = df.select(*keys, ts_col, value_col).alias("r")
-    on = [F.col(f"l.{k}") == F.col(f"r.{k}") for k in keys] + [
+    on = [F.col(f"l.{k}").eqNullSafe(F.col(f"r.{k}")) for k in keys] + [
         F.col(f"r.{ts_col}") >= F.col(f"l.{ts_col}") - F.expr(f"INTERVAL {lookback_seconds} SECOND"),
         F.col(f"r.{ts_col}") <= F.col(f"l.{ts_col}"),
     ]
@@ -144,6 +161,7 @@ def rolling_percentile_rank_join(
             F.when(cnt >= min_periods, 100.0 * leq / cnt).alias(out_col),
         )
         .toDF(*df.columns, out_col)
+        .drop("__rowtag")
     )
 
 
@@ -190,8 +208,11 @@ def rolling_minmax_rank(
         rank = (v - lo) / nullif_zero(hi - lo) * 100.0
         return df.withColumn(out_col, F.when(cnt >= min_periods, rank))
 
-    # width >= 1: a zero lookback (frame [t, t]) must not divide by 0
-    width = max(int(bucket_seconds), 1)
+    # same contract as rolling_percentile_rank: reject a non-positive
+    # width instead of silently clamping to a per-second explosion
+    width = int(bucket_seconds)
+    if width <= 0:
+        raise ValueError(f"bucket_seconds must be positive, got {bucket_seconds}")
     if width < lb:
         raise ValueError(
             f"bucket_seconds ({width}) must be >= lookback_seconds ({lb}): "

@@ -191,3 +191,62 @@ def test_interval_join_plan_is_hash_join(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "NestedLoop" not in plan
+
+
+def test_asof_latest_row_is_atomic_even_with_nulls(spark):
+    """r4 operator review: per-column last(ignorenulls) used to stitch
+    values from DIFFERENT right rows when the latest row carried
+    nulls. merge_asof semantics are row-atomic: the latest right row
+    wins wholesale, nulls included."""
+    left = spark.createDataFrame(
+        [("K", 3.0)], "k string, ts double"
+    )
+    right = spark.createDataFrame(
+        [("K", 1.0, 5.0, 3.0), ("K", 2.0, None, 7.0)],
+        "k string, ts double, a double, b double",
+    )
+    out = asof_join(
+        left, right, on=["k"], left_ts="ts", right_ts="ts",
+        value_cols=["a", "b"], bucket_seconds=10.0,
+    ).collect()[0]
+    assert out.a_asof is None  # NOT stitched back to the t=1 row's 5.0
+    assert out.b_asof == 7.0
+    # and tolerance is measured against that same latest row
+    strict = asof_join(
+        left, right, on=["k"], left_ts="ts", right_ts="ts",
+        value_cols=["a", "b"], tolerance_seconds=1.5, bucket_seconds=10.0,
+    ).collect()[0]
+    assert strict.a_asof is None and strict.b_asof == 7.0
+
+
+def test_interval_join_with_colliding_bound_names(spark):
+    """r4 operator review: a right bound column sharing a left column
+    name used to produce an ambiguous-reference crash; it is now kept
+    under a _right suffix."""
+    from gapless_deribit_clickhouse_spark.operators.range_join import interval_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:30:00", "2024-01-01 00:00:00")],
+        "event_id long, ts string, session_start string",
+    ).select(
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("session_start").cast("timestamp").alias("session_start"),
+    )
+    right = spark.createDataFrame(
+        [("2024-01-01 10:00:00", "2024-01-01 11:00:00", "s1")],
+        "session_start string, session_end string, session_id string",
+    ).select(
+        F.col("session_start").cast("timestamp").alias("session_start"),
+        F.col("session_end").cast("timestamp").alias("session_end"),
+        "session_id",
+    )
+    out = interval_join(
+        left, right, left_ts="ts",
+        start_col="session_start", end_col="session_end",
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.session_id == "s1"
+    assert str(r.session_start).startswith("2024-01-01 00:00")  # left's
+    assert str(r.session_start_right).startswith("2024-01-01 10:00")

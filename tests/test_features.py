@@ -216,13 +216,15 @@ def test_minmax_rank_bucketed_parallelism(spark, regular_iv_series):
     assert np.allclose(a.minmax_rank, d.minmax_rank, equal_nan=True)
     # carried copies must not leak into the output
     assert len(a) == df.count()
-    # zero lookback (frame [t, t]) must not divide by a zero bucket
-    # width; every row sees exactly itself
+    # zero lookback (frame [t, t]): every row sees exactly itself
     z = rolling_minmax_rank(
-        df, "ts", "iv_close", ["k"], 0, 1, bucket_seconds=0
+        df, "ts", "iv_close", ["k"], 0, 1, bucket_seconds=1
     ).toPandas()
     assert len(z) == len(a)
     assert z.minmax_rank.isna().all()  # max == min in a 1-row frame
+    # non-positive width raises, matching rolling_percentile_rank
+    with pytest.raises(ValueError):
+        rolling_minmax_rank(df, "ts", "iv_close", ["k"], 0, 1, bucket_seconds=0)
 
 
 def test_contract_selection_strategies(trades_df):
@@ -329,3 +331,63 @@ def test_feature_config_reference_parity():
 
     assert inspect.signature(with_greeks).parameters["rate"].default == 0.02
     assert inspect.signature(greeks_sql_exprs).parameters["rate"].default == 0.02
+
+
+def test_rolling_percentile_numeric_epoch_and_ties(spark):
+    """r4 operator review: (a) a numeric epoch-seconds ts column used
+    to be silently rescaled through datetime64[us], making every
+    window span the whole series; (b) rows tied on timestamp must all
+    see each other (join-twin semantics), not depend on shuffle order."""
+    import numpy as np
+
+    from gapless_deribit_clickhouse_spark.operators.rolling import (
+        rolling_percentile_rank,
+        rolling_percentile_rank_join,
+    )
+
+    base = 1_700_000_000.0
+    rows = [
+        ("x", base + 0.0, 10.0),
+        ("x", base + 60.0, 20.0),
+        ("x", base + 60.0, 30.0),  # tied timestamp
+        ("x", base + 7200.0, 40.0),  # outside the 1h lookback of prior
+    ]
+    num = spark.createDataFrame(rows, "k string, ts double, v double")
+    got = (
+        rolling_percentile_rank(num, "ts", "v", ["k"], 3600, 1)
+        .toPandas()
+        .sort_values(["ts", "v"])
+        .reset_index(drop=True)
+    )
+    # numeric path: last row's window contains only itself (numeric
+    # seconds honored — the old bug made every window global)
+    assert got.iloc[3].pct_rank == 100.0
+    # tied rows both see the full 3-row window {10,20,30}
+    assert got.iloc[1].pct_rank == pytest.approx(100 * 2 / 3)
+    assert got.iloc[2].pct_rank == pytest.approx(100.0)
+    # and the kernel agrees with the declarative join twin
+    ts_rows = [(k, t, v) for k, t, v in rows]
+    tdf = spark.createDataFrame(ts_rows, "k string, ts double, v double").select(
+        "k", F.timestamp_seconds("ts").alias("ts"), "v"
+    )
+    a = (
+        rolling_percentile_rank(tdf, "ts", "v", ["k"], 3600, 1)
+        .toPandas().sort_values(["ts", "v"]).reset_index(drop=True)
+    )
+    b = (
+        rolling_percentile_rank_join(tdf, "ts", "v", ["k"], 3600, 1)
+        .toPandas().sort_values(["ts", "v"]).reset_index(drop=True)
+    )
+    assert np.allclose(a.pct_rank, b.pct_rank, equal_nan=True)
+
+
+def test_connected_components_raises_without_convergence(spark):
+    from gapless_deribit_clickhouse_spark.operators.connected_components import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, local_threshold=0, max_iter=0)
