@@ -41,6 +41,9 @@ _DEMOTED = (
     # real-decode mapInPandas shape, audio kernel; CI value-oracle)
     "pii_scrub",  # sibling: text_quality (same map-only regex/column
     # projection over documents; CI value-oracle)
+    "hash_sample",  # sibling: mixture_sample (same md5-bucket filter
+    # core; mixture adds the in-plan recipe->threshold derivation, so
+    # the window slot exercises strictly more logic; CI value-oracle)
 )
 ALL_BINDINGS = [b for b in ALL_BINDINGS if b[0] not in _DEMOTED] + [
     b for b in ALL_BINDINGS if b[0] in _DEMOTED

@@ -405,6 +405,45 @@ def hash_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "source")
 
 
+def mixture_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gapless_deribit_clickhouse_spark.pipelines.sampling import mixture_sample
+
+    docs = _docs(spark, sf_dir)
+    out = mixture_sample(
+        docs, key_col="doc_id", domain_col="lang",
+        parts={"en": 4, "zh": 2, "es": 2, "de": 1, "fr": 1},
+    )
+    return out.select("doc_id", "lang", "source")
+
+
+# Same exact-integer threshold derivation as pipelines/sampling.py
+# mixture_thresholds (Python bigints there, HUGEINT here): N = largest
+# total with no domain oversampled, threshold_d = floor(p*N*B/(P*c)).
+MIXTURE_SAMPLE_SQL = """
+WITH parts(domain, p) AS (
+  VALUES ('en', 4), ('zh', 2), ('es', 2), ('de', 1), ('fr', 1)),
+tot AS (SELECT SUM(p) AS tp FROM parts),
+counts AS (SELECT lang AS domain, COUNT(*) AS c FROM documents GROUP BY 1),
+j AS (SELECT pa.domain, pa.p, COALESCE(co.c, 0) AS c
+      FROM parts pa LEFT JOIN counts co USING (domain)),
+nmax AS (SELECT MIN(c * (SELECT tp FROM tot) // p) AS n FROM j),
+th AS (SELECT domain,
+              CASE WHEN c = 0 THEN 0
+                   ELSE LEAST(10000, p * (SELECT n FROM nmax) * 10000
+                              // ((SELECT tp FROM tot) * c)) END AS t
+       FROM j),
+b AS (
+  SELECT doc_id, lang, source,
+         list_reduce(list_transform(range(1, 9), i ->
+           CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)),
+           (acc, d) -> acc * 16 + d) % 10000 AS bucket
+  FROM documents)
+SELECT b.doc_id, b.lang, b.source
+FROM b JOIN th ON b.lang = th.domain
+WHERE b.bucket < th.t
+"""
+
+
 def sample_per_group_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gapless_deribit_clickhouse_spark.pipelines.sampling import sample_n_per_group
 
@@ -697,6 +736,7 @@ BINDINGS = [
     ("curate_corpus", curate_q, CURATE_SQL),
     ("dup_clusters", dup_clusters_q, DUP_CLUSTERS_SQL),
     ("hash_sample", hash_sample_q, HASH_SAMPLE_SQL),
+    ("mixture_sample", mixture_sample_q, MIXTURE_SAMPLE_SQL),
     ("sample_per_group", sample_per_group_q, SAMPLE_PER_GROUP_SQL),
     ("token_topk", token_topk_q, TOKEN_TOPK_SQL),
     ("dedup_exact", dedup_exact_q, DEDUP_EXACT_SQL),

@@ -79,6 +79,79 @@ def sample_n_per_group(
     )
 
 
+def mixture_thresholds(
+    counts: dict[str, int],
+    parts: dict[str, int],
+    buckets: int = BUCKETS,
+) -> dict[str, int]:
+    """Per-domain integer bucket thresholds realizing a target mixture.
+
+    ``parts`` gives the target mixture as integer proportions (e.g.
+    ``{"web": 5, "code": 2, "wiki": 1}`` = 5:2:1); ``counts`` the
+    available rows per domain. The sample is the LARGEST total N such
+    that no domain is oversampled (rate <= 1): N = min_d(c_d * P / p_d),
+    then threshold_d = floor(p_d * N * buckets / (P * c_d)).
+
+    All arithmetic is exact integer math (Python bigints here, HUGEINT
+    in the DuckDB oracle), so engine and oracle agree bit-for-bit —
+    no float rate ever crosses an engine boundary. A domain named in
+    ``parts`` but absent from ``counts`` (zero rows) collapses N to 0:
+    the requested mixture is unrealizable and the sample is empty
+    rather than silently re-weighted.
+    """
+    if not parts or any(p <= 0 for p in parts.values()):
+        raise ValueError("parts must be a non-empty mapping to positive ints")
+    total_parts = sum(parts.values())
+    n = min(counts.get(d, 0) * total_parts // p for d, p in parts.items())
+    return {
+        d: min(buckets, p * n * buckets // (total_parts * counts[d]))
+        if counts.get(d, 0) > 0
+        else 0
+        for d, p in parts.items()
+    }
+
+
+def mixture_sample(
+    df: DataFrame,
+    key_col: str,
+    domain_col: str,
+    parts: dict[str, int],
+    salt: str = "",
+) -> DataFrame:
+    """Deterministically resample to a target domain mixture — the
+    pretraining mixture-building step (a DoReMi/Pile-style weighted
+    recipe applied at the data level): given integer mixture
+    proportions per domain, keep the largest hash-stable subset whose
+    domain shares match the recipe, without oversampling any domain.
+    Domains not named in ``parts`` are dropped (weight 0).
+
+    Two phases: a metadata-scale count per domain (one groupBy on a
+    low-cardinality column, collected — same scale class as
+    ``_vec_dim``), then exact integer thresholds applied as one
+    md5-bucket filter (``hash_bucket``), which is a pure map over the
+    scan: membership is stable across runs, partitionings, and
+    engines, and the filter pushes below any downstream shuffle.
+    """
+    counts = {
+        r["d"]: r["c"]
+        for r in df.filter(F.col(domain_col).isin(list(parts)))
+        .groupBy(F.col(domain_col).alias("d"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    thresholds = mixture_thresholds(counts, parts)
+    threshold_col = None
+    for value, t in thresholds.items():
+        cond = F.col(domain_col) == value
+        threshold_col = (
+            F.when(cond, F.lit(t))
+            if threshold_col is None
+            else threshold_col.when(cond, F.lit(t))
+        )
+    threshold_col = threshold_col.otherwise(F.lit(0))
+    return df.filter(hash_bucket(F.col(key_col), salt) < threshold_col)
+
+
 def stratified_hash_sample(
     df: DataFrame,
     key_col: str,

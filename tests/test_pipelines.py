@@ -711,6 +711,45 @@ def test_hash_sample_deterministic_and_stratified(docs):
     assert len(strat) == docs.filter(F.col("lang") == "en").count()
 
 
+def test_mixture_thresholds_exact_integer_math():
+    from gapless_deribit_clickhouse_spark.pipelines.sampling import (
+        BUCKETS,
+        mixture_thresholds,
+    )
+
+    # binding scenario at sf0.01: hand-computed expected thresholds
+    counts = {"en": 218, "zh": 75, "es": 73, "de": 70, "fr": 64}
+    parts = {"en": 4, "zh": 2, "es": 2, "de": 1, "fr": 1}
+    th = mixture_thresholds(counts, parts)
+    # N = min(218*10//4, 75*10//2, 73*10//2, 70*10//1, 64*10//1) = 365
+    assert th == {"en": 6697, "zh": 9733, "es": 10000, "de": 5214, "fr": 5703}
+    # the binding domain (es) hits the cap: it is the scarce domain
+    assert max(th.values()) == BUCKETS
+    # a zero-count domain collapses the whole mixture (unrealizable)
+    th0 = mixture_thresholds({"en": 218, "code": 0}, {"en": 1, "code": 1})
+    assert th0 == {"en": 0, "code": 0}
+    with pytest.raises(ValueError):
+        mixture_thresholds(counts, {})
+    with pytest.raises(ValueError):
+        mixture_thresholds(counts, {"en": 0})
+
+
+def test_mixture_sample_hits_target_shares(docs):
+    from gapless_deribit_clickhouse_spark.pipelines.sampling import mixture_sample
+
+    parts = {"en": 2, "de": 1}
+    out = mixture_sample(docs, "doc_id", "lang", parts).toPandas()
+    # domains outside the recipe are dropped entirely
+    assert set(out.lang) <= {"en", "de"}
+    got = out.groupby("lang").size()
+    # md5 buckets are uniform, so realized shares track the recipe
+    # within sampling noise on a few-hundred-row corpus
+    assert got["en"] / got["de"] == pytest.approx(2.0, rel=0.35)
+    # deterministic: same members on a rerun
+    again = mixture_sample(docs, "doc_id", "lang", parts).toPandas()
+    assert set(out.doc_id) == set(again.doc_id)
+
+
 def test_sample_n_per_group_fixed_and_stable(docs):
     from gapless_deribit_clickhouse_spark.pipelines.sampling import sample_n_per_group
 

@@ -26,6 +26,7 @@ SIBLINGS = {
     "multimodal_features": ["image_decode_features"],
     "audio_decode_features": ["image_decode_features"],
     "pii_scrub": ["text_quality"],
+    "hash_sample": ["mixture_sample"],
 }
 
 
