@@ -139,6 +139,11 @@ def __getattr__(name: str):
         "redact_pii": "pipelines.scrub",
         "pii_counts": "pipelines.scrub",
         "scrub_documents": "pipelines.scrub",
+        "mixture_sample": "pipelines.sampling",
+        "mixture_thresholds": "pipelines.sampling",
+        "kmeans_fit": "pipelines.clustering",
+        "kmeans_assign": "pipelines.clustering",
+        "semantic_dedup": "pipelines.clustering",
     }
     # reference-name aliases (reference __init__.py:42-65 /
     # features/__init__.py:61-88): a reference user's import keeps working
@@ -239,6 +244,8 @@ __all__ = [
     "encode_framepack", "decode_framepack", "video_frame_features",
     "pack_sequences", "pack_stats",
     "redact_pii", "pii_counts", "scrub_documents",
+    "mixture_sample", "mixture_thresholds",
+    "kmeans_fit", "kmeans_assign", "semantic_dedup",
     # serving-layer connector seam (lazy)
     "ServingConnector", "ParquetServingConnector",
     "ClickHouseHTTPConnector", "ClickHouseConnectorConfig",

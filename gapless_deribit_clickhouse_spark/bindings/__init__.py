@@ -44,6 +44,9 @@ _DEMOTED = (
     "hash_sample",  # sibling: mixture_sample (same md5-bucket filter
     # core; mixture adds the in-plan recipe->threshold derivation, so
     # the window slot exercises strictly more logic; CI value-oracle)
+    "video_decode_features",  # sibling: image_decode_features (same
+    # real-decode mapInPandas shape, framepack/PNG kernel; CI
+    # value-oracle via lossless-PNG mean-pixel identity)
 )
 ALL_BINDINGS = [b for b in ALL_BINDINGS if b[0] not in _DEMOTED] + [
     b for b in ALL_BINDINGS if b[0] in _DEMOTED

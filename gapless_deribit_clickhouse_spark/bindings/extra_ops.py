@@ -303,6 +303,67 @@ FROM base
 """
 
 
+# --- multimodal: REAL video decode (FPK1 framepack, PNG frames) ---
+def video_decode_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video twin of ``image_decode_features_q``: each ASCII document
+    becomes a 2-frame FPK1 framepack (16x4 gray frames from chars
+    1-64 and 65-128, PNG-encoded in an Arrow build stage), then the
+    real per-frame decode explodes it to one row per frame. PNG is
+    LOSSLESS, so each frame's mean pixel equals the mean of the
+    source character codes — DuckDB recomputes it without ever
+    touching a codec, a value-level oracle for video decode."""
+    import numpy as np
+    import pandas as pd
+
+    from gapless_deribit_clickhouse_spark.pipelines.multimodal import (
+        encode_framepack,
+        video_frame_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.octet_length(F.col("text")) == F.length(F.col("text"))
+    )
+    padded = F.rpad(F.substring(F.col("text"), 1, 128), 128, " ")
+    src = docs.select(
+        F.col("doc_id").alias("media_id"), F.encode(padded, "UTF-8").alias("txt")
+    )
+
+    def build(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            payloads = [
+                encode_framepack(
+                    list(
+                        np.frombuffer(bytes(b), dtype=np.uint8).reshape(2, 4, 16, 1)
+                    ),
+                    fps=10.0,
+                )
+                for b in pdf["txt"]
+            ]
+            yield pd.DataFrame({"media_id": pdf["media_id"], "payload": payloads})
+
+    media = src.mapInPandas(build, schema="media_id long, payload binary")
+    return video_frame_features(media, every_n=1).select(
+        "media_id", "frame_idx", "frame_ts_ms",
+        "height", "width", "channels", "mean_pixel",
+    )
+
+
+VIDEO_DECODE_SQL = """
+WITH base AS (
+  SELECT doc_id AS media_id, rpad(substr(text, 1, 128), 128, ' ') AS txt
+  FROM documents
+  WHERE octet_length(encode(text)) = length(text)
+)
+SELECT media_id, f AS frame_idx, f * 100.0 AS frame_ts_ms,
+       4 AS height, 16 AS width, 1 AS channels,
+       list_avg(list_transform(range(1 + 64 * f, 65 + 64 * f),
+                i -> ascii(substr(txt, i, 1)))) AS mean_pixel
+FROM base, (SELECT unnest([0, 1]) AS f) frames
+"""
+
+
 # --- §2.8 string tier: instrument format -> parse roundtrip ---
 def instrument_parse_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gapless_deribit_clickhouse_spark.functions.instrument import (
@@ -525,4 +586,5 @@ BINDINGS = [
     ("image_decode_features", image_decode_features_q, IMAGE_DECODE_SQL),
     ("multimodal_features", multimodal_features_q, MULTIMODAL_SQL),
     ("audio_decode_features", audio_decode_features_q, AUDIO_DECODE_SQL),
+    ("video_decode_features", video_decode_features_q, VIDEO_DECODE_SQL),
 ]

@@ -694,6 +694,40 @@ WHERE m.n_matched >= 1
 
 
 # --- PII scrubbing (pure regex column algebra, CI-oracle demoted) ---
+def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings table: spherical k-means (k=8,
+    hash-seeded, deterministic) then per-cluster greedy cosine pruning
+    at 0.97. Iterative fit -> rows-only driver check; planted-structure
+    value pins live in tests/test_clustering.py."""
+    from gapless_deribit_clickhouse_spark.pipelines.clustering import (
+        semantic_dedup,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        emb, id_col="vec_id", vec_col="embedding",
+        k=8, threshold=0.97, max_iter=8, seed=42,
+    )
+
+
+def sequence_packing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget packing of the documents table (BPE-ish token
+    proxy, 512-token packs) reduced to the corpus-level packing
+    quality rollup (pack count, fill rate, oversized packs). FFD is
+    iterative -> rows-only driver check; invariants pinned in
+    tests/test_packing.py."""
+    from gapless_deribit_clickhouse_spark.pipelines.packing import (
+        pack_sequences,
+        pack_stats,
+    )
+
+    docs = _docs(spark, sf_dir)
+    packed = pack_sequences(
+        docs, id_col="doc_id", text_col="text", max_tokens=512, num_shards=16
+    )
+    return pack_stats(packed, max_tokens=512)
+
+
 def pii_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gapless_deribit_clickhouse_spark.pipelines.scrub import scrub_documents
 
@@ -751,4 +785,9 @@ BINDINGS = [
     ("doc_fingerprint", fingerprint_q, FINGERPRINT_SQL),
     ("token_counts", token_counts_q, TOKEN_COUNTS_SQL),
     ("pii_scrub", pii_scrub_q, PII_SCRUB_SQL),
+    # iterative / stateful operators: no SQL oracle exists (rows-only
+    # driver check, like egarch_params); value-level behavior is
+    # pinned in tests/test_clustering.py and tests/test_packing.py
+    ("semantic_dedup", semantic_dedup_q, None),
+    ("sequence_packing", sequence_packing_q, None),
 ]

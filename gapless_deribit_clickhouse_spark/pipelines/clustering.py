@@ -1,0 +1,303 @@
+"""Spherical k-means and SemDeDup-style semantic deduplication.
+
+The reference engine (a market-data store) has no clustering surface;
+this is training-data-pipeline tier: cluster a 100 TB embedding corpus
+so near-duplicate pruning and diversity sampling can work per-cluster
+instead of globally (Abbas et al., "SemDeDup", 2023 — public paper).
+
+Scale design:
+
+- ``kmeans_fit`` is Lloyd's with the classic distributed shape: the
+  centroid matrix (k x dim, driver-side numpy — metadata scale: 10k
+  centroids x 1k dims = 80 MB) broadcasts into an Arrow/BLAS assign
+  stage (``mapInPandas``, one batch matmul per Arrow batch); each task
+  emits k PARTIAL (count, sum-vector) rows — manual map-side combine —
+  so the per-iteration shuffle is ``partitions x k`` rows of dim
+  doubles, never the corpus. Rows are unit-normalized once up front
+  (spherical k-means: argmax dot == nearest-cosine), matching the
+  cosine geometry of the rest of the embedding tier.
+- Determinism: seeds are the k rows with the smallest
+  ``md5(seed || id)`` (hash-stable across partitionings, same trick as
+  ``pipelines/sampling.py``); partial sums are reduced in sorted order
+  on the driver, so refits on the same data agree to float
+  associativity noise (pinned by tolerance in tests, like EGARCH).
+- ``semantic_dedup`` = fit -> assign -> per-cluster greedy prune
+  (``applyInPandas``): scan candidates farthest-from-centroid first
+  (the SemDeDup keep-order) and keep a doc unless it is within
+  ``threshold`` cosine of an already-kept doc. Per-group work is
+  O(size^2 * dim) worst case, so oversized clusters are first split
+  into deterministic md5 chunks of <= ``max_cluster_size`` rows
+  (bounded task memory AND flops; a cross-chunk duplicate pair can
+  survive the split — the standard recall-for-boundedness trade every
+  sharded dedup makes, same as ``pack_sequences`` sharding).
+
+These are iterative/stateful operators with no SQL equivalent, so the
+binding takes the rows-only correctness check (like ``egarch_params``);
+value-level behavior is pinned in pytest on planted cluster structure
+(`tests/test_clustering.py`).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from gapless_deribit_clickhouse_spark.pipelines.embeddings import l2_norm
+
+
+def _unit_rows(
+    df: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """Project to (id, unit-normalized vector), dropping null / empty /
+    zero-norm vectors (the same guard as every cosine path — a zero
+    vector has no direction and would poison centroid math)."""
+    v = F.col(vec_col).cast("array<double>")
+    n = l2_norm(v)
+    return (
+        df.filter(v.isNotNull() & (F.size(v) > 0) & (n > 0))
+        .select(
+            F.col(id_col).alias("__id"),
+            F.transform(v, lambda x: x / n).alias("__v"),
+        )
+    )
+
+
+def _seed_centroids(unit: DataFrame, k: int, seed: int) -> np.ndarray:
+    """Deterministic init: the k rows with smallest md5(seed || id) —
+    a hash-stable uniform draw (TakeOrdered, no full sort)."""
+    rows = (
+        unit.orderBy(
+            F.md5(F.concat(F.lit(f"{seed}:"), F.col("__id").cast("string"))),
+            F.col("__id"),
+        )
+        .limit(k)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("kmeans_fit: no usable (non-null, non-zero) vectors")
+    return np.stack([np.asarray(r["__v"], dtype=np.float64) for r in rows])
+
+
+def _normalize_centroids(c: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(c, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return c / norms
+
+
+def kmeans_fit(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 16,
+    max_iter: int = 10,
+    seed: int = 42,
+    tol: float = 1e-6,
+) -> np.ndarray:
+    """Fit spherical k-means; returns the (k x dim) unit centroid
+    matrix. ``k`` is capped at the usable row count. Stops early when
+    the max centroid movement (L2) drops below ``tol``. An emptied
+    cluster keeps its previous centroid (never NaN, never respawned —
+    deterministic)."""
+    unit = _unit_rows(df, id_col, vec_col)
+    centroids = _normalize_centroids(_seed_centroids(unit, k, seed))
+    k_eff = centroids.shape[0]
+
+    for _ in range(max_iter):
+        c_bc = centroids  # closure capture ships with the task
+
+        def partials(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            dim = c_bc.shape[1]
+            sums = np.zeros((k_eff, dim))
+            cnts = np.zeros(k_eff, dtype=np.int64)
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                x = np.stack(pdf["__v"].values)
+                assign = (x @ c_bc.T).argmax(axis=1)
+                np.add.at(sums, assign, x)
+                cnts += np.bincount(assign, minlength=k_eff)
+            nz = np.flatnonzero(cnts)
+            if len(nz):  # an all-empty task yields nothing (an empty
+                # frame's vsum column would arrive float64, not list)
+                yield pd.DataFrame(
+                    {
+                        "cluster": nz.astype("int32"),
+                        "cnt": cnts[nz],
+                        "vsum": [row.tolist() for row in sums[nz]],
+                    }
+                )
+
+        collected = unit.mapInPandas(
+            partials, schema="cluster int, cnt long, vsum array<double>"
+        ).collect()
+        # sorted reduction: same accumulation order regardless of
+        # task completion order
+        collected.sort(key=lambda r: (r["cluster"], r["cnt"], tuple(r["vsum"])))
+        new = centroids.copy()
+        sums = np.zeros_like(centroids)
+        cnts = np.zeros(k_eff, dtype=np.int64)
+        for r in collected:
+            sums[r["cluster"]] += np.asarray(r["vsum"])
+            cnts[r["cluster"]] += r["cnt"]
+        live = cnts > 0
+        new[live] = _normalize_centroids(sums[live])
+        shift = float(np.linalg.norm(new - centroids, axis=1).max())
+        centroids = new
+        if shift < tol:
+            break
+    return centroids
+
+
+def kmeans_assign(
+    df: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each row its nearest (cosine) centroid. Output:
+    ``id_col``, ``cluster_id``, ``centroid_sim``. One Arrow/BLAS map
+    stage, no shuffle."""
+    unit = _unit_rows(df, id_col, vec_col)
+    id_t = df.schema[id_col].dataType.simpleString()
+    c_bc = np.ascontiguousarray(centroids, dtype=np.float64)
+
+    def assign(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["__v"].values)
+            sims = x @ c_bc.T
+            best = sims.argmax(axis=1)
+            yield pd.DataFrame(
+                {
+                    "__id": pdf["__id"],
+                    "cluster_id": best.astype("int32"),
+                    "centroid_sim": sims[np.arange(len(best)), best],
+                }
+            )
+
+    out = unit.mapInPandas(
+        assign, schema=f"__id {id_t}, cluster_id int, centroid_sim double"
+    )
+    return out.withColumnRenamed("__id", id_col)
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 16,
+    threshold: float = 0.95,
+    max_iter: int = 8,
+    seed: int = 42,
+    max_cluster_size: int = 4096,
+) -> DataFrame:
+    """SemDeDup: per-cluster greedy semantic near-duplicate pruning.
+
+    Fit + assign, then within each cluster scan docs farthest from the
+    centroid first (``centroid_sim`` asc — the SemDeDup keep-order,
+    which retains the diverse tail) and keep a doc unless its cosine
+    to an already-kept doc reaches ``threshold``. Output one row per
+    usable input row: ``id_col``, ``cluster_id``, ``centroid_sim``,
+    ``kept``, ``dup_of`` (the kept doc that shadowed it; null when
+    kept). Deterministic: hash-seeded init, fixed scan order
+    (centroid_sim asc, id asc), md5 chunking of oversized clusters.
+
+    Plan shape: the cluster-size table needs assignments before the
+    chunked shuffle, so the corpus is scanned + assigned twice (both
+    map-only; the second pass's groupBy count is map-side partial, k
+    rows per task). That recompute is deliberate — caching a 100 TB
+    corpus is not an option, and the alternative (window-count over
+    cluster_id) would shuffle the full vector payload twice instead
+    of once.
+    """
+    unit = _unit_rows(df, id_col, vec_col)
+    centroids = kmeans_fit(
+        df, id_col=id_col, vec_col=vec_col, k=k, max_iter=max_iter, seed=seed
+    )
+    c_bc = np.ascontiguousarray(centroids, dtype=np.float64)
+    id_t = df.schema[id_col].dataType.simpleString()
+
+    def assign_keep_vec(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["__v"].values)
+            sims = x @ c_bc.T
+            best = sims.argmax(axis=1)
+            yield pd.DataFrame(
+                {
+                    "__id": pdf["__id"],
+                    "__v": pdf["__v"],
+                    "cluster_id": best.astype("int32"),
+                    "centroid_sim": sims[np.arange(len(best)), best],
+                }
+            )
+
+    assigned = unit.mapInPandas(
+        assign_keep_vec,
+        schema=f"__id {id_t}, __v array<double>, cluster_id int, centroid_sim double",
+    )
+    # bound per-group size: md5-chunk clusters larger than the cap
+    # (broadcast of a k-row count table; deterministic chunk member-
+    # ship). ceil-division keeps every chunk <= max_cluster_size.
+    sizes = assigned.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("__sz"))
+    chunked = (
+        assigned.join(F.broadcast(sizes), "cluster_id")
+        .withColumn(
+            "__nchunks",
+            F.ceil(F.col("__sz") / F.lit(max_cluster_size)).cast("int"),
+        )
+        .withColumn(
+            "__chunk",
+            (
+                F.conv(
+                    F.substring(F.md5(F.col("__id").cast("string")), 1, 8), 16, 10
+                ).cast("long")
+                % F.col("__nchunks")
+            ).cast("int"),
+        )
+    )
+
+    thr = float(threshold)
+
+    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["centroid_sim", "__id"], ascending=[True, True], kind="mergesort"
+        ).reset_index(drop=True)
+        x = np.stack(pdf["__v"].values)
+        n = len(pdf)
+        kept_idx: list[int] = []
+        kept = np.zeros(n, dtype=bool)
+        dup_of = np.full(n, None, dtype=object)
+        for i in range(n):
+            if kept_idx:
+                sims = np.asarray(x[kept_idx] @ x[i])
+                j = int(sims.argmax())
+                if sims[j] >= thr:
+                    dup_of[i] = pdf["__id"].iloc[kept_idx[j]]
+                    continue
+            kept[i] = True
+            kept_idx.append(i)
+        return pd.DataFrame(
+            {
+                "__id": pdf["__id"],
+                "cluster_id": pdf["cluster_id"],
+                "centroid_sim": pdf["centroid_sim"],
+                "kept": kept,
+                "dup_of": dup_of,
+            }
+        )
+
+    out = chunked.groupBy("cluster_id", "__chunk").applyInPandas(
+        prune,
+        schema=(
+            f"__id {id_t}, cluster_id int, centroid_sim double, "
+            f"kept boolean, dup_of {id_t}"
+        ),
+    )
+    return out.withColumnRenamed("__id", id_col)

@@ -1,0 +1,108 @@
+"""Value-level pins for spherical k-means and semantic_dedup (no SQL
+oracle exists for iterative clustering — same compensating-test policy
+as EGARCH): planted well-separated blobs must be recovered exactly at
+the assignment level, planted near-duplicates must be pruned, and
+reruns must agree (determinism across the mapInPandas batching)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gapless_deribit_clickhouse_spark.pipelines.clustering import (
+    kmeans_assign,
+    kmeans_fit,
+    semantic_dedup,
+)
+
+DIM = 16
+
+
+def _blob_frame(spark, n_per=40, n_blobs=3, jitter=0.05, seed=7):
+    """Unit vectors in tight cones around n_blobs orthogonal axes —
+    separable by construction (cross-blob cosine ~= 0)."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for b in range(n_blobs):
+        axis = np.zeros(DIM)
+        axis[b] = 1.0
+        for i in range(n_per):
+            v = axis + jitter * rng.standard_normal(DIM)
+            v /= np.linalg.norm(v)
+            rows.append((b * n_per + i, [float(x) for x in v], b))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>, blob int")
+
+
+def test_kmeans_recovers_planted_blobs(spark):
+    df = _blob_frame(spark)
+    c = kmeans_fit(df, k=3, max_iter=10, seed=1)
+    assert c.shape == (3, DIM)
+    # unit centroids
+    assert np.allclose(np.linalg.norm(c, axis=1), 1.0, atol=1e-9)
+    # each centroid points into exactly one blob cone, all blobs hit
+    axes = c.argmax(axis=1)
+    assert sorted(axes) == [0, 1, 2]
+    # assignment purity: every row lands with its blob-mates
+    out = kmeans_assign(df, c).join(df.select("vec_id", "blob"), "vec_id").toPandas()
+    purity = out.groupby("blob")["cluster_id"].nunique()
+    assert (purity == 1).all()
+    assert out["centroid_sim"].min() > 0.9
+
+
+def test_kmeans_deterministic_and_guards(spark):
+    df = _blob_frame(spark, n_per=25)
+    a = kmeans_fit(df, k=3, seed=5)
+    b = kmeans_fit(df.repartition(7), k=3, seed=5)
+    # same data, different partitioning -> same centroids up to float
+    # associativity noise in the partial-sum reduction
+    assert np.allclose(a, b, atol=1e-9)
+    # k capped at usable rows; zero-norm and null vectors dropped
+    tiny = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 0.0]), (3, None)],
+        "vec_id long, embedding array<double>",
+    )
+    c = kmeans_fit(tiny, k=5)
+    assert c.shape == (1, 2)
+    with pytest.raises(ValueError):
+        kmeans_fit(tiny.filter(F.col("vec_id") > 1), k=2)
+
+
+def test_semantic_dedup_prunes_planted_near_dups(spark):
+    base = _blob_frame(spark, n_per=30, seed=11)
+    # plant exact duplicates of 10 docs (ids offset by 10_000)
+    dups = base.filter(F.col("vec_id") % 9 == 0).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), "embedding", "blob"
+    )
+    df = base.unionByName(dups)
+    out = semantic_dedup(df, k=3, threshold=0.99, seed=3).toPandas()
+    assert len(out) == df.count()  # one verdict per usable row
+    planted = out[out.vec_id >= 10_000]
+    by_id = out.set_index("vec_id")
+    # a planted exact duplicate (cosine 1.0) can never coexist with
+    # its original: at most one of each pair survives (both may drop
+    # if a third blob-mate within threshold shadows them)
+    for vid in planted.vec_id:
+        pair = out[out.vec_id.isin([vid, vid - 10_000])]
+        assert pair.kept.sum() <= 1, f"pair {vid}"
+    # every dropped doc names a KEPT shadow in its own cluster
+    dropped = out[~out.kept]
+    assert len(dropped) >= len(planted)
+    for _, r in dropped.iterrows():
+        shadow = by_id.loc[r.dup_of]
+        assert bool(shadow.kept), f"{r.name}: dup_of points at a dropped doc"
+        assert shadow.cluster_id == r.cluster_id
+    # pruning is semantic, not wholesale: most of the corpus survives
+    assert out.kept.sum() >= len(out) * 0.6
+    # deterministic rerun
+    again = semantic_dedup(df, k=3, threshold=0.99, seed=3).toPandas()
+    assert set(out[out.kept].vec_id) == set(again[again.kept].vec_id)
+
+
+def test_semantic_dedup_chunk_cap_bounds_group_size(spark):
+    df = _blob_frame(spark, n_per=50, n_blobs=2, seed=13)
+    out = semantic_dedup(df, k=2, threshold=0.999, max_cluster_size=16)
+    # cap forces ceil(50/16)=4 chunks per cluster; all rows come back
+    assert out.count() == 100
+    # near-identity threshold -> nothing pruned even inside chunks
+    assert out.filter(~F.col("kept")).count() == 0

@@ -26,6 +26,9 @@ REQUIRED_PYTHON = {
     "rolling_percentile",
     "embedding_near_dup",
     "ivf_topk",
+    "video_decode_features",  # framepack build + per-frame decode
+    "semantic_dedup",  # k-means assign + per-cluster greedy prune
+    "sequence_packing",  # per-shard first-fit-decreasing
 }
 # dup_clusters consumes the LSH stage too, but its connected-components
 # local tier executes during construction on small graphs, so the

@@ -27,6 +27,7 @@ SIBLINGS = {
     "audio_decode_features": ["image_decode_features"],
     "pii_scrub": ["text_quality"],
     "hash_sample": ["mixture_sample"],
+    "video_decode_features": ["image_decode_features"],
 }
 
 
