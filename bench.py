@@ -101,6 +101,17 @@ HEADLINE = [
 # cross-round totals stay comparable query-by-query)
 WRITE_BENCHES = ["write_bucketed", "write_compact"]
 
+# queries that did not exist in earlier rounds — listed in the sidecar
+# so a cross-round TOTAL delta decomposes into new coverage vs real
+# regressions (r3 -> r4 adds the write path + 5 new operators)
+NEW_IN_R4 = WRITE_BENCHES + [
+    "mixture_sample",
+    "semantic_dedup",
+    "sequence_packing",
+    "video_decode_features",
+    "pii_scrub",
+]
+
 
 def _run(fn, spark, sf_dir) -> None:
     fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -349,7 +360,7 @@ def main() -> None:
         "timings_4dp": timings,  # full precision; headline carries 2dp
         "conditions": conditions,
         "streaming": streaming,
-        "new_in_r4": WRITE_BENCHES,
+        "new_in_r4": NEW_IN_R4,
     }
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "BENCH_TELEMETRY.json"), "w") as f:
@@ -363,7 +374,7 @@ def main() -> None:
                 "bench_sidecar": "conditions",
                 "conditions": conditions,
                 "streaming": streaming,
-                "new_in_r4": WRITE_BENCHES,
+                "new_in_r4": NEW_IN_R4,
             }
         ),
         flush=True,

@@ -7,7 +7,12 @@ instead of globally (Abbas et al., "SemDeDup", 2023 — public paper).
 
 Scale design:
 
-- ``kmeans_fit`` is Lloyd's with the classic distributed shape: the
+- ``kmeans_fit`` defaults to sample-fit / full-assign: centroids are
+  fit driver-side on the ``fit_sample_size`` hash-smallest rows (one
+  Spark job; centroid quality saturates far below corpus size), and
+  only the assign pass streams the full corpus. Pass
+  ``fit_sample_size=None`` for exact full-corpus Lloyd's with the
+  classic distributed shape: the
   centroid matrix (k x dim, driver-side numpy — metadata scale: 10k
   centroids x 1k dims = 80 MB) broadcasts into an Arrow/BLAS assign
   stage (``mapInPandas``, one batch matmul per Arrow batch); each task
@@ -88,6 +93,28 @@ def _normalize_centroids(c: np.ndarray) -> np.ndarray:
     return c / norms
 
 
+def _local_lloyd(
+    x: np.ndarray, centroids: np.ndarray, max_iter: int, tol: float
+) -> np.ndarray:
+    """Driver-side spherical Lloyd's — same update rule as the
+    distributed path (argmax-dot assign, mean, renormalize, emptied
+    cluster keeps its centroid), minus the per-iteration job cost."""
+    k = centroids.shape[0]
+    for _ in range(max_iter):
+        assign = (x @ centroids.T).argmax(axis=1)
+        sums = np.zeros_like(centroids)
+        np.add.at(sums, assign, x)
+        cnts = np.bincount(assign, minlength=k)
+        new = centroids.copy()
+        live = cnts > 0
+        new[live] = _normalize_centroids(sums[live])
+        shift = float(np.linalg.norm(new - centroids, axis=1).max())
+        centroids = new
+        if shift < tol:
+            break
+    return centroids
+
+
 def kmeans_fit(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -96,13 +123,44 @@ def kmeans_fit(
     max_iter: int = 10,
     seed: int = 42,
     tol: float = 1e-6,
+    fit_sample_size: int | None = 65_536,
 ) -> np.ndarray:
     """Fit spherical k-means; returns the (k x dim) unit centroid
     matrix. ``k`` is capped at the usable row count. Stops early when
     the max centroid movement (L2) drops below ``tol``. An emptied
     cluster keeps its previous centroid (never NaN, never respawned —
-    deterministic)."""
+    deterministic).
+
+    ``fit_sample_size`` (the default path) fits on the
+    ``fit_sample_size`` rows with the smallest ``md5(seed || id)`` —
+    the same hash order the seed selection uses, so the sample is
+    deterministic and partition-independent — collected once and
+    iterated driver-side in numpy. One Spark job total instead of one
+    per Lloyd iteration; driver memory is bounded at sample x dim
+    doubles (64k x 1k = 0.5 GB worst-case, pick accordingly). This is
+    the standard industrial shape for clustering a 100 TB corpus:
+    centroid quality saturates far below corpus size, and only the
+    ASSIGN pass needs to see every row. ``fit_sample_size=None``
+    selects exact full-corpus distributed Lloyd's (one Arrow partial-
+    sum round trip per iteration)."""
     unit = _unit_rows(df, id_col, vec_col)
+    if fit_sample_size is not None:
+        if fit_sample_size < k:
+            raise ValueError("fit_sample_size must be >= k")
+        rows = (
+            unit.orderBy(
+                F.md5(F.concat(F.lit(f"{seed}:"), F.col("__id").cast("string"))),
+                F.col("__id"),
+            )
+            .limit(fit_sample_size)
+            .collect()
+        )
+        if not rows:
+            raise ValueError("kmeans_fit: no usable (non-null, non-zero) vectors")
+        x = np.stack([np.asarray(r["__v"], dtype=np.float64) for r in rows])
+        # the k hash-smallest rows ARE the seed rule's choice
+        centroids = _normalize_centroids(x[: min(k, len(x))].copy())
+        return _local_lloyd(x, centroids, max_iter, tol)
     centroids = _normalize_centroids(_seed_centroids(unit, k, seed))
     k_eff = centroids.shape[0]
 
@@ -195,6 +253,7 @@ def semantic_dedup(
     max_iter: int = 8,
     seed: int = 42,
     max_cluster_size: int = 4096,
+    fit_sample_size: int | None = 65_536,
 ) -> DataFrame:
     """SemDeDup: per-cluster greedy semantic near-duplicate pruning.
 
@@ -217,7 +276,8 @@ def semantic_dedup(
     """
     unit = _unit_rows(df, id_col, vec_col)
     centroids = kmeans_fit(
-        df, id_col=id_col, vec_col=vec_col, k=k, max_iter=max_iter, seed=seed
+        df, id_col=id_col, vec_col=vec_col, k=k, max_iter=max_iter,
+        seed=seed, fit_sample_size=fit_sample_size,
     )
     c_bc = np.ascontiguousarray(centroids, dtype=np.float64)
     id_t = df.schema[id_col].dataType.simpleString()

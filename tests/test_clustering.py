@@ -57,6 +57,12 @@ def test_kmeans_deterministic_and_guards(spark):
     # same data, different partitioning -> same centroids up to float
     # associativity noise in the partial-sum reduction
     assert np.allclose(a, b, atol=1e-9)
+    # distributed full-corpus path agrees with the sample path when
+    # the sample IS the corpus (same seeds, same update rule)
+    c = kmeans_fit(df, k=3, seed=5, fit_sample_size=None)
+    assert np.allclose(a, c, atol=1e-9)
+    with pytest.raises(ValueError):
+        kmeans_fit(df, k=10, fit_sample_size=5)
     # k capped at usable rows; zero-norm and null vectors dropped
     tiny = spark.createDataFrame(
         [(1, [1.0, 0.0]), (2, [0.0, 0.0]), (3, None)],
