@@ -141,6 +141,7 @@ def __getattr__(name: str):
         "scrub_documents": "pipelines.scrub",
         "mixture_sample": "pipelines.sampling",
         "mixture_thresholds": "pipelines.sampling",
+        "hashed_linear_score": "pipelines.text_stats",
         "kmeans_fit": "pipelines.clustering",
         "kmeans_assign": "pipelines.clustering",
         "semantic_dedup": "pipelines.clustering",
@@ -246,6 +247,7 @@ __all__ = [
     "redact_pii", "pii_counts", "scrub_documents",
     "mixture_sample", "mixture_thresholds",
     "kmeans_fit", "kmeans_assign", "semantic_dedup",
+    "hashed_linear_score",
     # serving-layer connector seam (lazy)
     "ServingConnector", "ParquetServingConnector",
     "ClickHouseHTTPConnector", "ClickHouseConnectorConfig",

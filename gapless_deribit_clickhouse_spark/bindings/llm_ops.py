@@ -694,6 +694,51 @@ WHERE m.n_matched >= 1
 
 
 # --- PII scrubbing (pure regex column algebra, CI-oracle demoted) ---
+# --- hashed linear classifier (quality-filter inference) ---
+# Deterministic stand-in weight vector (md5-derived, environment-
+# independent) — the single source of truth for BOTH the Spark plan
+# literal and the DuckDB oracle literal, the same sharing pattern as
+# PII_PATTERNS. Real use loads trained logistic-regression weights.
+import hashlib as _hashlib
+
+_CLF_BUCKETS = 256
+_CLF_WEIGHTS = [
+    (int(_hashlib.md5(f"w{i}".encode()).hexdigest()[:8], 16) % 2001 - 1000)
+    / 1000.0
+    for i in range(_CLF_BUCKETS)
+]
+_CLF_BIAS = 0.1
+
+
+def classifier_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gapless_deribit_clickhouse_spark.pipelines.text_stats import (
+        hashed_linear_score,
+    )
+
+    return hashed_linear_score(
+        _docs(spark, sf_dir), weights=_CLF_WEIGHTS, bias=_CLF_BIAS
+    )
+
+
+_CLF_BUCKET_SQL = (
+    "list_reduce(list_transform(range(1, 9), i -> "
+    "CAST(strpos('0123456789abcdef', substr(md5(tok), i, 1)) - 1 AS BIGINT)), "
+    f"(acc, d) -> acc * 16 + d) % {_CLF_BUCKETS}"
+)
+CLASSIFIER_SQL = f"""
+WITH wt AS (SELECT [{", ".join(repr(w) for w in _CLF_WEIGHTS)}] AS w),
+toks AS (
+  SELECT doc_id, list_filter(string_split({_NORM}, ' '), x -> len(x) > 0) AS t
+  FROM documents)
+SELECT doc_id,
+       1.0 / (1.0 + exp(-({_CLF_BIAS!r} + CASE WHEN len(t) > 0 THEN
+           list_avg(list_transform(t, tok -> w[CAST({_CLF_BUCKET_SQL} AS INT) + 1]))
+           ELSE 0.0 END))) AS clf_score,
+       CAST(COALESCE(len(t), 0) AS BIGINT) AS n_tokens
+FROM toks, wt
+"""
+
+
 def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup over the embeddings table: spherical k-means (k=8,
     hash-seeded, deterministic) then per-cluster greedy cosine pruning
@@ -790,4 +835,5 @@ BINDINGS = [
     # pinned in tests/test_clustering.py and tests/test_packing.py
     ("semantic_dedup", semantic_dedup_q, None),
     ("sequence_packing", sequence_packing_q, None),
+    ("classifier_score", classifier_score_q, CLASSIFIER_SQL),
 ]

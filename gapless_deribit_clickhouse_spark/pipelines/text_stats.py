@@ -330,3 +330,53 @@ def fingerprint(
         F.md5(F.concat_ws(" ", toks)).alias("fingerprint"),
         F.size(toks).cast("bigint").alias("n_distinct_tokens"),
     )
+
+
+def hashed_linear_score(
+    df: DataFrame,
+    weights: list[float],
+    bias: float = 0.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    score_col: str = "clf_score",
+) -> DataFrame:
+    """Fasttext-style hashed linear classifier inference, fused into
+    the scan as pure column algebra: each token hashes into a bucket
+    of the ``weights`` vector (hashing trick), the document logit is
+    bias + mean bucket weight, and the score is its sigmoid.
+
+    The scale story is the point: classifier inference over 100 TB is
+    a zero-shuffle, zero-UDF map — the weight vector is a plan
+    LITERAL (one array constant in the codegen'd expression, shipped
+    once inside the serialized plan, not per row), so quality-filter
+    scoring runs at full scan speed and pushes below any downstream
+    shuffle. Token hashing reuses the md5 bucket scheme of
+    ``pipelines/sampling.py`` (first 8 hex chars mod len(weights)) so
+    a SQL oracle reproduces scores bit-for-bit; training the weights
+    happens offline (any logistic-regression fit) — this operator is
+    the serving side.
+
+    A doc with no tokens scores sigmoid(bias) — the prior.
+    """
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    n = len(weights)
+    w_arr = F.array(*[F.lit(float(w)) for w in weights])
+    toks = F.filter(
+        F.split(normalized_text(F.col(text_col)), " "),
+        lambda t: F.length(t) > 0,
+    )
+    bucket = lambda t: (  # noqa: E731 — tiny expression combinator
+        F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long") % n
+    ).cast("int")
+    tok_w = F.transform(toks, lambda t: F.element_at(w_arr, bucket(t) + 1))
+    logit = F.lit(float(bias)) + F.when(F.size(tok_w) > 0, 
+        F.aggregate(tok_w, F.lit(0.0), lambda a, x: a + x) / F.size(tok_w)
+    ).otherwise(F.lit(0.0))
+    return ensure_parallelism(df).select(
+        F.col(id_col),
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))).alias(score_col),
+        # null text -> null token array -> count 0 (not null): corrupt
+        # rows score the prior, they don't poison downstream filters
+        F.coalesce(F.size(toks), F.lit(0)).cast("bigint").alias("n_tokens"),
+    )

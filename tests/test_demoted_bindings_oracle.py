@@ -46,12 +46,18 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
-_DEMOTED_BINDINGS = [b for b in ALL_BINDINGS if b[0] in _DEMOTED]
+# every binding past the driver's 50-entry window that HAS an oracle:
+# the demoted near-duplicate variants plus tail-appended distinct
+# operators (e.g. classifier_score) — all get the driver's compare
+# here since the driver itself never reaches them
+_DEMOTED_BINDINGS = [
+    b for b in ALL_BINDINGS[50:] if b[2] is not None
+]
 
 
 def test_all_demoted_have_oracles():
-    assert {b[0] for b in _DEMOTED_BINDINGS} == set(_DEMOTED)
-    assert all(sql is not None for _n, _f, sql in _DEMOTED_BINDINGS)
+    with_sql = {n for n, _f, s in ALL_BINDINGS if s is not None}
+    assert set(_DEMOTED) <= with_sql, "demoted variants must keep their oracle"
 
 
 @pytest.mark.parametrize(

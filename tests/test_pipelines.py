@@ -992,3 +992,43 @@ def test_salted_agg_matches_plain_groupby(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         salted_agg(df, ["k"], {"bad": ("avg", "x")})
+
+
+def test_hashed_linear_score_edges(spark):
+    import math
+
+    from gapless_deribit_clickhouse_spark.pipelines.text_stats import (
+        hashed_linear_score,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, ""), (3, None), (4, "hello hello")],
+        "doc_id long, text string",
+    )
+    w = [0.5] * 8  # uniform weights -> mean token weight is 0.5
+    out = {
+        r.doc_id: r
+        for r in hashed_linear_score(df, weights=w, bias=0.25).collect()
+    }
+    sig = lambda x: 1.0 / (1.0 + math.exp(-x))  # noqa: E731
+    # any tokens -> logit = bias + 0.5
+    assert out[1].clf_score == pytest.approx(sig(0.75), abs=1e-12)
+    assert out[1].n_tokens == 2
+    # empty / null text -> the prior sigmoid(bias)
+    assert out[2].clf_score == pytest.approx(sig(0.25), abs=1e-12)
+    assert out[3].clf_score == pytest.approx(sig(0.25), abs=1e-12)
+    assert out[3].n_tokens == 0
+    assert out[4].clf_score == pytest.approx(sig(0.75), abs=1e-12)
+    with pytest.raises(ValueError):
+        hashed_linear_score(df, weights=[])
+    # discriminative weights separate docs (hashing trick actually
+    # routes different tokens to different buckets)
+    import hashlib
+
+    wid = [
+        (int(hashlib.md5(f"w{i}".encode()).hexdigest()[:8], 16) % 2001 - 1000)
+        / 1000.0
+        for i in range(64)
+    ]
+    scored = hashed_linear_score(df, weights=wid).toPandas()
+    assert scored.clf_score.nunique() > 1
