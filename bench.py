@@ -110,6 +110,7 @@ NEW_IN_R4 = WRITE_BENCHES + [
     "sequence_packing",
     "video_decode_features",
     "pii_scrub",
+    "classifier_score",
 ]
 
 

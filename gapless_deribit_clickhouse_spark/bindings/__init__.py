@@ -20,8 +20,12 @@ ALL_BINDINGS = []
 for _mod in (core_ops, features_ops, analytics_ops, extra_ops, llm_ops):
     ALL_BINDINGS.extend(_mod.BINDINGS)
 
-# The driver's CORRECTNESS harness checks the first 50 registry
-# entries.  Demote near-duplicate variants (each shares its operator
+# The driver's CORRECTNESS harness checks the first CHECKED_WINDOW
+# registry entries (single source of truth — the registry layout test
+# and the CI past-window oracle compare both import this).
+CHECKED_WINDOW = 50
+
+# Demote near-duplicate variants (each shares its operator
 # with a sibling binding that stays in the window) to the tail so
 # every *distinct* operator — including the LLM-tier text/ANN
 # bindings — lands inside the checked window.

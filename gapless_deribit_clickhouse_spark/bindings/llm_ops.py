@@ -693,7 +693,6 @@ WHERE m.n_matched >= 1
 """
 
 
-# --- PII scrubbing (pure regex column algebra, CI-oracle demoted) ---
 # --- hashed linear classifier (quality-filter inference) ---
 # Deterministic stand-in weight vector (md5-derived, environment-
 # independent) — the single source of truth for BOTH the Spark plan
@@ -739,6 +738,7 @@ FROM toks, wt
 """
 
 
+# --- semantic dedup (k-means + per-cluster prune) and packing ---
 def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup over the embeddings table: spherical k-means (k=8,
     hash-seeded, deterministic) then per-cluster greedy cosine pruning
@@ -773,6 +773,7 @@ def sequence_packing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_stats(packed, max_tokens=512)
 
 
+# --- PII scrubbing (pure regex column algebra, CI-oracle demoted) ---
 def pii_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gapless_deribit_clickhouse_spark.pipelines.scrub import scrub_documents
 
@@ -835,5 +836,7 @@ BINDINGS = [
     # pinned in tests/test_clustering.py and tests/test_packing.py
     ("semantic_dedup", semantic_dedup_q, None),
     ("sequence_packing", sequence_packing_q, None),
+    # NOT rows-only: full oracle, value-checked by the CI past-window
+    # compare (the driver's 50-entry window is already full)
     ("classifier_score", classifier_score_q, CLASSIFIER_SQL),
 ]

@@ -18,9 +18,9 @@ Scale design:
   stage (``mapInPandas``, one batch matmul per Arrow batch); each task
   emits k PARTIAL (count, sum-vector) rows — manual map-side combine —
   so the per-iteration shuffle is ``partitions x k`` rows of dim
-  doubles, never the corpus. Rows are unit-normalized once up front
-  (spherical k-means: argmax dot == nearest-cosine), matching the
-  cosine geometry of the rest of the embedding tier.
+  doubles, never the corpus. Rows are unit-normalized inside each
+  numpy batch (spherical k-means: argmax dot == nearest-cosine),
+  matching the cosine geometry of the rest of the embedding tier.
 - Determinism: seeds are the k rows with the smallest
   ``md5(seed || id)`` (hash-stable across partitionings, same trick as
   ``pipelines/sampling.py``); partial sums are reduced in sorted order
@@ -31,10 +31,13 @@ Scale design:
   (the SemDeDup keep-order) and keep a doc unless it is within
   ``threshold`` cosine of an already-kept doc. Per-group work is
   O(size^2 * dim) worst case, so oversized clusters are first split
-  into deterministic md5 chunks of <= ``max_cluster_size`` rows
-  (bounded task memory AND flops; a cross-chunk duplicate pair can
-  survive the split — the standard recall-for-boundedness trade every
-  sharded dedup makes, same as ``pack_sequences`` sharding).
+  into deterministic md5 chunks sized at ~75% of
+  ``max_cluster_size`` in expectation (hash chunking bounds chunk
+  sizes probabilistically; the cap-overshoot tail decays
+  exponentially — see the sizing comment in ``semantic_dedup``). A
+  cross-chunk duplicate pair can survive the split — the standard
+  recall-for-boundedness trade every sharded dedup makes, same as
+  ``pack_sequences`` sharding.
 
 These are iterative/stateful operators with no SQL equivalent, so the
 binding takes the rows-only correctness check (like ``egarch_params``);
@@ -52,30 +55,33 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from gapless_deribit_clickhouse_spark.pipelines.embeddings import l2_norm
+from gapless_deribit_clickhouse_spark.pipelines.sampling import hash_u32
 
 
-def _unit_rows(
-    df: DataFrame, id_col: str, vec_col: str
-) -> DataFrame:
-    """Project to (id, unit-normalized vector), dropping null / empty /
-    zero-norm vectors (the same guard as every cosine path — a zero
-    vector has no direction and would poison centroid math)."""
+def _usable_rows(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Project to (id, RAW vector), dropping null / empty / zero-norm
+    vectors (the same guard as every cosine path — a zero vector has
+    no direction and would poison centroid math).
+
+    Vectors are deliberately NOT normalized here: dividing an array by
+    its own ``l2_norm`` needs a higher-order ``transform`` whose
+    lambda re-evaluates the outer aggregate per element (the O(dim^2)
+    trap documented at ``text_dedup.gram_array``), and hoisting the
+    norm to a sibling column is undone by CollapseProject. Every
+    consumer is a numpy stage anyway, so each batch unit-normalizes
+    itself with one BLAS-speed ``_normalize_rows`` call — O(dim) per
+    row, off the Catalyst expression path entirely."""
     v = F.col(vec_col).cast("array<double>")
-    n = l2_norm(v)
-    return (
-        df.filter(v.isNotNull() & (F.size(v) > 0) & (n > 0))
-        .select(
-            F.col(id_col).alias("__id"),
-            F.transform(v, lambda x: x / n).alias("__v"),
-        )
+    return df.filter(v.isNotNull() & (F.size(v) > 0) & (l2_norm(v) > 0)).select(
+        F.col(id_col).alias("__id"), v.alias("__v")
     )
 
 
-def _seed_centroids(unit: DataFrame, k: int, seed: int) -> np.ndarray:
+def _seed_centroids(usable: DataFrame, k: int, seed: int) -> np.ndarray:
     """Deterministic init: the k rows with smallest md5(seed || id) —
     a hash-stable uniform draw (TakeOrdered, no full sort)."""
     rows = (
-        unit.orderBy(
+        usable.orderBy(
             F.md5(F.concat(F.lit(f"{seed}:"), F.col("__id").cast("string"))),
             F.col("__id"),
         )
@@ -87,10 +93,14 @@ def _seed_centroids(unit: DataFrame, k: int, seed: int) -> np.ndarray:
     return np.stack([np.asarray(r["__v"], dtype=np.float64) for r in rows])
 
 
-def _normalize_centroids(c: np.ndarray) -> np.ndarray:
+def _normalize_rows(c: np.ndarray) -> np.ndarray:
     norms = np.linalg.norm(c, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
     return c / norms
+
+
+# centroids and data rows share the unit-normalization rule
+_normalize_centroids = _normalize_rows
 
 
 def _local_lloyd(
@@ -143,12 +153,12 @@ def kmeans_fit(
     ASSIGN pass needs to see every row. ``fit_sample_size=None``
     selects exact full-corpus distributed Lloyd's (one Arrow partial-
     sum round trip per iteration)."""
-    unit = _unit_rows(df, id_col, vec_col)
+    usable = _usable_rows(df, id_col, vec_col)
     if fit_sample_size is not None:
         if fit_sample_size < k:
             raise ValueError("fit_sample_size must be >= k")
         rows = (
-            unit.orderBy(
+            usable.orderBy(
                 F.md5(F.concat(F.lit(f"{seed}:"), F.col("__id").cast("string"))),
                 F.col("__id"),
             )
@@ -157,11 +167,13 @@ def kmeans_fit(
         )
         if not rows:
             raise ValueError("kmeans_fit: no usable (non-null, non-zero) vectors")
-        x = np.stack([np.asarray(r["__v"], dtype=np.float64) for r in rows])
+        x = _normalize_rows(
+            np.stack([np.asarray(r["__v"], dtype=np.float64) for r in rows])
+        )
         # the k hash-smallest rows ARE the seed rule's choice
-        centroids = _normalize_centroids(x[: min(k, len(x))].copy())
+        centroids = x[: min(k, len(x))].copy()
         return _local_lloyd(x, centroids, max_iter, tol)
-    centroids = _normalize_centroids(_seed_centroids(unit, k, seed))
+    centroids = _normalize_centroids(_seed_centroids(usable, k, seed))
     k_eff = centroids.shape[0]
 
     for _ in range(max_iter):
@@ -174,7 +186,7 @@ def kmeans_fit(
             for pdf in it:
                 if not len(pdf):
                     continue
-                x = np.stack(pdf["__v"].values)
+                x = _normalize_rows(np.stack(pdf["__v"].values))
                 assign = (x @ c_bc.T).argmax(axis=1)
                 np.add.at(sums, assign, x)
                 cnts += np.bincount(assign, minlength=k_eff)
@@ -189,7 +201,7 @@ def kmeans_fit(
                     }
                 )
 
-        collected = unit.mapInPandas(
+        collected = usable.mapInPandas(
             partials, schema="cluster int, cnt long, vsum array<double>"
         ).collect()
         # sorted reduction: same accumulation order regardless of
@@ -219,7 +231,7 @@ def kmeans_assign(
     """Assign each row its nearest (cosine) centroid. Output:
     ``id_col``, ``cluster_id``, ``centroid_sim``. One Arrow/BLAS map
     stage, no shuffle."""
-    unit = _unit_rows(df, id_col, vec_col)
+    usable = _usable_rows(df, id_col, vec_col)
     id_t = df.schema[id_col].dataType.simpleString()
     c_bc = np.ascontiguousarray(centroids, dtype=np.float64)
 
@@ -227,7 +239,7 @@ def kmeans_assign(
         for pdf in it:
             if not len(pdf):
                 continue
-            x = np.stack(pdf["__v"].values)
+            x = _normalize_rows(np.stack(pdf["__v"].values))
             sims = x @ c_bc.T
             best = sims.argmax(axis=1)
             yield pd.DataFrame(
@@ -238,7 +250,7 @@ def kmeans_assign(
                 }
             )
 
-    out = unit.mapInPandas(
+    out = usable.mapInPandas(
         assign, schema=f"__id {id_t}, cluster_id int, centroid_sim double"
     )
     return out.withColumnRenamed("__id", id_col)
@@ -274,7 +286,7 @@ def semantic_dedup(
     cluster_id) would shuffle the full vector payload twice instead
     of once.
     """
-    unit = _unit_rows(df, id_col, vec_col)
+    usable = _usable_rows(df, id_col, vec_col)
     centroids = kmeans_fit(
         df, id_col=id_col, vec_col=vec_col, k=k, max_iter=max_iter,
         seed=seed, fit_sample_size=fit_sample_size,
@@ -286,40 +298,44 @@ def semantic_dedup(
         for pdf in it:
             if not len(pdf):
                 continue
-            x = np.stack(pdf["__v"].values)
+            x = _normalize_rows(np.stack(pdf["__v"].values))
             sims = x @ c_bc.T
             best = sims.argmax(axis=1)
             yield pd.DataFrame(
                 {
                     "__id": pdf["__id"],
-                    "__v": pdf["__v"],
+                    "__v": pdf["__v"],  # raw; prune re-normalizes
                     "cluster_id": best.astype("int32"),
                     "centroid_sim": sims[np.arange(len(best)), best],
                 }
             )
 
-    assigned = unit.mapInPandas(
+    assigned = usable.mapInPandas(
         assign_keep_vec,
         schema=f"__id {id_t}, __v array<double>, cluster_id int, centroid_sim double",
     )
     # bound per-group size: md5-chunk clusters larger than the cap
     # (broadcast of a k-row count table; deterministic chunk member-
-    # ship). ceil-division keeps every chunk <= max_cluster_size.
+    # ship). Hash chunking bounds the EXPECTED chunk size, not each
+    # chunk, so chunk counts target ~75% of the cap: a chunk then
+    # exceeds max_cluster_size only on a >=33% binomial deviation,
+    # whose probability decays exponentially in the chunk size
+    # (Chernoff) — negligible at every size where the quadratic prune
+    # cost matters. Clusters already within the cap stay whole.
     sizes = assigned.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("__sz"))
     chunked = (
         assigned.join(F.broadcast(sizes), "cluster_id")
         .withColumn(
             "__nchunks",
-            F.ceil(F.col("__sz") / F.lit(max_cluster_size)).cast("int"),
+            F.when(F.col("__sz") <= max_cluster_size, F.lit(1))
+            .otherwise(
+                F.ceil(F.col("__sz") / F.lit(0.75 * max_cluster_size))
+            )
+            .cast("int"),
         )
         .withColumn(
             "__chunk",
-            (
-                F.conv(
-                    F.substring(F.md5(F.col("__id").cast("string")), 1, 8), 16, 10
-                ).cast("long")
-                % F.col("__nchunks")
-            ).cast("int"),
+            (hash_u32(F.col("__id")) % F.col("__nchunks")).cast("int"),
         )
     )
 
@@ -329,7 +345,7 @@ def semantic_dedup(
         pdf = pdf.sort_values(
             ["centroid_sim", "__id"], ascending=[True, True], kind="mergesort"
         ).reset_index(drop=True)
-        x = np.stack(pdf["__v"].values)
+        x = _normalize_rows(np.stack(pdf["__v"].values))
         n = len(pdf)
         kept_idx: list[int] = []
         kept = np.zeros(n, dtype=bool)

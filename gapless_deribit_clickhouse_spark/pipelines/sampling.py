@@ -20,11 +20,19 @@ from pyspark.sql import functions as F
 BUCKETS = 10_000
 
 
-def hash_bucket(key: Column, salt: str = "") -> Column:
-    """Uniform bucket in [0, BUCKETS): first 8 md5 hex chars (32 bits)
-    of the salted key, mod BUCKETS."""
-    h = F.conv(F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 8), 16, 10)
-    return (h.cast("long") % BUCKETS).cast("int")
+def hash_u32(key: Column, salt: str = "") -> Column:
+    """First 8 md5 hex chars (32 bits) of the salted key, as a long —
+    the one canonical hash derivation every md5-bucket consumer
+    (sampling, classifier hashing trick, cluster chunking) and every
+    DuckDB oracle must mirror. Change it here and nowhere else."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 8), 16, 10
+    ).cast("long")
+
+
+def hash_bucket(key: Column, salt: str = "", buckets: int = BUCKETS) -> Column:
+    """Uniform bucket in [0, buckets): ``hash_u32`` mod buckets."""
+    return (hash_u32(key, salt) % buckets).cast("int")
 
 
 def hash_sample(

@@ -358,6 +358,8 @@ def hashed_linear_score(
 
     A doc with no tokens scores sigmoid(bias) — the prior.
     """
+    from gapless_deribit_clickhouse_spark.pipelines.sampling import hash_bucket
+
     if not weights:
         raise ValueError("weights must be non-empty")
     n = len(weights)
@@ -366,10 +368,9 @@ def hashed_linear_score(
         F.split(normalized_text(F.col(text_col)), " "),
         lambda t: F.length(t) > 0,
     )
-    bucket = lambda t: (  # noqa: E731 — tiny expression combinator
-        F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long") % n
-    ).cast("int")
-    tok_w = F.transform(toks, lambda t: F.element_at(w_arr, bucket(t) + 1))
+    tok_w = F.transform(
+        toks, lambda t: F.element_at(w_arr, hash_bucket(t, buckets=n) + 1)
+    )
     logit = F.lit(float(bias)) + F.when(F.size(tok_w) > 0, 
         F.aggregate(tok_w, F.lit(0.0), lambda a, x: a + x) / F.size(tok_w)
     ).otherwise(F.lit(0.0))

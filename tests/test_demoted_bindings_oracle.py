@@ -20,7 +20,11 @@ import numpy as np
 import pandas as pd
 import pytest
 
-from gapless_deribit_clickhouse_spark.bindings import ALL_BINDINGS, _DEMOTED
+from gapless_deribit_clickhouse_spark.bindings import (
+    ALL_BINDINGS,
+    CHECKED_WINDOW,
+    _DEMOTED,
+)
 from gapless_deribit_clickhouse_spark.core.tables import TABLES
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -51,7 +55,7 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
 # operators (e.g. classifier_score) — all get the driver's compare
 # here since the driver itself never reaches them
 _DEMOTED_BINDINGS = [
-    b for b in ALL_BINDINGS[50:] if b[2] is not None
+    b for b in ALL_BINDINGS[CHECKED_WINDOW:] if b[2] is not None
 ]
 
 

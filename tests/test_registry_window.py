@@ -9,9 +9,13 @@ the window (the r2 failure mode: 5 tail bindings were never checked).
 
 from __future__ import annotations
 
-from gapless_deribit_clickhouse_spark.bindings import ALL_BINDINGS, _DEMOTED
+from gapless_deribit_clickhouse_spark.bindings import (
+    ALL_BINDINGS,
+    CHECKED_WINDOW,
+    _DEMOTED,
+)
 
-WINDOW = 50
+WINDOW = CHECKED_WINDOW
 
 # every demoted binding's operator must stay represented inside the
 # window by these siblings (documented in COVERAGE.md)
