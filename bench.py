@@ -111,6 +111,7 @@ NEW_IN_R4 = WRITE_BENCHES + [
     "video_decode_features",
     "pii_scrub",
     "classifier_score",
+    "q5_local_supplier_volume",
 ]
 
 

@@ -51,6 +51,9 @@ _DEMOTED = (
     "video_decode_features",  # sibling: image_decode_features (same
     # real-decode mapInPandas shape, framepack/PNG kernel; CI
     # value-oracle via lossless-PNG mean-pixel identity)
+    "q5_local_supplier_volume",  # siblings: q3_shipping_priority /
+    # q10_returned_revenue (same broadcast-dim + fact-shuffle join-agg
+    # family; Q5 adds the dimension-chain collapse; CI value-oracle)
 )
 ALL_BINDINGS = [b for b in ALL_BINDINGS if b[0] not in _DEMOTED] + [
     b for b in ALL_BINDINGS if b[0] in _DEMOTED

@@ -247,6 +247,63 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- multi-way dimension-chain join (TPC-H Q5 shape) ---
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The join-reordering benchmark: six tables, one region filter.
+    The dimension CHAIN (region -> nation -> supplier, and nation ->
+    customer) collapses into broadcasts — the region predicate prunes
+    nations before anything touches a fact table, so the only shuffle
+    joins are the two fact-fact edges (lineitem x orders on orderkey;
+    their result x the customer-side keys). The c_nationkey =
+    s_nationkey locality condition rides the supplier broadcast as an
+    equality on the already-joined nation key, not a third shuffle."""
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(c),
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+Q5_SQL = """
+SELECT n_name, sum(l_extendedprice * (1 - l_discount)) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
 Q3_SQL = """
 SELECT l_orderkey, o_orderdate, o_orderpriority,
        sum(l_extendedprice * (1 - l_discount)) AS revenue
@@ -312,6 +369,8 @@ BINDINGS = [
     ("q10_returned_revenue", q10_returned_revenue, Q10_SQL),
     ("q3_shipping_priority", q3_shipping_priority, Q3_SQL),
     ("q18_large_volume_customer", q18_large_volume_customer, Q18_SQL),
+    # demoted (driver window full) — CI past-window oracle compare
+    ("q5_local_supplier_volume", q5_local_supplier_volume, Q5_SQL),
     ("dedup_latest", dedup_latest_events, DEDUP_LATEST_SQL),
     ("ohlc_15m", ohlc_15m, OHLC_15M_SQL),
     ("top1_min_value", top1_min_value, TOP1_MIN_VALUE_SQL),

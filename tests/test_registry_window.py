@@ -32,6 +32,7 @@ SIBLINGS = {
     "pii_scrub": ["text_quality"],
     "hash_sample": ["mixture_sample"],
     "video_decode_features": ["image_decode_features"],
+    "q5_local_supplier_volume": ["q3_shipping_priority", "q10_returned_revenue"],
 }
 
 
