@@ -112,6 +112,7 @@ NEW_IN_R4 = WRITE_BENCHES + [
     "pii_scrub",
     "classifier_score",
     "q5_local_supplier_volume",
+    "doc_chunks",
 ]
 
 

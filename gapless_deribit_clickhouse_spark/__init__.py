@@ -136,6 +136,7 @@ def __getattr__(name: str):
         "video_frame_features": "pipelines.multimodal",
         "pack_sequences": "pipelines.packing",
         "pack_stats": "pipelines.packing",
+        "chunk_documents": "pipelines.packing",
         "redact_pii": "pipelines.scrub",
         "pii_counts": "pipelines.scrub",
         "scrub_documents": "pipelines.scrub",
@@ -243,7 +244,7 @@ __all__ = [
     "synthetic_images",
     "decode_audio", "encode_wav", "audio_feature_extract",
     "encode_framepack", "decode_framepack", "video_frame_features",
-    "pack_sequences", "pack_stats",
+    "pack_sequences", "pack_stats", "chunk_documents",
     "redact_pii", "pii_counts", "scrub_documents",
     "mixture_sample", "mixture_thresholds",
     "kmeans_fit", "kmeans_assign", "semantic_dedup",

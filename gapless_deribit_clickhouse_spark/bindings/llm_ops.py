@@ -738,6 +738,40 @@ FROM toks, wt
 """
 
 
+# --- sliding-window document chunking (context-window prep) ---
+def doc_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gapless_deribit_clickhouse_spark.pipelines.packing import chunk_documents
+
+    return chunk_documents(
+        _docs(spark, sf_dir), max_tokens=32, overlap=8
+    )
+
+
+# stride = 32 - 8 = 24; DuckDB list slicing t[a:b] is 1-based
+# inclusive and clips at the end, matching Spark F.slice(toks, a, 32)
+DOC_CHUNKS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         COALESCE(list_filter(string_split({_NORM}, ' '), x -> len(x) > 0), []) AS t
+  FROM documents),
+n AS (
+  SELECT doc_id, t, len(t) AS nt,
+         CASE WHEN len(t) <= 32 THEN 1
+              ELSE CAST(ceil((len(t) - 32) / 24.0) AS INT) + 1 END AS nc
+  FROM toks),
+ex AS (
+  SELECT doc_id, nt, nc,
+         unnest(list_transform(range(nc), i -> {{
+             'chunk_idx': CAST(i AS INT),
+             'chunk_text': array_to_string(t[i * 24 + 1 : i * 24 + 32], ' ')
+         }})) AS ch
+  FROM n)
+SELECT doc_id, ch.chunk_idx AS chunk_idx, ch.chunk_text AS chunk_text,
+       CAST(nt AS BIGINT) AS n_tokens, nc AS n_chunks
+FROM ex
+"""
+
+
 # --- semantic dedup (k-means + per-cluster prune) and packing ---
 def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup over the embeddings table: spherical k-means (k=8,
@@ -836,7 +870,8 @@ BINDINGS = [
     # pinned in tests/test_clustering.py and tests/test_packing.py
     ("semantic_dedup", semantic_dedup_q, None),
     ("sequence_packing", sequence_packing_q, None),
-    # NOT rows-only: full oracle, value-checked by the CI past-window
+    # NOT rows-only: full oracles, value-checked by the CI past-window
     # compare (the driver's 50-entry window is already full)
     ("classifier_score", classifier_score_q, CLASSIFIER_SQL),
+    ("doc_chunks", doc_chunks_q, DOC_CHUNKS_SQL),
 ]

@@ -202,3 +202,68 @@ def pack_stats(packed: DataFrame, max_tokens: int) -> DataFrame:
         ).alias("fill_rate"),
         F.sum("has_oversized").alias("oversized_packs"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_tokens: int = 256,
+    overlap: int = 32,
+) -> DataFrame:
+    """Split each document into overlapping token-window chunks — the
+    context-window preparation step between curation and packing:
+    ``max_tokens``-token windows advancing by ``max_tokens - overlap``
+    (the classic sliding chunker; the overlap preserves boundary
+    context for training). Output one row per chunk: ``id_col``,
+    ``chunk_idx``, ``chunk_text``, ``n_tokens`` (whole doc),
+    ``n_chunks``.
+
+    Pure column algebra — tokenize once, build the chunk list with
+    ``transform`` + ``slice`` over the token array, explode. Zero
+    shuffles, zero UDFs: chunking 100 TB is a map over the scan whose
+    output feeds ``pack_sequences`` directly. A doc at or under the
+    budget yields exactly itself as chunk 0 (normalized whitespace);
+    null text yields one empty chunk, not a dropped row.
+    """
+    stride = max_tokens - overlap
+    if max_tokens <= 0 or overlap < 0 or stride <= 0:
+        raise ValueError("need max_tokens > overlap >= 0")
+    from gapless_deribit_clickhouse_spark.pipelines.text_dedup import (
+        normalized_text,
+    )
+
+    toks = F.coalesce(
+        F.filter(
+            F.split(normalized_text(F.col(text_col)), " "),
+            lambda t: F.length(t) > 0,
+        ),
+        F.array().cast("array<string>"),
+    )
+    nt = F.size(toks)
+    nc = F.when(nt <= max_tokens, F.lit(1)).otherwise(
+        (F.ceil((nt - F.lit(max_tokens)) / F.lit(stride)) + 1).cast("int")
+    )
+    # built over the PROJECTED attributes (__toks / n_chunks), so the
+    # tokenization expression is evaluated once in the inner select
+    chunks = F.transform(
+        F.sequence(F.lit(0), F.col("n_chunks") - 1),
+        lambda i: F.concat_ws(
+            " ", F.slice(F.col("__toks"), i * stride + 1, max_tokens)
+        ),
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            toks.alias("__toks"),
+            nt.cast("bigint").alias("n_tokens"),
+            nc.alias("n_chunks"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "n_chunks",
+            F.posexplode(chunks).alias("chunk_idx", "chunk_text"),
+        )
+        .select(id_col, "chunk_idx", "chunk_text", "n_tokens", "n_chunks")
+    )

@@ -189,3 +189,36 @@ def test_first_fit_tree_matches_naive_scan():
                 tree.add(rooms[-1])
             else:
                 rooms[naive] -= t
+
+
+def test_chunk_documents_invariants(spark):
+    from gapless_deribit_clickhouse_spark.pipelines.packing import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(25))
+    df = spark.createDataFrame(
+        [(1, words), (2, "short doc"), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(df, max_tokens=10, overlap=4).toPandas()
+    d1 = out[out.doc_id == 1].sort_values("chunk_idx")
+    # 25 tokens, stride 6: nc = 1 + ceil((25-10)/6) = 4
+    assert list(d1.chunk_idx) == [0, 1, 2, 3]
+    assert (d1.n_chunks == 4).all() and (d1.n_tokens == 25).all()
+    # windows advance by stride and keep the 4-token overlap
+    assert d1.iloc[0].chunk_text.split() == [f"w{i}" for i in range(10)]
+    assert d1.iloc[1].chunk_text.split() == [f"w{i}" for i in range(6, 16)]
+    # last chunk is the clipped tail, ending at the final token
+    assert d1.iloc[3].chunk_text.split() == [f"w{i}" for i in range(18, 25)]
+    # every token index appears in some chunk (no gaps)
+    covered = {t for c in d1.chunk_text for t in c.split()}
+    assert covered == {f"w{i}" for i in range(25)}
+    # at/under budget -> exactly one chunk, itself
+    d2 = out[out.doc_id == 2]
+    assert len(d2) == 1 and d2.iloc[0].chunk_text == "short doc"
+    # empty and null text both yield one empty chunk, not a lost row
+    for did in (3, 4):
+        dx = out[out.doc_id == did]
+        assert len(dx) == 1 and dx.iloc[0].chunk_text == ""
+        assert dx.iloc[0].n_tokens == 0
+    with pytest.raises(ValueError):
+        chunk_documents(df, max_tokens=8, overlap=8)
