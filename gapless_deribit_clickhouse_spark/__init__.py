@@ -90,6 +90,7 @@ def __getattr__(name: str):
         "exact_dedup": "pipelines.text_dedup",
         "ngram_jaccard_pairs": "pipelines.text_dedup",
         "minhash_lsh_pairs": "pipelines.text_dedup",
+        "near_dedup_corpus": "pipelines.text_dedup",
         "simhash_near_pairs": "pipelines.text_dedup",
         "cosine_topk": "pipelines.embeddings",
         "ivf_topk": "pipelines.embeddings",
@@ -246,7 +247,7 @@ __all__ = [
     "encode_framepack", "decode_framepack", "video_frame_features",
     "pack_sequences", "pack_stats", "chunk_documents",
     "redact_pii", "pii_counts", "scrub_documents",
-    "mixture_sample", "mixture_thresholds",
+    "mixture_sample", "mixture_thresholds", "near_dedup_corpus",
     "kmeans_fit", "kmeans_assign", "semantic_dedup",
     "hashed_linear_score",
     # serving-layer connector seam (lazy)

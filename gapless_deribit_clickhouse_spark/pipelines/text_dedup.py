@@ -405,3 +405,56 @@ def simhash_near_pairs(
     return cand.withColumn("hamming", ham).filter(F.col("hamming") <= max_hamming).select(
         "id_a", "id_b", "hamming"
     )
+
+
+def near_dedup_corpus(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    num_hashes: int | None = None,
+    bands: int | None = None,
+) -> DataFrame:
+    """The one-call near-dedup filter: exact dedup -> MinHash-LSH
+    candidate pairs -> connected components -> keep one canonical doc
+    per cluster. Returns the KEPT rows of ``df`` (all original
+    columns), i.e. the corpus with exact and near duplicates removed.
+
+    Pipeline order is the standard scale recipe (see SCALING.md):
+    exact dedup FIRST collapses exact-duplicate cliques to one row, so
+    the pair-generating LSH stage never sees them (pair output is
+    inherently quadratic in clique size). The canonical survivor of a
+    cluster is the minimum id (deterministic, matching
+    ``exact_dedup``'s keep="min").
+
+    Shuffle budget: ONE semi-join shuffle for the exact tier (keeping
+    full rows per distinct text cannot avoid it), the LSH stages on
+    the deduped survivors, then a final ANTI join against the
+    near-duplicate loser set — which contains only ids that lost a
+    connected-components election, so it is near-dup-count-sized, not
+    corpus-sized; AQE turns the anti join into a broadcast at runtime
+    when it is small (the common case).
+    """
+    from gapless_deribit_clickhouse_spark.operators.connected_components import (
+        connected_components,
+    )
+
+    winners = exact_dedup(df, text_col=text_col, id_col=id_col, keep="min").select(
+        id_col
+    )
+    survivors = df.join(winners, id_col, "semi")
+    pairs = minhash_lsh_pairs(
+        survivors,
+        text_col=text_col,
+        id_col=id_col,
+        n=n,
+        num_hashes=num_hashes,
+        bands=bands,
+        threshold=threshold,
+    )
+    comp = connected_components(pairs)
+    losers = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return survivors.join(losers, id_col, "left_anti")

@@ -1032,3 +1032,33 @@ def test_hashed_linear_score_edges(spark):
     ]
     scored = hashed_linear_score(df, weights=wid).toPandas()
     assert scored.clf_score.nunique() > 1
+
+
+def test_near_dedup_corpus_one_call_filter(spark, docs):
+    from gapless_deribit_clickhouse_spark.pipelines.text_dedup import (
+        near_dedup_corpus,
+    )
+
+    base = docs.select("doc_id", "text", "lang", "source", "n_chars")
+    # plant one exact duplicate and one trivially-near duplicate of
+    # doc 0 with HIGHER ids (canonical = min id survives)
+    d0 = base.filter(F.col("doc_id") == 0)
+    exact = d0.select(
+        (F.col("doc_id") + 900_000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    near = d0.select(
+        (F.col("doc_id") + 900_001).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    dirty = base.unionByName(exact).unionByName(near)
+    kept = near_dedup_corpus(dirty, threshold=0.8).toPandas()
+    ids = set(kept.doc_id)
+    assert 0 in ids  # canonical survives
+    assert 900_000 not in ids  # exact dup dropped by the exact tier
+    assert 900_001 not in ids  # near dup dropped by the LSH tier
+    assert list(kept.columns) == ["doc_id", "text", "lang", "source", "n_chars"]
+    # idempotent: running again on the clean output drops nothing new
+    # with the same threshold except whatever the base corpus held
+    again = near_dedup_corpus(dirty, threshold=0.8).toPandas()
+    assert set(again.doc_id) == ids
