@@ -250,13 +250,15 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- multi-way dimension-chain join (TPC-H Q5 shape) ---
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The join-reordering benchmark: six tables, one region filter.
-    The dimension CHAIN (region -> nation -> supplier, and nation ->
-    customer) collapses into broadcasts — the region predicate prunes
-    nations before anything touches a fact table, so the only shuffle
-    joins are the two fact-fact edges (lineitem x orders on orderkey;
-    their result x the customer-side keys). The c_nationkey =
-    s_nationkey locality condition rides the supplier broadcast as an
-    equality on the already-joined nation key, not a third shuffle."""
+    The TRUE dimension chain (region -> nation) broadcasts by explicit
+    hint — the region predicate prunes nations before anything touches
+    a fact table. Supplier and customer carry NO hint: they are
+    SF-proportional in TPC-H, so cost-based stats / AQE pick broadcast
+    at this test scale (both land as BroadcastHashJoin here) and fall
+    back to shuffle joins on a real cluster where broadcasting a
+    multi-million-row table would OOM executors. The c_nationkey =
+    s_nationkey locality condition rides the customer join as an extra
+    equality on the already-joined nation key, not a separate join."""
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     n = load_table(spark, sf_dir, "nation").join(
         F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
@@ -272,9 +274,9 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(
-            F.broadcast(c),
+            c,
             (F.col("o_custkey") == F.col("c_custkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )

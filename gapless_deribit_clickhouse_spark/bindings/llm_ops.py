@@ -766,7 +766,10 @@ ex AS (
              'chunk_text': array_to_string(t[i * 24 + 1 : i * 24 + 32], ' ')
          }})) AS ch
   FROM n)
-SELECT doc_id, ch.chunk_idx AS chunk_idx, ch.chunk_text AS chunk_text,
+SELECT doc_id, ch.chunk_idx AS chunk_idx,
+       CAST(doc_id AS VARCHAR) || ':' || CAST(ch.chunk_idx AS VARCHAR)
+           AS chunk_uid,
+       ch.chunk_text AS chunk_text,
        CAST(nt AS BIGINT) AS n_tokens, nc AS n_chunks
 FROM ex
 """

@@ -216,15 +216,20 @@ def chunk_documents(
     ``max_tokens``-token windows advancing by ``max_tokens - overlap``
     (the classic sliding chunker; the overlap preserves boundary
     context for training). Output one row per chunk: ``id_col``,
-    ``chunk_idx``, ``chunk_text``, ``n_tokens`` (whole doc),
-    ``n_chunks``.
+    ``chunk_idx``, ``chunk_uid`` (globally unique ``"{id}:{idx}"`` —
+    the key downstream stages need, since ``id_col`` repeats per
+    chunk), ``chunk_text``, ``n_tokens`` (whole doc), ``n_chunks``.
 
     Pure column algebra — tokenize once, build the chunk list with
     ``transform`` + ``slice`` over the token array, explode. Zero
     shuffles, zero UDFs: chunking 100 TB is a map over the scan whose
-    output feeds ``pack_sequences`` directly. A doc at or under the
-    budget yields exactly itself as chunk 0 (normalized whitespace);
-    null text yields one empty chunk, not a dropped row.
+    output feeds packing as
+    ``pack_sequences(chunks, id_col="chunk_uid",
+    text_col="chunk_text")`` (chunk token counts are recomputed
+    per-chunk there; ``n_tokens`` here is the WHOLE-DOC count and must
+    not be passed as ``token_col``). A doc at or under the budget
+    yields exactly itself as chunk 0 (normalized whitespace); null
+    text yields one empty chunk, not a dropped row.
     """
     stride = max_tokens - overlap
     if max_tokens <= 0 or overlap < 0 or stride <= 0:
@@ -265,5 +270,17 @@ def chunk_documents(
             "n_chunks",
             F.posexplode(chunks).alias("chunk_idx", "chunk_text"),
         )
-        .select(id_col, "chunk_idx", "chunk_text", "n_tokens", "n_chunks")
+        .select(
+            id_col,
+            "chunk_idx",
+            # unique per chunk — the id to pack on:
+            # pack_sequences(chunks, id_col="chunk_uid",
+            #                text_col="chunk_text")
+            F.concat_ws(":", F.col(id_col).cast("string"), "chunk_idx").alias(
+                "chunk_uid"
+            ),
+            "chunk_text",
+            "n_tokens",
+            "n_chunks",
+        )
     )

@@ -434,7 +434,11 @@ def near_dedup_corpus(
     near-duplicate loser set — which contains only ids that lost a
     connected-components election, so it is near-dup-count-sized, not
     corpus-sized; AQE turns the anti join into a broadcast at runtime
-    when it is small (the common case).
+    when it is small (the common case). ``survivors`` is
+    local-checkpointed (lazily, the ``connected_components`` pattern)
+    because the components stage runs its own actions: without the
+    lineage cut, the final anti join would re-execute the exact-tier
+    scan + groupBy + semi join a second time.
     """
     from gapless_deribit_clickhouse_spark.operators.connected_components import (
         connected_components,
@@ -443,7 +447,7 @@ def near_dedup_corpus(
     winners = exact_dedup(df, text_col=text_col, id_col=id_col, keep="min").select(
         id_col
     )
-    survivors = df.join(winners, id_col, "semi")
+    survivors = df.join(winners, id_col, "semi").localCheckpoint(eager=False)
     pairs = minhash_lsh_pairs(
         survivors,
         text_col=text_col,

@@ -1058,7 +1058,9 @@ def test_near_dedup_corpus_one_call_filter(spark, docs):
     assert 900_000 not in ids  # exact dup dropped by the exact tier
     assert 900_001 not in ids  # near dup dropped by the LSH tier
     assert list(kept.columns) == ["doc_id", "text", "lang", "source", "n_chars"]
-    # idempotent: running again on the clean output drops nothing new
-    # with the same threshold except whatever the base corpus held
-    again = near_dedup_corpus(dirty, threshold=0.8).toPandas()
+    # idempotent: running on the already-clean OUTPUT drops nothing
+    clean_df = spark.createDataFrame(
+        kept, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    again = near_dedup_corpus(clean_df, threshold=0.8).toPandas()
     assert set(again.doc_id) == ids

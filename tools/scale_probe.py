@@ -165,6 +165,17 @@ def main() -> None:
         load1 = None
 
     results: dict[str, dict[int, float]] = {}
+    try:
+        _probe(qs, spark, dirs, factors, results)
+    finally:  # a failed probe must not leak 16x corpora in /tmp
+        shutil.rmtree(scratch, ignore_errors=True)
+
+    lo, hi = factors[0], factors[-1]
+    amp = hi / lo
+    _report(factors, results, lo, hi, amp, load1)
+
+
+def _probe(qs, spark, dirs, factors, results) -> None:
     for name in PROBES:
         fn = qs[name]
         results[name] = {}
@@ -182,8 +193,8 @@ def main() -> None:
             results[name][f] = round(time.perf_counter() - t0, 3)
         print(f"done {name}: {results[name]}", file=sys.stderr)
 
-    lo, hi = factors[0], factors[-1]
-    amp = hi / lo
+
+def _report(factors, results, lo, hi, amp, load1) -> None:
     print("# SCALING — operator wall-clock vs corpus amplification")
     print()
     print(
@@ -209,8 +220,6 @@ def main() -> None:
         row = " | ".join(f"{r[f]:.2f}" for f in factors)
         growth = r[hi] / r[lo] if r[lo] > 0 else float("nan")
         print(f"| {name} | {row} | {growth:.1f}x |")
-
-    shutil.rmtree(scratch, ignore_errors=True)
 
 
 if __name__ == "__main__":
