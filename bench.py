@@ -113,6 +113,8 @@ NEW_IN_R4 = WRITE_BENCHES + [
     "classifier_score",
     "q5_local_supplier_volume",
     "doc_chunks",
+    "ivf_kmeans_topk",
+    "diverse_sample",
 ]
 
 

@@ -147,6 +147,8 @@ def __getattr__(name: str):
         "kmeans_fit": "pipelines.clustering",
         "kmeans_assign": "pipelines.clustering",
         "semantic_dedup": "pipelines.clustering",
+        "ivf_kmeans_topk": "pipelines.clustering",
+        "diverse_sample": "pipelines.clustering",
     }
     # reference-name aliases (reference __init__.py:42-65 /
     # features/__init__.py:61-88): a reference user's import keeps working
@@ -249,6 +251,7 @@ __all__ = [
     "redact_pii", "pii_counts", "scrub_documents",
     "mixture_sample", "mixture_thresholds", "near_dedup_corpus",
     "kmeans_fit", "kmeans_assign", "semantic_dedup",
+    "ivf_kmeans_topk", "diverse_sample",
     "hashed_linear_score",
     # serving-layer connector seam (lazy)
     "ServingConnector", "ParquetServingConnector",

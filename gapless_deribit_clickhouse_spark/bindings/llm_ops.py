@@ -775,6 +775,37 @@ FROM ex
 """
 
 
+def ivf_kmeans_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True IVF with learned k-means centroids (nprobe=4 of 8 lists)
+    over the embeddings table; queries = first 20 vectors. Iterative
+    fit -> rows-only driver check; recall >= 0.8 vs brute force and
+    determinism pinned in tests/test_clustering.py."""
+    from gapless_deribit_clickhouse_spark.pipelines.clustering import (
+        ivf_kmeans_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ivf_kmeans_topk(
+        emb, queries, k=10, n_centroids=8, nprobe=4, seed=42
+    )
+
+
+def diverse_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced sampling: 20 vectors from each of 8 semantic
+    clusters. Iterative fit -> rows-only driver check; coverage,
+    balance-under-skew and partition-determinism pinned in
+    tests/test_clustering.py."""
+    from gapless_deribit_clickhouse_spark.pipelines.clustering import (
+        diverse_sample,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return diverse_sample(emb, n_per_cluster=20, k=8, seed=42)
+
+
 # --- semantic dedup (k-means + per-cluster prune) and packing ---
 def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup over the embeddings table: spherical k-means (k=8,
@@ -873,6 +904,8 @@ BINDINGS = [
     # pinned in tests/test_clustering.py and tests/test_packing.py
     ("semantic_dedup", semantic_dedup_q, None),
     ("sequence_packing", sequence_packing_q, None),
+    ("ivf_kmeans_topk", ivf_kmeans_topk_q, None),
+    ("diverse_sample", diverse_sample_q, None),
     # NOT rows-only: full oracles, value-checked by the CI past-window
     # compare (the driver's 50-entry window is already full)
     ("classifier_score", classifier_score_q, CLASSIFIER_SQL),

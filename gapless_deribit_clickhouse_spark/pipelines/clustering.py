@@ -377,3 +377,140 @@ def semantic_dedup(
         ),
     )
     return out.withColumnRenamed("__id", id_col)
+
+
+def diverse_sample(
+    df: DataFrame,
+    n_per_cluster: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 16,
+    max_iter: int = 8,
+    seed: int = 42,
+    fit_sample_size: int | None = 65_536,
+) -> DataFrame:
+    """Semantic-diversity sampling: cluster the corpus, then take a
+    deterministic fixed-size sample from EVERY cluster — the
+    cluster-balanced eval-set / inspection-set builder (uniform hash
+    sampling over-represents dense regions; per-cluster quotas cover
+    the modes). Output: ``id_col``, ``cluster_id``, ``centroid_sim``.
+
+    Composition of tested parts: ``kmeans_fit`` (sample-fit) +
+    ``kmeans_assign`` (map-only) + ``sample_n_per_group``'s two-level
+    hash tournament on ``cluster_id`` — deterministic across runs,
+    partitionings, and engines, like every sampler in this package.
+    """
+    from gapless_deribit_clickhouse_spark.pipelines.sampling import (
+        sample_n_per_group,
+    )
+
+    centroids = kmeans_fit(
+        df, id_col=id_col, vec_col=vec_col, k=k, max_iter=max_iter,
+        seed=seed, fit_sample_size=fit_sample_size,
+    )
+    assigned = kmeans_assign(df, centroids, id_col=id_col, vec_col=vec_col)
+    return sample_n_per_group(
+        assigned, group_col="cluster_id", n=n_per_cluster, key_col=id_col
+    )
+
+
+def ivf_kmeans_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    max_iter: int = 8,
+    seed: int = 42,
+    fit_sample_size: int | None = 65_536,
+) -> DataFrame:
+    """True IVF (inverted-file) approximate top-k with LEARNED
+    k-means centroids — the data-adaptive sibling of the
+    data-independent SRP-LSH ``ivf_topk``: cluster the corpus once
+    (sample-fit), assign every vector to its nearest-centroid list,
+    and search each query only inside its ``nprobe`` closest lists.
+
+    Plan shape: the corpus crosses Python once (assign stage, keeps
+    the raw vector alongside cluster_id); the probe table
+    (query_id x nprobe rows, built driver-side — queries are the
+    SMALL side by contract, same as ``cosine_topk``) broadcasts into
+    an equi-join on ``cluster_id``, so candidates per query are
+    bounded by nprobe/n_centroids of the corpus and the corpus never
+    shuffles. Exact cosine verification + per-query top-k window
+    follow, identical to the brute-force baseline. Output schema
+    matches ``cosine_topk``: query_id, vec_id, rank, cosine_sim.
+    """
+    from pyspark.sql import Window
+
+    from gapless_deribit_clickhouse_spark.pipelines.embeddings import dot, l2_norm
+
+    centroids = kmeans_fit(
+        corpus, id_col=id_col, vec_col=vec_col, k=n_centroids,
+        max_iter=max_iter, seed=seed, fit_sample_size=fit_sample_size,
+    )
+    c_bc = np.ascontiguousarray(centroids, dtype=np.float64)
+    id_t = corpus.schema[id_col].dataType.simpleString()
+    usable = _usable_rows(corpus, id_col, vec_col)
+
+    def assign_keep_vec(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            x = _normalize_rows(np.stack(pdf["__v"].values))
+            best = (x @ c_bc.T).argmax(axis=1)
+            yield pd.DataFrame(
+                {
+                    "__id": pdf["__id"],
+                    "__v": pdf["__v"],
+                    "cluster_id": best.astype("int32"),
+                }
+            )
+
+    lists = usable.mapInPandas(
+        assign_keep_vec,
+        schema=f"__id {id_t}, __v array<double>, cluster_id int",
+    )
+
+    # probe table driver-side: queries are metadata-scale by contract
+    spark = corpus.sparkSession
+    nprobe = min(nprobe, c_bc.shape[0])
+    q_rows = queries.select(query_id_col, query_vec_col).collect()
+    probe_rows = []
+    for r in q_rows:
+        qv = np.asarray(r[query_vec_col], dtype=np.float64)
+        nrm = np.linalg.norm(qv)
+        if not len(qv) or nrm == 0:
+            continue
+        order = np.argsort(-(c_bc @ (qv / nrm)))[:nprobe]
+        probe_rows.extend(
+            (r[query_id_col], int(c), [float(x) for x in qv]) for c in order
+        )
+    q_t = queries.schema[query_id_col].dataType.simpleString()
+    probes = spark.createDataFrame(
+        probe_rows, f"{query_id_col} {q_t}, cluster_id int, __qv array<double>"
+    )
+
+    qn = l2_norm(F.col("__qv"))
+    vn = l2_norm(F.col("__v"))
+    scored = (
+        lists.join(F.broadcast(probes), "cluster_id")
+        .select(
+            F.col(query_id_col),
+            F.col("__id").alias(id_col),
+            F.try_divide(dot(F.col("__v"), F.col("__qv")), vn * qn).alias(
+                "cosine_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "rank", "cosine_sim")
+    )

@@ -112,3 +112,51 @@ def test_semantic_dedup_chunk_cap_bounds_group_size(spark):
     assert out.count() == 100
     # near-identity threshold -> nothing pruned even inside chunks
     assert out.filter(~F.col("kept")).count() == 0
+
+
+def test_diverse_sample_covers_every_cluster(spark):
+    from gapless_deribit_clickhouse_spark.pipelines.clustering import diverse_sample
+
+    df = _blob_frame(spark, n_per=40, n_blobs=3, seed=21)
+    out = diverse_sample(df, n_per_cluster=5, k=3, seed=2).toPandas()
+    # exactly n per cluster, all clusters represented
+    sizes = out.groupby("cluster_id").size()
+    assert len(sizes) == 3 and (sizes == 5).all()
+    # deterministic under repartitioning
+    again = diverse_sample(df.repartition(7), n_per_cluster=5, k=3, seed=2).toPandas()
+    assert set(out.vec_id) == set(again.vec_id)
+    # balanced even when the corpus is skewed: one giant + one tiny blob
+    skew = _blob_frame(spark, n_per=100, n_blobs=1, seed=5).unionByName(
+        _blob_frame(spark, n_per=8, n_blobs=2, seed=6).filter(F.col("blob") == 1)
+    )
+    s = diverse_sample(skew, n_per_cluster=4, k=2, seed=9).toPandas()
+    assert (s.groupby("cluster_id").size() == 4).all()
+
+
+def test_ivf_kmeans_recall_vs_brute_force(spark):
+    from gapless_deribit_clickhouse_spark.core.tables import load_table
+    from gapless_deribit_clickhouse_spark.pipelines.clustering import (
+        ivf_kmeans_topk,
+    )
+    from gapless_deribit_clickhouse_spark.pipelines.embeddings import cosine_topk
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F.col("vec_id") < 15).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = cosine_topk(emb, queries, k=5).toPandas()
+    approx = ivf_kmeans_topk(
+        emb, queries, k=5, n_centroids=8, nprobe=4, seed=4
+    ).toPandas()
+    e = exact.groupby("query_id").vec_id.apply(set)
+    a = approx.groupby("query_id").vec_id.apply(set)
+    recall = np.mean([len(e[q] & a.get(q, set())) / len(e[q]) for q in e.index])
+    assert recall >= 0.8
+    # rank 1 is the vector itself: its own list is always probed first
+    self_hits = approx[approx["rank"] == 1]
+    assert (self_hits.query_id == self_hits.vec_id).all()
+    # deterministic rerun
+    again = ivf_kmeans_topk(
+        emb, queries, k=5, n_centroids=8, nprobe=4, seed=4
+    ).toPandas()
+    assert approx.equals(again)

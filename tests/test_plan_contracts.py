@@ -29,6 +29,8 @@ REQUIRED_PYTHON = {
     "video_decode_features",  # framepack build + per-frame decode
     "semantic_dedup",  # k-means assign + per-cluster greedy prune
     "sequence_packing",  # per-shard first-fit-decreasing
+    "ivf_kmeans_topk",  # k-means assign stage keeps raw vectors
+    "diverse_sample",  # k-means assign below the group tournament
 }
 # dup_clusters consumes the LSH stage too, but its connected-components
 # local tier executes during construction on small graphs, so the
