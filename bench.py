@@ -115,6 +115,8 @@ NEW_IN_R4 = WRITE_BENCHES + [
     "doc_chunks",
     "ivf_kmeans_topk",
     "diverse_sample",
+    "q14_promo_revenue",
+    "q19_discounted_revenue",
 ]
 
 

@@ -54,6 +54,10 @@ _DEMOTED = (
     "q5_local_supplier_volume",  # siblings: q3_shipping_priority /
     # q10_returned_revenue (same broadcast-dim + fact-shuffle join-agg
     # family; Q5 adds the dimension-chain collapse; CI value-oracle)
+    "q14_promo_revenue",  # siblings: q1_pricing_summary (conditional
+    # agg) + q3 (join-agg); CI value-oracle
+    "q19_discounted_revenue",  # siblings: q3/q10 (join-agg family;
+    # Q19 adds the OR-of-ANDs cross-side predicate); CI value-oracle
 )
 ALL_BINDINGS = [b for b in ALL_BINDINGS if b[0] not in _DEMOTED] + [
     b for b in ALL_BINDINGS if b[0] in _DEMOTED

@@ -306,6 +306,83 @@ ORDER BY revenue DESC, n_name
 """
 
 
+# --- join + conditional-agg ratio (TPC-H Q14 shape) ---
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promo-revenue share: fact scan filtered to one month, part
+    dimension broadcast, and the CASE-inside-aggregate ratio computed
+    in a single partial->final aggregation — the
+    conditional-agg-over-a-join shape (no second pass for the
+    denominator)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev)
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+Q14_SQL = """
+SELECT 100.0 * sum(CASE WHEN p_type = 'PROMO'
+                        THEN l_extendedprice * (1 - l_discount)
+                        ELSE 0 END)
+            / sum(l_extendedprice * (1 - l_discount)) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+  AND l_shipdate <  TIMESTAMP '1996-04-01'
+"""
+
+
+# --- disjunctive multi-attribute join predicate (TPC-H Q19 shape) ---
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OR-of-ANDs predicate benchmark: three (brand, size range,
+    quantity range) disjuncts spanning BOTH join sides. Catalyst
+    extracts the part-only common factors below the join (brand/size
+    prune the broadcast build side) while the mixed quantity terms
+    evaluate post-join — the shape that breaks naive
+    pushdown-everything planners."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    q, b, s = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    cond = (
+        ((b == "Brand#1") & s.between(1, 5) & q.between(1, 11))
+        | ((b == "Brand#13") & s.between(1, 10) & q.between(10, 20))
+        | ((b == "Brand#20") & s.between(1, 15) & q.between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+Q19_SQL = """
+SELECT sum(l_extendedprice * (1 - l_discount)) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1'  AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
 Q3_SQL = """
 SELECT l_orderkey, o_orderdate, o_orderpriority,
        sum(l_extendedprice * (1 - l_discount)) AS revenue
@@ -373,6 +450,8 @@ BINDINGS = [
     ("q18_large_volume_customer", q18_large_volume_customer, Q18_SQL),
     # demoted (driver window full) — CI past-window oracle compare
     ("q5_local_supplier_volume", q5_local_supplier_volume, Q5_SQL),
+    ("q14_promo_revenue", q14_promo_revenue, Q14_SQL),
+    ("q19_discounted_revenue", q19_discounted_revenue, Q19_SQL),
     ("dedup_latest", dedup_latest_events, DEDUP_LATEST_SQL),
     ("ohlc_15m", ohlc_15m, OHLC_15M_SQL),
     ("top1_min_value", top1_min_value, TOP1_MIN_VALUE_SQL),

@@ -33,6 +33,8 @@ SIBLINGS = {
     "hash_sample": ["mixture_sample"],
     "video_decode_features": ["image_decode_features"],
     "q5_local_supplier_volume": ["q3_shipping_priority", "q10_returned_revenue"],
+    "q14_promo_revenue": ["q1_pricing_summary", "q3_shipping_priority"],
+    "q19_discounted_revenue": ["q3_shipping_priority", "q10_returned_revenue"],
 }
 
 
