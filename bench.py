@@ -29,6 +29,7 @@ Methodology:
   OPTIMIZE parity) are timed as first-class headline entries on the
   sf lineitem table — an ETL engine's headline includes the write.
 - Streaming coverage (VERDICT r3 #7): rate-source throughput of
+  ``streaming_sessionize`` (merging session windows),
   ``streaming_ohlc`` and ``dedup_stream`` (rows/s over a fixed wall
   window) is reported in the sidecar, not the batch total.
 """
@@ -103,7 +104,7 @@ WRITE_BENCHES = ["write_bucketed", "write_compact"]
 
 # queries that did not exist in earlier rounds — listed in the sidecar
 # so a cross-round TOTAL delta decomposes into new coverage vs real
-# regressions (r3 -> r4 adds the write path + 5 new operators)
+# regressions (r3 -> r4 adds the write path + 12 new operators)
 NEW_IN_R4 = WRITE_BENCHES + [
     "mixture_sample",
     "semantic_dedup",
@@ -273,6 +274,10 @@ def _streaming_bench(spark, seconds: float = 10.0) -> dict[str, float]:
         q.stop()
         return round(rows / elapsed, 0)
 
+    from gapless_deribit_clickhouse_spark.operators.sessionize import (
+        streaming_sessionize,
+    )
+
     out: dict[str, float] = {}
     try:
         out["streaming_ohlc_rows_per_sec"] = measure(
@@ -290,6 +295,22 @@ def _streaming_bench(spark, seconds: float = 10.0) -> dict[str, float]:
         out["dedup_stream_rows_per_sec"] = measure(
             lambda: dedup_stream(
                 rate_trades(), ts_col="timestamp", watermark_delay="10 seconds"
+            )
+            .writeStream.format("noop")
+            .outputMode("append")
+            .start()
+        )
+        # last: merging session windows carry the most state machinery;
+        # by now the streaming runtime is warm, so the window measures
+        # sustained micro-batch throughput, not cold-start
+        out["streaming_sessionize_rows_per_sec"] = measure(
+            lambda: streaming_sessionize(
+                rate_trades().select(
+                    F.col("timestamp").alias("ts"),
+                    F.col("underlying").alias("user_id"),
+                ),
+                gap="30 seconds",
+                watermark_delay="10 seconds",
             )
             .writeStream.format("noop")
             .outputMode("append")
