@@ -253,12 +253,17 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     The TRUE dimension chain (region -> nation) broadcasts by explicit
     hint — the region predicate prunes nations before anything touches
     a fact table. Supplier and customer carry NO hint: they are
-    SF-proportional in TPC-H, so cost-based stats / AQE pick broadcast
-    at this test scale (both land as BroadcastHashJoin here) and fall
-    back to shuffle joins on a real cluster where broadcasting a
-    multi-million-row table would OOM executors. The c_nationkey =
-    s_nationkey locality condition rides the customer join as an extra
-    equality on the already-joined nation key, not a separate join."""
+    SF-proportional in TPC-H, so broadcasting them by hint would OOM
+    executors on a real cluster; the cost-based planner decides.
+    Observed at test scale: customer converts to broadcast, while the
+    supplier edge stays a sort-merge join — static stats cannot size
+    the supplier-joins-nation subtree, and by the time AQE has runtime
+    stats both shuffle stages have already run, so conversion buys
+    nothing (the ONE deliberate SMJ in the binding surface; at 100 TB
+    the region-filtered supplier is millions of rows and the shuffle
+    join is simply correct). The c_nationkey = s_nationkey locality
+    condition rides the customer join as an extra equality on the
+    already-joined nation key, not a separate join."""
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     n = load_table(spark, sf_dir, "nation").join(
         F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
