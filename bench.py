@@ -270,6 +270,13 @@ def _streaming_bench(spark, seconds: float = 10.0) -> dict[str, float]:
         t0 = time.perf_counter()
         time.sleep(seconds)
         rows = sum(p["numInputRows"] for p in q.recentProgress)
+        # a heavy stateful operator's FIRST micro-batch can outlive the
+        # window (it gulps seconds x rowsPerSecond input) — throughput
+        # 0 is a measurement artifact, not the operator's rate. Wait,
+        # bounded, for at least one completed batch.
+        while rows == 0 and time.perf_counter() - t0 < 4 * seconds:
+            time.sleep(seconds / 4)
+            rows = sum(p["numInputRows"] for p in q.recentProgress)
         elapsed = time.perf_counter() - t0
         q.stop()
         return round(rows / elapsed, 0)
