@@ -272,21 +272,27 @@ def _streaming_bench(spark, seconds: float = 10.0) -> dict[str, float]:
         rows = sum(p["numInputRows"] for p in q.recentProgress)
         # a heavy stateful operator's FIRST micro-batch can outlive the
         # window (it gulps seconds x rowsPerSecond input) — throughput
-        # 0 is a measurement artifact, not the operator's rate. Wait,
-        # bounded, for at least one completed batch.
-        while rows == 0 and time.perf_counter() - t0 < 4 * seconds:
+        # 0 is a measurement artifact, not the operator's rate. And a
+        # near-empty batch 0 (rate source warm-up) followed by the
+        # heavy in-flight batch is the same artifact with rows > 0, so
+        # the gate is a minimum-rows floor, not an exact-zero check.
+        # Wait, bounded, until a meaningful batch has landed.
+        floor = 10_000
+        while rows < floor and time.perf_counter() - t0 < 4 * seconds:
             time.sleep(seconds / 4)
             rows = sum(p["numInputRows"] for p in q.recentProgress)
         elapsed = time.perf_counter() - t0
         q.stop()
         return round(rows / elapsed, 0)
 
-    from gapless_deribit_clickhouse_spark.operators.sessionize import (
-        streaming_sessionize,
-    )
-
     out: dict[str, float] = {}
     try:
+        # import inside the guard: a broken streaming module must cost
+        # only the streaming lines, never the finished batch results
+        from gapless_deribit_clickhouse_spark.operators.sessionize import (
+            streaming_sessionize,
+        )
+
         out["streaming_ohlc_rows_per_sec"] = measure(
             lambda: streaming_ohlc(
                 rate_trades(),
@@ -386,7 +392,13 @@ def main() -> None:
         if delta is not None:
             telemetry[name] = delta
 
-    streaming = _streaming_bench(spark)
+    # guarded at the CALL site too: any failure inside the streaming
+    # tier (including import errors, which the inner try cannot see)
+    # must cost only the streaming lines, never the finished batch run
+    try:
+        streaming = _streaming_bench(spark)
+    except Exception as exc:  # noqa: BLE001 — never fail the batch bench
+        streaming = {"error": str(exc)[:200]}
     shutil.rmtree(scratch, ignore_errors=True)
 
     total = round(sum(timings.values()), 4)

@@ -222,6 +222,53 @@ def kmeans_fit(
     return centroids
 
 
+def _assign_table(
+    usable: DataFrame,
+    c_bc: np.ndarray,
+    id_t: str,
+    with_vec: bool = False,
+    with_sim: bool = True,
+    with_norm: bool = False,
+) -> DataFrame:
+    """The ONE nearest-centroid Arrow/BLAS assign stage every
+    clustering consumer shares (kmeans_assign, semantic_dedup,
+    ivf_kmeans_topk) — normalize the batch, argmax the dot products,
+    emit the requested columns. A single definition so the assign
+    rule (tie-breaking, dtype, normalization) cannot silently diverge
+    between operators. Optional columns: ``__v`` (raw vector
+    passthrough), ``__n`` (L2 norm, computed here once per vector so
+    downstream joins never pay a per-pair norm), ``centroid_sim``."""
+    schema = f"__id {id_t}"
+    if with_vec:
+        schema += ", __v array<double>"
+    if with_norm:
+        schema += ", __n double"
+    schema += ", cluster_id int"
+    if with_sim:
+        schema += ", centroid_sim double"
+
+    def assign(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            raw = np.stack(pdf["__v"].values)
+            nrms = np.linalg.norm(raw, axis=1)
+            x = raw / np.where(nrms == 0, 1.0, nrms)[:, None]
+            sims = x @ c_bc.T
+            best = sims.argmax(axis=1)
+            out: dict = {"__id": pdf["__id"]}
+            if with_vec:
+                out["__v"] = pdf["__v"]
+            if with_norm:
+                out["__n"] = nrms
+            out["cluster_id"] = best.astype("int32")
+            if with_sim:
+                out["centroid_sim"] = sims[np.arange(len(best)), best]
+            yield pd.DataFrame(out)
+
+    return usable.mapInPandas(assign, schema=schema)
+
+
 def kmeans_assign(
     df: DataFrame,
     centroids: np.ndarray,
@@ -234,26 +281,7 @@ def kmeans_assign(
     usable = _usable_rows(df, id_col, vec_col)
     id_t = df.schema[id_col].dataType.simpleString()
     c_bc = np.ascontiguousarray(centroids, dtype=np.float64)
-
-    def assign(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            if not len(pdf):
-                continue
-            x = _normalize_rows(np.stack(pdf["__v"].values))
-            sims = x @ c_bc.T
-            best = sims.argmax(axis=1)
-            yield pd.DataFrame(
-                {
-                    "__id": pdf["__id"],
-                    "cluster_id": best.astype("int32"),
-                    "centroid_sim": sims[np.arange(len(best)), best],
-                }
-            )
-
-    out = usable.mapInPandas(
-        assign, schema=f"__id {id_t}, cluster_id int, centroid_sim double"
-    )
-    return out.withColumnRenamed("__id", id_col)
+    return _assign_table(usable, c_bc, id_t).withColumnRenamed("__id", id_col)
 
 
 def semantic_dedup(
@@ -293,27 +321,8 @@ def semantic_dedup(
     )
     c_bc = np.ascontiguousarray(centroids, dtype=np.float64)
     id_t = df.schema[id_col].dataType.simpleString()
-
-    def assign_keep_vec(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            if not len(pdf):
-                continue
-            x = _normalize_rows(np.stack(pdf["__v"].values))
-            sims = x @ c_bc.T
-            best = sims.argmax(axis=1)
-            yield pd.DataFrame(
-                {
-                    "__id": pdf["__id"],
-                    "__v": pdf["__v"],  # raw; prune re-normalizes
-                    "cluster_id": best.astype("int32"),
-                    "centroid_sim": sims[np.arange(len(best)), best],
-                }
-            )
-
-    assigned = usable.mapInPandas(
-        assign_keep_vec,
-        schema=f"__id {id_t}, __v array<double>, cluster_id int, centroid_sim double",
-    )
+    # raw vectors pass through; prune re-normalizes its batch
+    assigned = _assign_table(usable, c_bc, id_t, with_vec=True)
     # bound per-group size: md5-chunk clusters larger than the cap
     # (broadcast of a k-row count table; deterministic chunk member-
     # ship). Hash chunking bounds the EXPECTED chunk size, not each
@@ -446,7 +455,7 @@ def ivf_kmeans_topk(
     """
     from pyspark.sql import Window
 
-    from gapless_deribit_clickhouse_spark.pipelines.embeddings import dot, l2_norm
+    from gapless_deribit_clickhouse_spark.pipelines.embeddings import dot
 
     centroids = kmeans_fit(
         corpus, id_col=id_col, vec_col=vec_col, k=n_centroids,
@@ -456,52 +465,46 @@ def ivf_kmeans_topk(
     id_t = corpus.schema[id_col].dataType.simpleString()
     usable = _usable_rows(corpus, id_col, vec_col)
 
-    def assign_keep_vec(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            if not len(pdf):
-                continue
-            x = _normalize_rows(np.stack(pdf["__v"].values))
-            best = (x @ c_bc.T).argmax(axis=1)
-            yield pd.DataFrame(
-                {
-                    "__id": pdf["__id"],
-                    "__v": pdf["__v"],
-                    "cluster_id": best.astype("int32"),
-                }
-            )
-
-    lists = usable.mapInPandas(
-        assign_keep_vec,
-        schema=f"__id {id_t}, __v array<double>, cluster_id int",
+    # corpus norm is computed ONCE per vector inside the assign stage
+    # (__n), never per candidate pair — the same below-the-join norm
+    # rule cosine_topk documents
+    lists = _assign_table(
+        usable, c_bc, id_t, with_vec=True, with_sim=False, with_norm=True
     )
 
-    # probe table driver-side: queries are metadata-scale by contract
+    # probe table driver-side: queries are metadata-scale by contract.
+    # Query vectors ship UNIT-normalized, so the scoring expression is
+    # dot / corpus-norm only. Null / empty / zero-norm /
+    # dimension-mismatched query vectors are skipped (they have no
+    # meaningful neighbors), matching _usable_rows' corpus-side guard.
     spark = corpus.sparkSession
     nprobe = min(nprobe, c_bc.shape[0])
     q_rows = queries.select(query_id_col, query_vec_col).collect()
     probe_rows = []
     for r in q_rows:
-        qv = np.asarray(r[query_vec_col], dtype=np.float64)
-        nrm = np.linalg.norm(qv)
-        if not len(qv) or nrm == 0:
+        raw = r[query_vec_col]
+        if raw is None or len(raw) != c_bc.shape[1]:
             continue
-        order = np.argsort(-(c_bc @ (qv / nrm)))[:nprobe]
+        qv = np.asarray(raw, dtype=np.float64)
+        nrm = np.linalg.norm(qv)
+        if nrm == 0:
+            continue
+        unit = qv / nrm
+        order = np.argsort(-(c_bc @ unit))[:nprobe]
         probe_rows.extend(
-            (r[query_id_col], int(c), [float(x) for x in qv]) for c in order
+            (r[query_id_col], int(c), [float(x) for x in unit]) for c in order
         )
     q_t = queries.schema[query_id_col].dataType.simpleString()
     probes = spark.createDataFrame(
         probe_rows, f"{query_id_col} {q_t}, cluster_id int, __qv array<double>"
     )
 
-    qn = l2_norm(F.col("__qv"))
-    vn = l2_norm(F.col("__v"))
     scored = (
         lists.join(F.broadcast(probes), "cluster_id")
         .select(
             F.col(query_id_col),
             F.col("__id").alias(id_col),
-            F.try_divide(dot(F.col("__v"), F.col("__qv")), vn * qn).alias(
+            F.try_divide(dot(F.col("__v"), F.col("__qv")), F.col("__n")).alias(
                 "cosine_sim"
             ),
         )
