@@ -118,6 +118,7 @@ NEW_IN_R4 = WRITE_BENCHES + [
     "diverse_sample",
     "q14_promo_revenue",
     "q19_discounted_revenue",
+    "training_set",
 ]
 
 

@@ -103,6 +103,7 @@ def __getattr__(name: str):
         "token_topk": "pipelines.text_stats",
         "tfidf_top_terms": "pipelines.text_stats",
         "curate_corpus": "pipelines.curation",
+        "build_training_set": "pipelines.curation",
         "contamination_check": "pipelines.curation",
         "repetition_stats": "pipelines.text_stats",
         "corpus_profile": "pipelines.text_stats",
@@ -248,6 +249,7 @@ __all__ = [
     "decode_audio", "encode_wav", "audio_feature_extract",
     "encode_framepack", "decode_framepack", "video_frame_features",
     "pack_sequences", "pack_stats", "chunk_documents",
+    "build_training_set",
     "redact_pii", "pii_counts", "scrub_documents",
     "mixture_sample", "mixture_thresholds", "near_dedup_corpus",
     "kmeans_fit", "kmeans_assign", "semantic_dedup",

@@ -823,6 +823,22 @@ def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def training_set_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-set assembly flagship (curate -> near
+    dedup -> chunk -> pack) on the documents table. LSH dedup + FFD
+    packing are not SQL-expressible -> rows-only driver check;
+    uniqueness/budget/determinism invariants pinned in
+    tests/test_packing.py::test_build_training_set_end_to_end."""
+    from gapless_deribit_clickhouse_spark.pipelines.curation import (
+        build_training_set,
+    )
+
+    return build_training_set(
+        _docs(spark, sf_dir), lang="en", min_quality=0.3,
+        max_tokens=128, overlap=16, num_shards=16,
+    )
+
+
 def sequence_packing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget packing of the documents table (BPE-ish token
     proxy, 512-token packs) reduced to the corpus-level packing
@@ -906,6 +922,7 @@ BINDINGS = [
     ("sequence_packing", sequence_packing_q, None),
     ("ivf_kmeans_topk", ivf_kmeans_topk_q, None),
     ("diverse_sample", diverse_sample_q, None),
+    ("training_set", training_set_q, None),
     # NOT rows-only: full oracles, value-checked by the CI past-window
     # compare (the driver's 50-entry window is already full)
     ("classifier_score", classifier_score_q, CLASSIFIER_SQL),

@@ -112,3 +112,76 @@ def contamination_check(
         )
         .filter(F.col("n_matched") >= min_overlap)
     )
+
+
+def build_training_set(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang: str = "en",
+    min_quality: float = 0.5,
+    dedup_threshold: float = 0.8,
+    max_tokens: int = 2048,
+    overlap: int = 64,
+    num_shards: int = 64,
+) -> DataFrame:
+    """The end-to-end training-set assembly flagship — the LLM-side
+    analog of the analytics tier's ``feature_pipeline``: quality
+    gauntlet -> near dedup -> context-window chunking -> token-budget
+    packing, each stage the already-tested operator, composed in the
+    order the SCALING.md recipe prescribes (cheap map filters first,
+    exact dedup before any pair generation, chunk before pack).
+
+    Output: one row per training chunk with its pack assignment —
+    ``chunk_uid``, ``doc_id``, ``chunk_idx``, ``chunk_text``,
+    ``pack_id``, ``pack_pos``, ``n_tokens`` (per-chunk BPE-ish count
+    used for packing), ``oversized``. Deterministic end to end: every
+    stage is hash-keyed, so the same corpus yields byte-identical
+    packs on any cluster, partitioning, or rerun.
+
+    Token-metric note: the chunker windows by WHITESPACE tokens while
+    the packer budgets BPE-ish tokens (words + punctuation), so a
+    punctuation-dense chunk can exceed ``max_tokens`` BPE-ish tokens.
+    The packer's oversized contract contains this: such a chunk gets
+    its own flagged pack and never silently overflows a shared one —
+    callers wanting a hard ceiling should chunk with a margin
+    (e.g. ``max_tokens * 0.8``) or precompute a shared token column.
+    """
+    from gapless_deribit_clickhouse_spark.pipelines.packing import (
+        chunk_documents,
+        pack_sequences,
+    )
+    from gapless_deribit_clickhouse_spark.pipelines.text_dedup import (
+        near_dedup_corpus,
+    )
+
+    survivors = df.join(
+        curate_corpus(
+            df, text_col=text_col, id_col=id_col,
+            lang=lang, min_quality=min_quality,
+        ).select(id_col),
+        id_col,
+        "semi",
+    )
+    deduped = near_dedup_corpus(
+        survivors, text_col=text_col, id_col=id_col, threshold=dedup_threshold
+    )
+    # chunks feed BOTH the packer and the final text join; the lazy
+    # localCheckpoint cuts the lineage so the curate->dedup->chunk
+    # prefix executes once, not once per consumer (the
+    # near_dedup_corpus pattern)
+    chunks = chunk_documents(
+        deduped, id_col=id_col, text_col=text_col,
+        max_tokens=max_tokens, overlap=overlap,
+    ).localCheckpoint(eager=False)
+    packed = pack_sequences(
+        chunks, id_col="chunk_uid", text_col="chunk_text",
+        max_tokens=max_tokens, num_shards=num_shards,
+    )
+    return packed.join(
+        chunks.select("chunk_uid", id_col, "chunk_idx", "chunk_text"),
+        "chunk_uid",
+    ).select(
+        "chunk_uid", id_col, "chunk_idx", "chunk_text",
+        "pack_id", "pack_pos", "n_tokens", "oversized",
+    )

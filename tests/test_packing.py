@@ -222,3 +222,41 @@ def test_chunk_documents_invariants(spark):
         assert dx.iloc[0].n_tokens == 0
     with pytest.raises(ValueError):
         chunk_documents(df, max_tokens=8, overlap=8)
+
+
+def test_build_training_set_end_to_end(spark):
+    """The composed flagship: every surviving chunk is packed exactly
+    once, pack budgets hold, and the whole pipeline is deterministic."""
+    from gapless_deribit_clickhouse_spark.core.tables import load_table
+    from gapless_deribit_clickhouse_spark.pipelines.curation import (
+        build_training_set,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    out = build_training_set(
+        docs, lang="en", min_quality=0.3, max_tokens=64, overlap=8
+    ).toPandas()
+    assert len(out) > 0
+    # chunk_uid unique; every chunk assigned to exactly one pack slot
+    assert out.chunk_uid.is_unique
+    assert out[["pack_id", "pack_pos"]].drop_duplicates().shape[0] == len(out)
+    # pack token budgets hold (oversized packs are single-doc flagged)
+    per_pack = out.groupby("pack_id").agg(
+        tokens=("n_tokens", "sum"), oversized=("oversized", "max")
+    )
+    ok = per_pack[~per_pack.oversized]
+    assert (ok.tokens <= 64).all()
+    # the chunker windows by WHITESPACE tokens while the packer
+    # budgets BPE-ish tokens (punctuation adds), so a punctuation-
+    # dense chunk may legitimately exceed the budget — but only into
+    # a flagged single-chunk pack, never silently into a shared one
+    over = out[out.oversized]
+    if len(over):
+        assert (out.groupby("pack_id").size()[over.pack_id] == 1).all()
+    # deterministic end to end
+    again = build_training_set(
+        docs, lang="en", min_quality=0.3, max_tokens=64, overlap=8
+    ).toPandas()
+    a = out.sort_values("chunk_uid").reset_index(drop=True)
+    b = again.sort_values("chunk_uid").reset_index(drop=True)
+    assert a.equals(b)
