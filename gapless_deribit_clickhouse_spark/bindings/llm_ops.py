@@ -767,10 +767,11 @@ ex AS (
          }})) AS ch
   FROM n)
 SELECT doc_id, ch.chunk_idx AS chunk_idx,
-       CAST(doc_id AS VARCHAR) || ':' || CAST(ch.chunk_idx AS VARCHAR)
-           AS chunk_uid,
+       CAST(length(CAST(doc_id AS VARCHAR)) AS VARCHAR) || ':'
+           || CAST(doc_id AS VARCHAR) || ':'
+           || CAST(ch.chunk_idx AS VARCHAR) AS chunk_uid,
        ch.chunk_text AS chunk_text,
-       CAST(nt AS BIGINT) AS n_tokens, nc AS n_chunks
+       CAST(nt AS BIGINT) AS doc_n_tokens, nc AS n_chunks
 FROM ex
 """
 

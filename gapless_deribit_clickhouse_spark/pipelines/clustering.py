@@ -61,7 +61,12 @@ from gapless_deribit_clickhouse_spark.pipelines.sampling import hash_u32
 def _usable_rows(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     """Project to (id, RAW vector), dropping null / empty / zero-norm
     vectors (the same guard as every cosine path — a zero vector has
-    no direction and would poison centroid math).
+    no direction and would poison centroid math) and rows whose array
+    length differs from the corpus dimension (derived from the first
+    non-null row via the embeddings tier's ``_vec_dim``, one
+    metadata-scale job): a mixed-width corpus would otherwise fail
+    deep inside ``np.stack`` in the fit/assign stages with an opaque
+    executor error instead of being dropped here (ADVICE r4 #3).
 
     Vectors are deliberately NOT normalized here: dividing an array by
     its own ``l2_norm`` needs a higher-order ``transform`` whose
@@ -71,10 +76,14 @@ def _usable_rows(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     consumer is a numpy stage anyway, so each batch unit-normalizes
     itself with one BLAS-speed ``_normalize_rows`` call — O(dim) per
     row, off the Catalyst expression path entirely."""
+    from gapless_deribit_clickhouse_spark.pipelines.embeddings import _vec_dim
+
     v = F.col(vec_col).cast("array<double>")
-    return df.filter(v.isNotNull() & (F.size(v) > 0) & (l2_norm(v) > 0)).select(
-        F.col(id_col).alias("__id"), v.alias("__v")
-    )
+    cond = v.isNotNull() & (F.size(v) > 0) & (l2_norm(v) > 0)
+    dim = _vec_dim(df, vec_col)
+    if dim is not None:
+        cond = cond & (F.size(v) == dim)
+    return df.filter(cond).select(F.col(id_col).alias("__id"), v.alias("__v"))
 
 
 def _seed_centroids(usable: DataFrame, k: int, seed: int) -> np.ndarray:

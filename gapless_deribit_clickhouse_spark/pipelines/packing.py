@@ -216,9 +216,14 @@ def chunk_documents(
     ``max_tokens``-token windows advancing by ``max_tokens - overlap``
     (the classic sliding chunker; the overlap preserves boundary
     context for training). Output one row per chunk: ``id_col``,
-    ``chunk_idx``, ``chunk_uid`` (globally unique ``"{id}:{idx}"`` —
-    the key downstream stages need, since ``id_col`` repeats per
-    chunk), ``chunk_text``, ``n_tokens`` (whole doc), ``n_chunks``.
+    ``chunk_idx``, ``chunk_uid`` (globally unique
+    ``"{len(id)}:{id}:{idx}"`` — the length prefix makes the encoding
+    injective even when a string ``id_col`` itself contains ``":"``,
+    so distinct (doc, chunk) pairs can never collide; the key
+    downstream stages need, since ``id_col`` repeats per chunk),
+    ``chunk_text``, ``doc_n_tokens`` (WHOLE-DOC whitespace-token
+    count — deliberately NOT named ``n_tokens``, which downstream
+    packing uses for its per-chunk BPE-ish count), ``n_chunks``.
 
     Pure column algebra — tokenize once, build the chunk list with
     ``transform`` + ``slice`` over the token array, explode. Zero
@@ -226,8 +231,8 @@ def chunk_documents(
     output feeds packing as
     ``pack_sequences(chunks, id_col="chunk_uid",
     text_col="chunk_text")`` (chunk token counts are recomputed
-    per-chunk there; ``n_tokens`` here is the WHOLE-DOC count and must
-    not be passed as ``token_col``). A doc at or under the budget
+    per-chunk there; ``doc_n_tokens`` here is the WHOLE-DOC count and
+    must not be passed as ``token_col``). A doc at or under the budget
     yields exactly itself as chunk 0 (normalized whitespace); null
     text yields one empty chunk, not a dropped row.
     """
@@ -257,16 +262,17 @@ def chunk_documents(
             " ", F.slice(F.col("__toks"), i * stride + 1, max_tokens)
         ),
     )
+    id_str = F.col(id_col).cast("string")
     return (
         df.select(
             F.col(id_col),
             toks.alias("__toks"),
-            nt.cast("bigint").alias("n_tokens"),
+            nt.cast("bigint").alias("doc_n_tokens"),
             nc.alias("n_chunks"),
         )
         .select(
             id_col,
-            "n_tokens",
+            "doc_n_tokens",
             "n_chunks",
             F.posexplode(chunks).alias("chunk_idx", "chunk_text"),
         )
@@ -275,12 +281,14 @@ def chunk_documents(
             "chunk_idx",
             # unique per chunk — the id to pack on:
             # pack_sequences(chunks, id_col="chunk_uid",
-            #                text_col="chunk_text")
-            F.concat_ws(":", F.col(id_col).cast("string"), "chunk_idx").alias(
-                "chunk_uid"
-            ),
+            #                text_col="chunk_text").
+            # length-prefixed so a ':' inside a string id cannot make
+            # two distinct (doc, chunk) pairs encode identically
+            F.concat_ws(
+                ":", F.length(id_str).cast("string"), id_str, "chunk_idx"
+            ).alias("chunk_uid"),
             "chunk_text",
-            "n_tokens",
+            "doc_n_tokens",
             "n_chunks",
         )
     )

@@ -364,20 +364,28 @@ def hashed_linear_score(
         raise ValueError("weights must be non-empty")
     n = len(weights)
     w_arr = F.array(*[F.lit(float(w)) for w in weights])
-    toks = F.filter(
-        F.split(normalized_text(F.col(text_col)), " "),
-        lambda t: F.length(t) > 0,
+    # null text -> EMPTY token array (coalesced here, not at size():
+    # under spark.sql.ansi.enabled=false size(NULL) is -1, not NULL,
+    # so a size-level coalesce never fires — the array-level coalesce
+    # makes the 0-count contract config-independent, the same pattern
+    # as chunk_documents)
+    toks = F.coalesce(
+        F.filter(
+            F.split(normalized_text(F.col(text_col)), " "),
+            lambda t: F.length(t) > 0,
+        ),
+        F.array().cast("array<string>"),
     )
     tok_w = F.transform(
         toks, lambda t: F.element_at(w_arr, hash_bucket(t, buckets=n) + 1)
     )
-    logit = F.lit(float(bias)) + F.when(F.size(tok_w) > 0, 
+    logit = F.lit(float(bias)) + F.when(F.size(tok_w) > 0,
         F.aggregate(tok_w, F.lit(0.0), lambda a, x: a + x) / F.size(tok_w)
     ).otherwise(F.lit(0.0))
     return ensure_parallelism(df).select(
         F.col(id_col),
         (F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))).alias(score_col),
-        # null text -> null token array -> count 0 (not null): corrupt
-        # rows score the prior, they don't poison downstream filters
-        F.coalesce(F.size(toks), F.lit(0)).cast("bigint").alias("n_tokens"),
+        # corrupt (null-text) rows score the prior with count 0 — they
+        # don't poison downstream filters
+        F.size(toks).cast("bigint").alias("n_tokens"),
     )

@@ -72,6 +72,21 @@ def test_kmeans_deterministic_and_guards(spark):
     assert c.shape == (1, 2)
     with pytest.raises(ValueError):
         kmeans_fit(tiny.filter(F.col("vec_id") > 1), k=2)
+    # mixed-dimension rows are DROPPED, not an opaque np.stack crash
+    # deep in an executor (ADVICE r4 #3): dim derives from the first
+    # non-null row, deviants are filtered in _usable_rows
+    from gapless_deribit_clickhouse_spark.pipelines.clustering import (
+        kmeans_assign,
+    )
+
+    mixed = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [1.0, 1.0, 1.0]), (4, [0.5])],
+        "vec_id long, embedding array<double>",
+    )
+    cm = kmeans_fit(mixed, k=2, seed=5)
+    assert cm.shape[1] == 2
+    assigned = kmeans_assign(mixed, cm).toPandas()
+    assert sorted(assigned.vec_id) == [1, 2]
 
 
 def test_semantic_dedup_prunes_planted_near_dups(spark):

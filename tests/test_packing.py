@@ -203,7 +203,9 @@ def test_chunk_documents_invariants(spark):
     d1 = out[out.doc_id == 1].sort_values("chunk_idx")
     # 25 tokens, stride 6: nc = 1 + ceil((25-10)/6) = 4
     assert list(d1.chunk_idx) == [0, 1, 2, 3]
-    assert (d1.n_chunks == 4).all() and (d1.n_tokens == 25).all()
+    assert (d1.n_chunks == 4).all() and (d1.doc_n_tokens == 25).all()
+    # chunk_uid is the injective length-prefixed encoding
+    assert d1.iloc[1].chunk_uid == "1:1:1"
     # windows advance by stride and keep the 4-token overlap
     assert d1.iloc[0].chunk_text.split() == [f"w{i}" for i in range(10)]
     assert d1.iloc[1].chunk_text.split() == [f"w{i}" for i in range(6, 16)]
@@ -219,9 +221,28 @@ def test_chunk_documents_invariants(spark):
     for did in (3, 4):
         dx = out[out.doc_id == did]
         assert len(dx) == 1 and dx.iloc[0].chunk_text == ""
-        assert dx.iloc[0].n_tokens == 0
+        assert dx.iloc[0].doc_n_tokens == 0
     with pytest.raises(ValueError):
         chunk_documents(df, max_tokens=8, overlap=8)
+
+
+def test_chunk_uid_injective_for_colon_ids(spark):
+    """String ids containing ':' must not collide in chunk_uid: under
+    the old '{id}:{idx}' encoding, doc 'a:1' chunk 0 and doc 'a' chunk
+    '1:0'-style ambiguities could alias; the length prefix makes the
+    encoding injective (ADVICE r4 #4)."""
+    from gapless_deribit_clickhouse_spark.pipelines.packing import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [("a:1", words), ("a", words), ("a:1:2", words), (":", words)],
+        "doc_id string, text string",
+    )
+    out = chunk_documents(df, max_tokens=10, overlap=0).toPandas()
+    assert out.chunk_uid.is_unique
+    assert set(out[out.doc_id == "a:1"].chunk_uid) == {
+        "3:a:1:0", "3:a:1:1", "3:a:1:2"
+    }
 
 
 def test_build_training_set_end_to_end(spark):

@@ -256,4 +256,4 @@ def test_chunk_documents_matches_python_reference(
     assert list(got.chunk_idx) == list(range(len(want)))
     for c, w in zip(got.chunk_text, want):
         assert c.split() == w
-    assert (got.n_tokens == n_tokens).all()
+    assert (got.doc_n_tokens == n_tokens).all()
