@@ -576,7 +576,11 @@ def curate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _curate_sql() -> str:
+def _curate_ctes(min_quality: float) -> str:
+    """The curation gauntlet as reusable CTEs ending in ``curated``
+    (doc_id, lang_pred, n_tokens, quality_score) — shared by the
+    standalone CURATE_SQL oracle and the composed training_set_chunks
+    oracle, so a scoring tweak cannot desync the two."""
     from gapless_deribit_clickhouse_spark.pipelines.text_stats import LANG_MARKERS
 
     hits = {
@@ -594,8 +598,7 @@ def _curate_sql() -> str:
           + least(CASE WHEN {_NT} > 0 THEN ({_STOP_HITS}) / {_NT} ELSE 0.0 END * 5.0, 1.0) * 0.3
           + (1.0 - least(CASE WHEN length(text) > 0 THEN length(regexp_replace({_NORM}, '[a-z0-9 ]', '', 'g')) / length(text) ELSE 0.0 END * 4.0, 1.0)) * 0.2
           + (1.0 - least(CASE WHEN length(text) > 0 THEN length(regexp_replace(text, '[^A-Z]', '', 'g')) / length(text) ELSE 0.0 END * 5.0, 1.0)) * 0.1"""
-    return f"""
-WITH h AS (
+    return f"""h AS (
   SELECT doc_id, md5({_NORM}) AS th,
        CAST({_NT} AS BIGINT) AS n_tokens,
        CAST({score} AS DOUBLE) AS quality_score,
@@ -604,15 +607,18 @@ WITH h AS (
 p AS (
   SELECT doc_id, n_tokens, quality_score, {pred} AS lang_pred,
          min(doc_id) OVER (PARTITION BY th) = doc_id AS is_canonical
-  FROM h)
-SELECT doc_id, lang_pred, n_tokens, quality_score
-FROM p
-WHERE is_canonical AND lang_pred = 'en' AND quality_score >= 0.5
-  AND n_tokens BETWEEN 5 AND 100000
+  FROM h),
+curated AS (
+  SELECT doc_id, lang_pred, n_tokens, quality_score
+  FROM p
+  WHERE is_canonical AND lang_pred = 'en' AND quality_score >= {min_quality}
+    AND n_tokens BETWEEN 5 AND 100000)"""
+
+
+CURATE_SQL = f"""
+WITH {_curate_ctes(0.5)}
+SELECT doc_id, lang_pred, n_tokens, quality_score FROM curated
 """
-
-
-CURATE_SQL = _curate_sql()
 
 
 # --- per-group corpus profile (count / tokens / percentiles) ---
@@ -840,6 +846,136 @@ def training_set_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def training_set_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship's chunk projection, oracle-checked (VERDICT r4
+    next-round #1): everything ``build_training_set`` emits EXCEPT the
+    FFD pack assignment — chunk identity, text, and the per-chunk
+    BPE-ish token count the packer budgets on — is deterministic
+    column algebra over curate -> LSH near-dedup -> chunk, all
+    SQL-expressible. Runs the REAL composed pipeline (same params as
+    ``training_set``), then drops the two iterative columns, so the
+    driver/CI value-compare pins the flagship end to end up to pack
+    assignment; the pack tier is pinned by the SQL invariant test in
+    tests/test_packing.py."""
+    from gapless_deribit_clickhouse_spark.pipelines.curation import (
+        build_training_set,
+    )
+
+    return build_training_set(
+        _docs(spark, sf_dir), lang="en", min_quality=0.3,
+        max_tokens=128, overlap=16, num_shards=16,
+    ).select("chunk_uid", "doc_id", "chunk_idx", "chunk_text", "n_tokens")
+
+
+def _training_chunks_sql() -> str:
+    """Composed oracle for the flagship's chunk projection: the
+    curation CTEs (shared with CURATE_SQL), MinHash-LSH near-dedup at
+    threshold 0.8 with the SAME auto-sized (num_hashes, bands) the
+    Spark side derives via ``minhash_params``, connected components as
+    a recursive reachability walk (the DUP_CLUSTERS_SQL pattern), then
+    the 128/16 sliding chunker (the DOC_CHUNKS_SQL pattern) over the
+    kept docs, with the packer's BPE-ish per-chunk token count."""
+    from gapless_deribit_clickhouse_spark.pipelines.text_dedup import (
+        MINHASH_PRIME as _P,
+        minhash_affine_params,
+        minhash_params,
+    )
+
+    thr = 0.8
+    num_hashes, bands = minhash_params(thr)
+    r = num_hashes // bands
+    base = (
+        "list_reduce(list_transform(range(1, 16), i -> "
+        "CAST(strpos('0123456789abcdef', substr(md5('0:' || shingle), i, 1)) - 1 AS BIGINT)), "
+        f"(acc, d) -> (acc * 16 + d) % {_P})"
+    )
+    mins = ",\n         ".join(
+        f"min((h * CAST({a} AS BIGINT) + {b}) % {_P}) AS h{i}"
+        for i, (a, b) in enumerate(minhash_affine_params(num_hashes))
+    )
+    band_eq = " OR ".join(
+        "("
+        + " AND ".join(f"a.h{b * r + i} = b.h{b * r + i}" for i in range(r))
+        + ")"
+        for b in range(bands)
+    )
+    # chunker params must match training_set_chunks_q: 128-token
+    # windows, overlap 16 -> stride 112
+    mt, stride = 128, 112
+    bpe = (
+        "CAST(len(list_filter(regexp_split_to_array(ch.chunk_text, '[^a-z0-9]+'), x -> len(x) > 0))"
+        " + length(regexp_replace(ch.chunk_text, '[a-z0-9 ]', '', 'g')) AS BIGINT)"
+    )
+    return f"""
+WITH RECURSIVE {_curate_ctes(0.3)},
+stoks AS (
+  SELECT d.doc_id, string_split({_NORM}, ' ') AS t
+  FROM documents d JOIN curated USING (doc_id)),
+sgrams AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(t) >= 3 THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+    ELSE [array_to_string(t, ' ')] END)) AS shingle FROM stoks),
+hg AS (SELECT doc_id, {base} AS h FROM sgrams),
+sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM hg GROUP BY doc_id),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+  WHERE {band_eq}),
+ssz AS (SELECT doc_id, count(*) AS c FROM sgrams GROUP BY doc_id),
+jac AS (
+  SELECT c.id_a, c.id_b, count(*) AS inter
+  FROM cand c
+  JOIN sgrams ga ON ga.doc_id = c.id_a
+  JOIN sgrams gb ON gb.doc_id = c.id_b AND gb.shingle = ga.shingle
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT id_a, id_b
+  FROM jac JOIN ssz sa ON sa.doc_id = id_a JOIN ssz sb ON sb.doc_id = id_b
+  WHERE inter / (sa.c + sb.c - inter) >= {thr}),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION SELECT id_b, id_a FROM pairs),
+walk(u, rr) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT w.u, e.v FROM walk w JOIN edges e ON w.rr = e.u AND e.v <> w.u),
+comp AS (
+  SELECT u AS id, least(min(rr), u) AS component FROM walk GROUP BY u),
+losers AS (SELECT id FROM comp WHERE component <> id),
+kept AS (
+  SELECT doc_id FROM curated
+  WHERE doc_id NOT IN (SELECT id FROM losers)),
+ctoks AS (
+  SELECT d.doc_id,
+         COALESCE(list_filter(string_split({_NORM}, ' '), x -> len(x) > 0), []) AS t
+  FROM documents d JOIN kept USING (doc_id)),
+cn AS (
+  SELECT doc_id, t, len(t) AS nt,
+         CASE WHEN len(t) <= {mt} THEN 1
+              ELSE CAST(ceil((len(t) - {mt}) / {stride}.0) AS INT) + 1 END AS nc
+  FROM ctoks),
+ex AS (
+  SELECT doc_id, nt, nc,
+         unnest(list_transform(range(nc), i -> {{
+             'chunk_idx': CAST(i AS INT),
+             'chunk_text': array_to_string(t[i * {stride} + 1 : i * {stride} + {mt}], ' ')
+         }})) AS ch
+  FROM cn)
+SELECT CAST(length(CAST(doc_id AS VARCHAR)) AS VARCHAR) || ':'
+           || CAST(doc_id AS VARCHAR) || ':'
+           || CAST(ch.chunk_idx AS VARCHAR) AS chunk_uid,
+       doc_id, ch.chunk_idx AS chunk_idx, ch.chunk_text AS chunk_text,
+       {bpe} AS n_tokens
+FROM ex
+"""
+
+
+TRAINING_SET_CHUNKS_SQL = _training_chunks_sql()
+
+
 def sequence_packing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget packing of the documents table (BPE-ish token
     proxy, 512-token packs) reduced to the corpus-level packing
@@ -928,4 +1064,8 @@ BINDINGS = [
     # compare (the driver's 50-entry window is already full)
     ("classifier_score", classifier_score_q, CLASSIFIER_SQL),
     ("doc_chunks", doc_chunks_q, DOC_CHUNKS_SQL),
+    # the flagship's chunk projection with a FULL composed oracle
+    # (curate -> LSH near-dedup -> components -> chunk); the pack tier
+    # is pinned by the SQL invariant test in tests/test_packing.py
+    ("training_set_chunks", training_set_chunks_q, TRAINING_SET_CHUNKS_SQL),
 ]
