@@ -445,6 +445,7 @@ def ivf_kmeans_topk(
     max_iter: int = 8,
     seed: int = 42,
     fit_sample_size: int | None = 65_536,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """True IVF (inverted-file) approximate top-k with LEARNED
     k-means centroids — the data-adaptive sibling of the
@@ -454,13 +455,22 @@ def ivf_kmeans_topk(
 
     Plan shape: the corpus crosses Python once (assign stage, keeps
     the raw vector alongside cluster_id); the probe table
-    (query_id x nprobe rows, built driver-side — queries are the
-    SMALL side by contract, same as ``cosine_topk``) broadcasts into
-    an equi-join on ``cluster_id``, so candidates per query are
-    bounded by nprobe/n_centroids of the corpus and the corpus never
-    shuffles. Exact cosine verification + per-query top-k window
-    follow, identical to the brute-force baseline. Output schema
-    matches ``cosine_topk``: query_id, vec_id, rank, cosine_sim.
+    (query_id x nprobe rows) is built DISTRIBUTED — a mapInPandas
+    stage over the query DataFrame with the centroid matrix shipped
+    in the task closure (metadata-scale), the same probe-expansion
+    shape as ``ivf_topk``'s ``_query_probe_table_arrow`` — so a
+    corpus-scale query set (e.g. a full kNN self-join for graph
+    building) never funnels through the driver (VERDICT r4
+    next-round #2). With ``broadcast_queries=True`` (default — the
+    search/eval contract where queries are the small side, same as
+    ``cosine_topk``) the probe table broadcasts into an equi-join on
+    ``cluster_id`` and the corpus never shuffles; pass ``False`` for
+    corpus-scale query sets to let the probe/list join shuffle both
+    sides on ``cluster_id`` instead of broadcasting.
+
+    Exact cosine verification + per-query top-k window follow,
+    identical to the brute-force baseline. Output schema matches
+    ``cosine_topk``: query_id, vec_id, rank, cosine_sim.
     """
     from pyspark.sql import Window
 
@@ -481,35 +491,53 @@ def ivf_kmeans_topk(
         usable, c_bc, id_t, with_vec=True, with_sim=False, with_norm=True
     )
 
-    # probe table driver-side: queries are metadata-scale by contract.
-    # Query vectors ship UNIT-normalized, so the scoring expression is
-    # dot / corpus-norm only. Null / empty / zero-norm /
-    # dimension-mismatched query vectors are skipped (they have no
-    # meaningful neighbors), matching _usable_rows' corpus-side guard.
-    spark = corpus.sparkSession
+    # distributed probe expansion: each Arrow batch of queries emits
+    # (query_id, cluster_id, UNIT query vector) rows for its nprobe
+    # nearest centroids, so downstream scoring is dot / corpus-norm
+    # only. Null / empty / zero-norm / dimension-mismatched query
+    # vectors are skipped (they have no meaningful neighbors),
+    # matching _usable_rows' corpus-side guard.
     nprobe = min(nprobe, c_bc.shape[0])
-    q_rows = queries.select(query_id_col, query_vec_col).collect()
-    probe_rows = []
-    for r in q_rows:
-        raw = r[query_vec_col]
-        if raw is None or len(raw) != c_bc.shape[1]:
-            continue
-        qv = np.asarray(raw, dtype=np.float64)
-        nrm = np.linalg.norm(qv)
-        if nrm == 0:
-            continue
-        unit = qv / nrm
-        order = np.argsort(-(c_bc @ unit))[:nprobe]
-        probe_rows.extend(
-            (r[query_id_col], int(c), [float(x) for x in unit]) for c in order
-        )
+    dim = c_bc.shape[1]
     q_t = queries.schema[query_id_col].dataType.simpleString()
-    probes = spark.createDataFrame(
-        probe_rows, f"{query_id_col} {q_t}, cluster_id int, __qv array<double>"
+
+    def expand_probes(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            keep = [
+                i
+                for i, raw in enumerate(pdf[query_vec_col])
+                if raw is not None and len(raw) == dim
+            ]
+            if not keep:
+                continue
+            mat = np.stack(
+                [np.asarray(pdf[query_vec_col].iloc[i], dtype=np.float64) for i in keep]
+            )
+            nrms = np.linalg.norm(mat, axis=1)
+            ok = nrms > 0
+            if not ok.any():
+                continue
+            mat = mat[ok] / nrms[ok][:, None]
+            ids = pdf[query_id_col].iloc[keep].to_numpy()[ok]
+            # one batch matmul, then per-row nprobe selection
+            order = np.argsort(-(mat @ c_bc.T), axis=1, kind="stable")[:, :nprobe]
+            yield pd.DataFrame(
+                {
+                    query_id_col: np.repeat(ids, nprobe),
+                    "cluster_id": order.reshape(-1).astype("int32"),
+                    "__qv": [row.tolist() for row in np.repeat(mat, nprobe, axis=0)],
+                }
+            )
+
+    probes = queries.select(query_id_col, query_vec_col).mapInPandas(
+        expand_probes,
+        schema=f"{query_id_col} {q_t}, cluster_id int, __qv array<double>",
     )
 
     scored = (
-        lists.join(F.broadcast(probes), "cluster_id")
+        lists.join(F.broadcast(probes) if broadcast_queries else probes, "cluster_id")
         .select(
             F.col(query_id_col),
             F.col("__id").alias(id_col),

@@ -32,6 +32,7 @@ REQUIRED_PYTHON = {
     "ivf_kmeans_topk",  # k-means assign stage keeps raw vectors
     "diverse_sample",  # k-means assign below the group tournament
     "training_set",  # composed flagship: FFD packing crossing
+    "training_set_chunks",  # same flagship, pack columns projected out
 }
 # dup_clusters consumes the LSH stage too, but its connected-components
 # local tier executes during construction on small graphs, so the
