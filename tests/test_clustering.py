@@ -175,3 +175,30 @@ def test_ivf_kmeans_recall_vs_brute_force(spark):
         emb, queries, k=5, n_centroids=8, nprobe=4, seed=4
     ).toPandas()
     assert approx.equals(again)
+    # the corpus-scale path (shuffled probe join instead of broadcast)
+    # must return the SAME results — only the physical join strategy
+    # differs
+    shuffled = ivf_kmeans_topk(
+        emb, queries, k=5, n_centroids=8, nprobe=4, seed=4,
+        broadcast_queries=False,
+    ).toPandas()
+    key = ["query_id", "rank"]
+    assert (
+        approx.sort_values(key).reset_index(drop=True)
+        .equals(shuffled.sort_values(key).reset_index(drop=True))
+    )
+    # and malformed query vectors (null / wrong dim / zero norm) are
+    # skipped inside the distributed probe stage, not crashed on
+    bad = spark.createDataFrame(
+        [(100, None), (101, [1.0]), (102, [0.0] * 8)],
+        "query_id long, query_vec array<double>",
+    )
+    assert (
+        ivf_kmeans_topk(
+            emb, queries.unionByName(bad), k=5, n_centroids=8, nprobe=4,
+            seed=4,
+        )
+        .filter(F.col("query_id") >= 100)
+        .count()
+        == 0
+    )
