@@ -150,6 +150,7 @@ def __getattr__(name: str):
         "semantic_dedup": "pipelines.clustering",
         "ivf_kmeans_topk": "pipelines.clustering",
         "diverse_sample": "pipelines.clustering",
+        "knn_self_join": "pipelines.clustering",
     }
     # reference-name aliases (reference __init__.py:42-65 /
     # features/__init__.py:61-88): a reference user's import keeps working
@@ -253,7 +254,7 @@ __all__ = [
     "redact_pii", "pii_counts", "scrub_documents",
     "mixture_sample", "mixture_thresholds", "near_dedup_corpus",
     "kmeans_fit", "kmeans_assign", "semantic_dedup",
-    "ivf_kmeans_topk", "diverse_sample",
+    "ivf_kmeans_topk", "diverse_sample", "knn_self_join",
     "hashed_linear_score",
     # serving-layer connector seam (lazy)
     "ServingConnector", "ParquetServingConnector",

@@ -202,3 +202,41 @@ def test_ivf_kmeans_recall_vs_brute_force(spark):
         .count()
         == 0
     )
+
+
+def test_knn_self_join_graph(spark):
+    """Corpus-as-query-set kNN graph: no self edges, dense ranks 1..k,
+    recall vs per-vector brute force above the IVF floor — the
+    workload the distributed probe routing exists for."""
+    from gapless_deribit_clickhouse_spark.core.tables import load_table
+    from gapless_deribit_clickhouse_spark.pipelines.clustering import (
+        knn_self_join,
+    )
+    from gapless_deribit_clickhouse_spark.pipelines.embeddings import cosine_topk
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").filter(
+        F.col("vec_id") < 60
+    )
+    g = knn_self_join(emb, k=5, n_centroids=4, nprobe=3, seed=4).toPandas()
+    assert (g.query_id != g.vec_id).all()
+    ranks = g.groupby("query_id")["rank"].apply(lambda s: sorted(s))
+    assert all(r == list(range(1, len(r) + 1)) for r in ranks)
+    # brute-force reference: top-(k+1) per query, self dropped
+    queries = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    brute = cosine_topk(emb, queries, k=6).toPandas()
+    brute = brute[brute.query_id != brute.vec_id]
+    b = brute.sort_values(["query_id", "rank"]).groupby("query_id").vec_id.apply(
+        lambda s: set(s.head(5))
+    )
+    a = g.groupby("query_id").vec_id.apply(set)
+    recall = np.mean([len(b[q] & a.get(q, set())) / len(b[q]) for q in b.index])
+    assert recall >= 0.7
+    # deterministic
+    again = knn_self_join(emb, k=5, n_centroids=4, nprobe=3, seed=4).toPandas()
+    key = ["query_id", "rank"]
+    assert (
+        g.sort_values(key).reset_index(drop=True)
+        .equals(again.sort_values(key).reset_index(drop=True))
+    )
