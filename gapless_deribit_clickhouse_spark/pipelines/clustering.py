@@ -58,15 +58,27 @@ from gapless_deribit_clickhouse_spark.pipelines.embeddings import l2_norm
 from gapless_deribit_clickhouse_spark.pipelines.sampling import hash_u32
 
 
-def _usable_rows(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+def _usable_rows(
+    df: DataFrame, id_col: str, vec_col: str, dim: int | None = None
+) -> DataFrame:
     """Project to (id, RAW vector), dropping null / empty / zero-norm
     vectors (the same guard as every cosine path — a zero vector has
-    no direction and would poison centroid math) and rows whose array
-    length differs from the corpus dimension (derived from the first
-    non-null row via the embeddings tier's ``_vec_dim``, one
-    metadata-scale job): a mixed-width corpus would otherwise fail
-    deep inside ``np.stack`` in the fit/assign stages with an opaque
-    executor error instead of being dropped here (ADVICE r4 #3).
+    no direction and would poison centroid math), vectors whose norm
+    is NaN or infinite (a NaN cosine sorts ABOVE every real value
+    under Spark's NaN-is-largest ordering, so one corrupt embedding
+    would otherwise become the rank-1 neighbor of every query probing
+    its cluster — the hazard ``_cosine_score_arrow`` documents), and
+    rows whose array length differs from the corpus dimension
+    (ADVICE r4 #3: a mixed-width corpus would otherwise fail deep
+    inside ``np.stack`` with an opaque executor error).
+
+    ``dim`` is the contract dimension: callers that KNOW it (assign
+    stages — ``centroids.shape[1]``) pass it so no data probing
+    happens and a deviant-width first row cannot mislead the filter;
+    ``dim=None`` derives it from the first non-null row via the
+    embeddings tier's ``_vec_dim`` (one metadata-scale job) — fit
+    paths thread the derived value through so it is probed at most
+    once per operator, never per ``_usable_rows`` call.
 
     Vectors are deliberately NOT normalized here: dividing an array by
     its own ``l2_norm`` needs a higher-order ``transform`` whose
@@ -79,8 +91,16 @@ def _usable_rows(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     from gapless_deribit_clickhouse_spark.pipelines.embeddings import _vec_dim
 
     v = F.col(vec_col).cast("array<double>")
-    cond = v.isNotNull() & (F.size(v) > 0) & (l2_norm(v) > 0)
-    dim = _vec_dim(df, vec_col)
+    nrm = l2_norm(v)
+    cond = (
+        v.isNotNull()
+        & (F.size(v) > 0)
+        & (nrm > 0)
+        & ~F.isnan(nrm)
+        & (nrm < F.lit(float("inf")))
+    )
+    if dim is None:
+        dim = _vec_dim(df, vec_col)
     if dim is not None:
         cond = cond & (F.size(v) == dim)
     return df.filter(cond).select(F.col(id_col).alias("__id"), v.alias("__v"))
@@ -143,9 +163,13 @@ def kmeans_fit(
     seed: int = 42,
     tol: float = 1e-6,
     fit_sample_size: int | None = 65_536,
+    dim: int | None = None,
 ) -> np.ndarray:
     """Fit spherical k-means; returns the (k x dim) unit centroid
-    matrix. ``k`` is capped at the usable row count. Stops early when
+    matrix. ``dim`` (optional) is the known corpus dimension —
+    callers that already probed it pass it through so the usable-row
+    filter does not re-probe. ``k`` is capped at the usable row
+    count. Stops early when
     the max centroid movement (L2) drops below ``tol``. An emptied
     cluster keeps its previous centroid (never NaN, never respawned —
     deterministic).
@@ -162,7 +186,7 @@ def kmeans_fit(
     ASSIGN pass needs to see every row. ``fit_sample_size=None``
     selects exact full-corpus distributed Lloyd's (one Arrow partial-
     sum round trip per iteration)."""
-    usable = _usable_rows(df, id_col, vec_col)
+    usable = _usable_rows(df, id_col, vec_col, dim=dim)
     if fit_sample_size is not None:
         if fit_sample_size < k:
             raise ValueError("fit_sample_size must be >= k")
@@ -286,10 +310,13 @@ def kmeans_assign(
 ) -> DataFrame:
     """Assign each row its nearest (cosine) centroid. Output:
     ``id_col``, ``cluster_id``, ``centroid_sim``. One Arrow/BLAS map
-    stage, no shuffle."""
-    usable = _usable_rows(df, id_col, vec_col)
-    id_t = df.schema[id_col].dataType.simpleString()
+    stage, no shuffle. The usable-row filter takes its dimension from
+    the CENTROIDS (the contract), not from data probing — a
+    deviant-width first row can neither mislead the filter nor add a
+    driver job to plan construction."""
     c_bc = np.ascontiguousarray(centroids, dtype=np.float64)
+    usable = _usable_rows(df, id_col, vec_col, dim=c_bc.shape[1])
+    id_t = df.schema[id_col].dataType.simpleString()
     return _assign_table(usable, c_bc, id_t).withColumnRenamed("__id", id_col)
 
 
@@ -323,10 +350,13 @@ def semantic_dedup(
     cluster_id) would shuffle the full vector payload twice instead
     of once.
     """
-    usable = _usable_rows(df, id_col, vec_col)
+    from gapless_deribit_clickhouse_spark.pipelines.embeddings import _vec_dim
+
+    dim = _vec_dim(df, vec_col)  # probed ONCE, threaded to fit+assign
+    usable = _usable_rows(df, id_col, vec_col, dim=dim)
     centroids = kmeans_fit(
         df, id_col=id_col, vec_col=vec_col, k=k, max_iter=max_iter,
-        seed=seed, fit_sample_size=fit_sample_size,
+        seed=seed, fit_sample_size=fit_sample_size, dim=dim,
     )
     c_bc = np.ascontiguousarray(centroids, dtype=np.float64)
     id_t = df.schema[id_col].dataType.simpleString()
@@ -482,7 +512,9 @@ def ivf_kmeans_topk(
     )
     c_bc = np.ascontiguousarray(centroids, dtype=np.float64)
     id_t = corpus.schema[id_col].dataType.simpleString()
-    usable = _usable_rows(corpus, id_col, vec_col)
+    # corpus filter keyed to the FITTED dimension (the contract), so
+    # the inverted lists cannot silently follow a deviant-width row
+    usable = _usable_rows(corpus, id_col, vec_col, dim=c_bc.shape[1])
 
     # corpus norm is computed ONCE per vector inside the assign stage
     # (__n), never per candidate pair — the same below-the-join norm

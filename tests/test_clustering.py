@@ -87,6 +87,27 @@ def test_kmeans_deterministic_and_guards(spark):
     assert cm.shape[1] == 2
     assigned = kmeans_assign(mixed, cm).toPandas()
     assert sorted(assigned.vec_id) == [1, 2]
+    # assign keys the filter to the CENTROID width, so a deviant-width
+    # FIRST row cannot mislead it into dropping the valid rows
+    # (r5 review finding #1)
+    deviant_first = spark.createDataFrame(
+        [(0, [1.0, 1.0, 1.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    a2 = kmeans_assign(deviant_first, cm).toPandas()
+    assert sorted(a2.vec_id) == [1, 2]
+    # NaN / inf vectors are dropped, not crowned rank-1 neighbors via
+    # NaN-is-largest ordering (r5 review finding #2)
+    nan_rows = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [float("nan"), 1.0]),
+            (3, [float("inf"), 1.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    a3 = kmeans_assign(nan_rows, cm).toPandas()
+    assert sorted(a3.vec_id) == [1]
 
 
 def test_semantic_dedup_prunes_planted_near_dups(spark):
