@@ -867,21 +867,22 @@ def training_set_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("chunk_uid", "doc_id", "chunk_idx", "chunk_text", "n_tokens")
 
 
-def _training_chunks_sql() -> str:
-    """Composed oracle for the flagship's chunk projection: the
-    curation CTEs (shared with CURATE_SQL), MinHash-LSH near-dedup at
-    threshold 0.8 with the SAME auto-sized (num_hashes, bands) the
-    Spark side derives via ``minhash_params``, connected components as
-    a recursive reachability walk (the DUP_CLUSTERS_SQL pattern), then
-    the 128/16 sliding chunker (the DOC_CHUNKS_SQL pattern) over the
-    kept docs, with the packer's BPE-ish per-chunk token count."""
+def _lsh_cc_kept_ctes(survivor_cte: str, thr: float) -> str:
+    """The MinHash-LSH -> exact-Jaccard -> connected-components ->
+    survivors CTE chain, from a (doc_id) relation named
+    ``survivor_cte`` to a ``kept`` relation — shared by the
+    training_set_chunks and near_dedup_docs oracles so the dedup
+    semantics cannot desync. Auto-sizes (num_hashes, bands) from the
+    threshold with the SAME ``minhash_params`` derivation the Spark
+    side uses; components via recursive reachability (the
+    DUP_CLUSTERS_SQL pattern). Must be spliced after a
+    ``WITH RECURSIVE`` head."""
     from gapless_deribit_clickhouse_spark.pipelines.text_dedup import (
         MINHASH_PRIME as _P,
         minhash_affine_params,
         minhash_params,
     )
 
-    thr = 0.8
     num_hashes, bands = minhash_params(thr)
     r = num_hashes // bands
     base = (
@@ -899,18 +900,9 @@ def _training_chunks_sql() -> str:
         + ")"
         for b in range(bands)
     )
-    # chunker params must match training_set_chunks_q: 128-token
-    # windows, overlap 16 -> stride 112
-    mt, stride = 128, 112
-    bpe = (
-        "CAST(len(list_filter(regexp_split_to_array(ch.chunk_text, '[^a-z0-9]+'), x -> len(x) > 0))"
-        " + length(regexp_replace(ch.chunk_text, '[a-z0-9 ]', '', 'g')) AS BIGINT)"
-    )
-    return f"""
-WITH RECURSIVE {_curate_ctes(0.3)},
-stoks AS (
+    return f"""stoks AS (
   SELECT d.doc_id, string_split({_NORM}, ' ') AS t
-  FROM documents d JOIN curated USING (doc_id)),
+  FROM documents d JOIN {survivor_cte} USING (doc_id)),
 sgrams AS (
   SELECT doc_id, unnest(list_distinct(
     CASE WHEN len(t) >= 3 THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
@@ -946,8 +938,26 @@ comp AS (
   SELECT u AS id, least(min(rr), u) AS component FROM walk GROUP BY u),
 losers AS (SELECT id FROM comp WHERE component <> id),
 kept AS (
-  SELECT doc_id FROM curated
-  WHERE doc_id NOT IN (SELECT id FROM losers)),
+  SELECT doc_id FROM {survivor_cte}
+  WHERE doc_id NOT IN (SELECT id FROM losers))"""
+
+
+def _training_chunks_sql() -> str:
+    """Composed oracle for the flagship's chunk projection: the
+    curation CTEs (shared with CURATE_SQL), the shared LSH/CC dedup
+    chain (``_lsh_cc_kept_ctes``, shared with NEAR_DEDUP_DOCS_SQL),
+    then the 128/16 sliding chunker (the DOC_CHUNKS_SQL pattern) over
+    the kept docs, with the packer's BPE-ish per-chunk token count."""
+    # chunker params must match training_set_chunks_q: 128-token
+    # windows, overlap 16 -> stride 112
+    mt, stride = 128, 112
+    bpe = (
+        "CAST(len(list_filter(regexp_split_to_array(ch.chunk_text, '[^a-z0-9]+'), x -> len(x) > 0))"
+        " + length(regexp_replace(ch.chunk_text, '[a-z0-9 ]', '', 'g')) AS BIGINT)"
+    )
+    return f"""
+WITH RECURSIVE {_curate_ctes(0.3)},
+{_lsh_cc_kept_ctes("curated", 0.8)},
 ctoks AS (
   SELECT d.doc_id,
          COALESCE(list_filter(string_split({_NORM}, ' '), x -> len(x) > 0), []) AS t
@@ -974,6 +984,30 @@ FROM ex
 
 
 TRAINING_SET_CHUNKS_SQL = _training_chunks_sql()
+
+
+def near_dedup_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-call near-dedup corpus filter as its own oracle-checked
+    binding (round 5 — previously exercised only inside the
+    training_set composition): exact tier -> auto-sized MinHash-LSH
+    pairs on survivors -> connected components -> anti-join losers,
+    projected to the compare-friendly columns."""
+    from gapless_deribit_clickhouse_spark.pipelines.text_dedup import (
+        near_dedup_corpus,
+    )
+
+    return near_dedup_corpus(_docs(spark, sf_dir), threshold=0.8).select(
+        "doc_id", "lang", "source"
+    )
+
+
+NEAR_DEDUP_DOCS_SQL = f"""
+WITH RECURSIVE winners AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5({_NORM})),
+{_lsh_cc_kept_ctes("winners", 0.8)}
+SELECT d.doc_id, d.lang, d.source
+FROM documents d JOIN kept USING (doc_id)
+"""
 
 
 def sequence_packing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1068,4 +1102,6 @@ BINDINGS = [
     # (curate -> LSH near-dedup -> components -> chunk); the pack tier
     # is pinned by the SQL invariant test in tests/test_packing.py
     ("training_set_chunks", training_set_chunks_q, TRAINING_SET_CHUNKS_SQL),
+    # the one-call near-dedup filter, oracle-checked standalone
+    ("near_dedup_docs", near_dedup_docs_q, NEAR_DEDUP_DOCS_SQL),
 ]
