@@ -107,7 +107,7 @@ WRITE_BENCHES = ["write_bucketed", "write_compact"]
 # regressions (r3 -> r4 adds the write path + 12 new operators; r5
 # adds the flagship's oracle-checked chunk projection, which re-runs
 # the curate->dedup->chunk prefix, so ~training_set-sized)
-NEW_IN_R5 = ["training_set_chunks"]
+NEW_IN_R5 = ["training_set_chunks", "near_dedup_docs"]
 NEW_IN_R4 = WRITE_BENCHES + [
     "mixture_sample",
     "semantic_dedup",

@@ -68,6 +68,7 @@ PROBES = [
     "ivf_topk",
     "cosine_topk",
     "semantic_dedup",
+    "near_dedup_docs",
 ]
 
 # analytics-tier probes (VERDICT r4 #3): the union-window as-of join,
