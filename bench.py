@@ -105,8 +105,10 @@ WRITE_BENCHES = ["write_bucketed", "write_compact"]
 # queries that did not exist in earlier rounds — listed in the sidecar
 # so a cross-round TOTAL delta decomposes into new coverage vs real
 # regressions (r3 -> r4 adds the write path + 12 new operators; r5
-# adds the flagship's oracle-checked chunk projection, which re-runs
-# the curate->dedup->chunk prefix, so ~training_set-sized)
+# adds the flagship's oracle-checked chunk projection — which re-runs
+# the curate->dedup->chunk prefix, so ~training_set-sized — plus the
+# standalone near-dedup filter, which re-runs the exact tier + LSH +
+# connected components over documents and costs a few seconds itself)
 NEW_IN_R5 = ["training_set_chunks", "near_dedup_docs"]
 NEW_IN_R4 = WRITE_BENCHES + [
     "mixture_sample",

@@ -30,6 +30,12 @@ from gapless_deribit_clickhouse_spark.pipelines.text_stats import (
     token_count,
 )
 
+# One source of truth for the near-dedup Jaccard cutoff: the Spark
+# calls (near_dedup_docs_q, the two training_set bindings) and the
+# generated DuckDB CTE chain (_lsh_cc_kept_ctes) all read this, so the
+# engine and oracle cannot desync on threshold / minhash_params sizing.
+_DEDUP_THRESHOLD = 0.8
+
 _NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 _TOKS = f"SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents"
 _GRAMS3 = (
@@ -842,6 +848,7 @@ def training_set_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return build_training_set(
         _docs(spark, sf_dir), lang="en", min_quality=0.3,
+        dedup_threshold=_DEDUP_THRESHOLD,
         max_tokens=128, overlap=16, num_shards=16,
     )
 
@@ -863,6 +870,7 @@ def training_set_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return build_training_set(
         _docs(spark, sf_dir), lang="en", min_quality=0.3,
+        dedup_threshold=_DEDUP_THRESHOLD,
         max_tokens=128, overlap=16, num_shards=16,
     ).select("chunk_uid", "doc_id", "chunk_idx", "chunk_text", "n_tokens")
 
@@ -957,7 +965,7 @@ def _training_chunks_sql() -> str:
     )
     return f"""
 WITH RECURSIVE {_curate_ctes(0.3)},
-{_lsh_cc_kept_ctes("curated", 0.8)},
+{_lsh_cc_kept_ctes("curated", _DEDUP_THRESHOLD)},
 ctoks AS (
   SELECT d.doc_id,
          COALESCE(list_filter(string_split({_NORM}, ' '), x -> len(x) > 0), []) AS t
@@ -996,7 +1004,7 @@ def near_dedup_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         near_dedup_corpus,
     )
 
-    return near_dedup_corpus(_docs(spark, sf_dir), threshold=0.8).select(
+    return near_dedup_corpus(_docs(spark, sf_dir), threshold=_DEDUP_THRESHOLD).select(
         "doc_id", "lang", "source"
     )
 
@@ -1004,7 +1012,7 @@ def near_dedup_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 NEAR_DEDUP_DOCS_SQL = f"""
 WITH RECURSIVE winners AS (
   SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5({_NORM})),
-{_lsh_cc_kept_ctes("winners", 0.8)}
+{_lsh_cc_kept_ctes("winners", _DEDUP_THRESHOLD)}
 SELECT d.doc_id, d.lang, d.source
 FROM documents d JOIN kept USING (doc_id)
 """
