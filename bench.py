@@ -109,7 +109,14 @@ WRITE_BENCHES = ["write_bucketed", "write_compact"]
 # the curate->dedup->chunk prefix, so ~training_set-sized — plus the
 # standalone near-dedup filter, which re-runs the exact tier + LSH +
 # connected components over documents and costs a few seconds itself)
-NEW_IN_R5 = ["training_set_chunks", "near_dedup_docs"]
+NEW_IN_R5 = [
+    "training_set_chunks",
+    "near_dedup_docs",
+    "q4_order_priority",
+    "q13_customer_distribution",
+    "q17_small_quantity_revenue",
+    "q22_dormant_customers",
+]
 NEW_IN_R4 = WRITE_BENCHES + [
     "mixture_sample",
     "semantic_dedup",

@@ -19,6 +19,11 @@ from gapless_deribit_clickhouse_spark.bindings import (
 ALL_BINDINGS = []
 for _mod in (core_ops, features_ops, analytics_ops, extra_ops, llm_ops):
     ALL_BINDINGS.extend(_mod.BINDINGS)
+# LATE_BINDINGS land after every module's BINDINGS: past the driver's
+# stable first-50 window, where the CI past-window oracle compare
+# value-checks them (tests/test_demoted_bindings_oracle.py).
+for _mod in (core_ops, features_ops, analytics_ops, extra_ops, llm_ops):
+    ALL_BINDINGS.extend(getattr(_mod, "LATE_BINDINGS", []))
 
 # The driver's CORRECTNESS harness checks the first CHECKED_WINDOW
 # registry entries (single source of truth — the registry layout test

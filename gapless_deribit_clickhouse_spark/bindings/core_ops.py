@@ -448,6 +448,174 @@ LIMIT 100
 """
 
 
+# --- EXISTS semi-join (TPC-H Q4 shape) ---
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EXISTS-subquery benchmark as a true left-semi join: orders
+    in one quarter that had at least one line item shipped after the
+    order date (the testdata has no commit/receipt dates, so
+    late-shipment stands in for the spec's late-delivery predicate —
+    the defining shape, a semi-join with an extra NON-equi condition
+    riding the equi key, is identical). The semi join never
+    materializes lineitem columns and short-circuits per order on the
+    probe side; at 100 TB both sides shuffle once on orderkey and the
+    non-equi term evaluates inside the join, never as a post-join
+    filter over a fact-fact product."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+# --- left-outer join + two-level agg (TPC-H Q13 shape) ---
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer order-count histogram: the outer-join-then-double-agg
+    shape. The LEFT OUTER join keeps order-less customers (their
+    count(o_orderkey) is 0, not a dropped row — the semantics an inner
+    join silently gets wrong), the first aggregation reduces on the
+    join key it is already partitioned by (no extra shuffle), and the
+    second aggregation reduces ~millions of per-customer rows to a
+    few dozen histogram buckets — map-side partials do almost all of
+    the work."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+Q13_SQL = """
+WITH per_cust AS (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey)
+SELECT c_count, count(*) AS custdist
+FROM per_cust
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+# --- decorrelated scalar correlated subquery (TPC-H Q17 shape) ---
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The correlated-scalar-subquery benchmark ('quantity below 20%
+    of this part's average'), decorrelated to a single window
+    aggregate: prune lineitem to one brand via a broadcast part join,
+    then compute the per-part average with avg() OVER (PARTITION BY
+    l_partkey) on the pruned set — ONE shuffle on partkey, no second
+    scan of lineitem and no agg-then-join-back (whose per-part agg
+    output is SF-proportional for a fixed brand, so broadcasting it
+    back would not survive scale-up). Per-part lineitem counts are
+    ~constant in TPC-H regardless of SF, so the window partitions are
+    bounded and skew-free."""
+    from pyspark.sql import Window
+
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#13"
+    ).select("p_partkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    pruned = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    w = Window.partitionBy("l_partkey")
+    return (
+        pruned.withColumn("qty_cut", 0.2 * F.avg("l_quantity").over(w))
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+        .agg((F.sum("l_extendedprice") / 7.0).alias("avg_yearly"))
+    )
+
+
+Q17_SQL = """
+WITH pruned AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#13'),
+wc AS (
+  SELECT *, 0.2 * avg(l_quantity) OVER (PARTITION BY l_partkey) AS qty_cut
+  FROM pruned)
+SELECT sum(l_extendedprice) / 7.0 AS avg_yearly
+FROM wc WHERE l_quantity < qty_cut
+"""
+
+
+# --- anti-join + scalar-subquery filter (TPC-H Q22 shape) ---
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NOT-EXISTS benchmark: above-average-balance customers with
+    no order since 1999 (classic Q22's 'no orders ever' is empty on
+    this testdata — every customer has orders — so the recency
+    predicate keeps the anti-join non-trivial while the shape is
+    unchanged). The global average is a 1-row aggregate broadcast
+    into the plan (a bounded-by-construction nested-loop broadcast,
+    NOT a driver collect), the date predicate is pushed into the
+    orders scan BEFORE the anti-join builds its hash table, and the
+    anti join itself is the null-safe NOT IN replacement that scales:
+    one shuffle (or broadcast, if the filtered orders fit) instead of
+    a per-row subquery."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    recent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01")
+    ).select("o_custkey")
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum("c_acctbal").alias("totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+Q22_SQL = """
+SELECT c_mktsegment, count(*) AS numcust, sum(c_acctbal) AS totacctbal
+FROM customer c
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '1999-01-01')
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
 BINDINGS = [
     ("scan_topn", scan_topn, SCAN_TOPN_SQL),
     ("q10_returned_revenue", q10_returned_revenue, Q10_SQL),
@@ -461,4 +629,15 @@ BINDINGS = [
     ("ohlc_15m", ohlc_15m, OHLC_15M_SQL),
     ("top1_min_value", top1_min_value, TOP1_MIN_VALUE_SQL),
     ("q1_pricing_summary", q1_pricing_summary, Q1_SQL),
+]
+
+# Round-5 join-shape additions, registered AFTER every module's
+# BINDINGS so the driver's stable first-50 window is untouched; the
+# CI past-window oracle compare value-checks them like any tail
+# binding (tests/test_demoted_bindings_oracle.py).
+LATE_BINDINGS = [
+    ("q4_order_priority", q4_order_priority, Q4_SQL),
+    ("q13_customer_distribution", q13_customer_distribution, Q13_SQL),
+    ("q17_small_quantity_revenue", q17_small_quantity_revenue, Q17_SQL),
+    ("q22_dormant_customers", q22_dormant_customers, Q22_SQL),
 ]

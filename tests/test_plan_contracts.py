@@ -46,7 +46,8 @@ ALLOWED_PYTHON = REQUIRED_PYTHON | {"dup_clusters"}
 #   scans the (small, broadcast) query set; the scale paths
 #   (ivf_topk, embedding_near_dup, minhash_lsh_pairs) must NOT NLJ
 #   since round 3's banded-LSH equi-join rewrite
-ALLOWED_NLJ = {"tfidf_top_terms", "cosine_topk"}
+# - q22_dormant_customers: 1-row global-average scalar broadcast
+ALLOWED_NLJ = {"tfidf_top_terms", "cosine_topk", "q22_dormant_customers"}
 
 
 def _plan(fn, spark) -> str:
