@@ -116,6 +116,8 @@ NEW_IN_R5 = [
     "q13_customer_distribution",
     "q17_small_quantity_revenue",
     "q22_dormant_customers",
+    "split_assign",
+    "interdoc_repetition",
 ]
 NEW_IN_R4 = WRITE_BENCHES + [
     "mixture_sample",

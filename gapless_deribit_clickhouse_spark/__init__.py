@@ -110,6 +110,8 @@ def __getattr__(name: str):
         "sample_n_per_group": "pipelines.sampling",
         "hash_sample": "pipelines.sampling",
         "stratified_hash_sample": "pipelines.sampling",
+        "split_assign": "pipelines.sampling",
+        "interdoc_repetition": "pipelines.text_dedup",
         "connected_components": "operators.connected_components",
         "dedup_clusters": "operators.connected_components",
         "compact_table": "operators.dedup",
@@ -240,7 +242,8 @@ __all__ = [
     "quality_score", "lang_id", "token_count", "bpe_ish_token_count",
     "fingerprint", "token_topk", "tfidf_top_terms", "curate_corpus",
     "contamination_check", "repetition_stats", "corpus_profile", "sample_n_per_group",
-    "hash_sample", "stratified_hash_sample",
+    "hash_sample", "stratified_hash_sample", "split_assign",
+    "interdoc_repetition",
     "connected_components", "dedup_clusters", "compact_table", "interval_join",
     "sessionize", "session_stats", "streaming_sessionize",
     "salted_agg",

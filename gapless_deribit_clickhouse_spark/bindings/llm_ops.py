@@ -1113,3 +1113,68 @@ BINDINGS = [
     # the one-call near-dedup filter, oracle-checked standalone
     ("near_dedup_docs", near_dedup_docs_q, NEAR_DEDUP_DOCS_SQL),
 ]
+
+
+# --- leakage-safe deterministic split assignment ---
+def split_assign_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """90/5/5 train/val/test labels keyed on doc_id: a salted
+    md5-bucket when-chain — pure map, no shuffle, hash-stable
+    membership the DuckDB oracle reproduces bit-for-bit."""
+    from gapless_deribit_clickhouse_spark.pipelines.sampling import split_assign
+
+    return split_assign(_docs(spark, sf_dir), "doc_id").select(
+        "doc_id", "lang", "split"
+    )
+
+
+# mirrors sampling.hash_bucket with salt='split': first 8 md5 hex
+# chars of ('split' || key) mod 10000, then the exact cumulative
+# integer thresholds 9000/9500 from weights 0.9/0.05/0.05
+SPLIT_ASSIGN_SQL = """
+WITH b AS (
+  SELECT doc_id, lang,
+         list_reduce(list_transform(range(1, 9), i ->
+           CAST(strpos('0123456789abcdef', substr(md5('split' || CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)),
+           (acc, d) -> acc * 16 + d) % 10000 AS bucket
+  FROM documents)
+SELECT doc_id, lang,
+       CASE WHEN bucket < 9000 THEN 'train'
+            WHEN bucket < 9500 THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+"""
+
+
+# --- inter-document repetition (duplicated n-gram fraction) ---
+def interdoc_repetition_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc fraction of distinct 3-gram shingles shared with >= 5
+    documents — the RefinedWeb-style boilerplate/template signal,
+    complementing repetition_stats' intra-document measure."""
+    from gapless_deribit_clickhouse_spark.pipelines.text_dedup import (
+        interdoc_repetition,
+    )
+
+    return interdoc_repetition(_docs(spark, sf_dir), min_docs=5)
+
+
+INTERDOC_REPETITION_SQL = f"""
+WITH toks AS ({_TOKS}),
+grams AS ({_GRAMS3}),
+freq AS (SELECT shingle, count(*) AS df_count FROM grams GROUP BY shingle)
+SELECT g.doc_id,
+       count(*) AS n_shingles,
+       CAST(sum(CASE WHEN f.df_count >= 5 THEN 1 ELSE 0 END) AS BIGINT)
+           AS shared_shingles,
+       CAST(sum(CASE WHEN f.df_count >= 5 THEN 1 ELSE 0 END) AS DOUBLE)
+           / count(*) AS shared_fraction
+FROM grams g JOIN freq f USING (shingle)
+GROUP BY g.doc_id
+"""
+
+
+# Round-5 curation additions, registered past the driver's stable
+# first-50 window (same CI value-check path as every tail binding)
+LATE_BINDINGS = [
+    ("split_assign", split_assign_q, SPLIT_ASSIGN_SQL),
+    ("interdoc_repetition", interdoc_repetition_q, INTERDOC_REPETITION_SQL),
+]

@@ -160,6 +160,47 @@ def mixture_sample(
     return df.filter(hash_bucket(F.col(key_col), salt) < threshold_col)
 
 
+def split_assign(
+    df: DataFrame,
+    key_col: str,
+    weights: list[tuple[str, float]] | None = None,
+    salt: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Leakage-safe deterministic train/val/test assignment: one
+    ``split`` label per row from a salted md5 bucket of ``key_col``.
+
+    Keying on the right column IS the leakage guard — key on doc_id
+    and near-duplicate pages of the same document can straddle train
+    and test; key on a group id (url/domain/cluster) and the whole
+    group lands in one split. Membership is stable across runs,
+    partitionings, and engines (no ``randomSplit``, whose assignment
+    changes with partitioning), disjoint salts give independent
+    re-splits, and the label is a pure map over the scan — no shuffle,
+    evaluable at 100 TB inside the first stage of any plan.
+
+    ``weights`` are (name, weight) pairs in priority order; they are
+    normalized, converted to EXACT cumulative integer thresholds over
+    ``BUCKETS`` (the same bigint math the DuckDB oracle mirrors), and
+    applied as one ``when``-chain on a single bucket evaluation."""
+    weights = weights or [("train", 0.9), ("val", 0.05), ("test", 0.05)]
+    if len(weights) < 2:
+        raise ValueError("split_assign needs at least two splits")
+    total = sum(w for _, w in weights)
+    if total <= 0 or any(w < 0 for _, w in weights):
+        raise ValueError("split weights must be non-negative with a positive sum")
+    b = hash_bucket(F.col(key_col), salt)
+    cum = 0.0
+    expr = None
+    for name, w in weights[:-1]:
+        cum += w
+        threshold = int(round(cum / total * BUCKETS))
+        cond = b < F.lit(threshold)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    expr = expr.otherwise(F.lit(weights[-1][0]))
+    return df.withColumn(out_col, expr)
+
+
 def stratified_hash_sample(
     df: DataFrame,
     key_col: str,

@@ -147,6 +147,63 @@ def ngram_jaccard_pairs(
     return out.select("id_a", "id_b", "jaccard")
 
 
+def interdoc_repetition(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_docs: int = 5,
+) -> DataFrame:
+    """Per-document inter-document repetition score: the fraction of a
+    document's distinct word n-grams that also appear in at least
+    ``min_docs`` documents (RefinedWeb/C4-style duplicated-n-gram
+    fraction — the doc-level boilerplate signal that catches template
+    pages and mirror spam, complementing ``repetition_stats``' INTRA-
+    document measure). Output: (doc_id, n_shingles, shared_shingles,
+    shared_fraction).
+
+    Scale shape: shingle once, explode 64-bit shingle hashes (not
+    strings — ~4x less shuffle), annotate each (doc, shingle) row with
+    its shingle's document frequency via ``count() OVER (PARTITION BY
+    shingle)``, and reduce per document with a conditional sum. The
+    window REPLACES the naive aggregate-then-join-back plan (which
+    scans and shingles the corpus twice — self-consuming subtrees
+    diverge under column pruning, so exchange reuse cannot rescue it):
+    exactly ONE corpus scan and two shuffles (shingle, then doc_id).
+    A stop-shingle shared by millions of documents is one big — but
+    disk-backed — window partition, never a per-shingle collect_list
+    (the hot-key case a gather-based formulation OOMs on). Linear in
+    corpus size — unlike pair emission there is no clique blowup, so
+    no frequency cap is needed; output is exactly one row per
+    document."""
+    from pyspark.sql import Window
+
+    arr = ensure_parallelism(df).select(
+        F.col(id_col).alias("doc_id"), shingles(F.col(text_col), n).alias("__arr")
+    )
+    sh = arr.select(
+        "doc_id",
+        F.explode(F.transform("__arr", lambda s: F.xxhash64(s))).alias("sh"),
+    )
+    # shingles are distinct per doc, so the partition row count IS the
+    # document frequency
+    df_count = F.count(F.lit(1)).over(Window.partitionBy("sh"))
+    shared = F.sum(
+        F.when(F.col("df_count") >= min_docs, F.lit(1)).otherwise(F.lit(0))
+    )
+    return (
+        sh.withColumn("df_count", df_count)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            shared.alias("shared_shingles"),
+        )
+        .withColumn(
+            "shared_fraction", F.col("shared_shingles") / F.col("n_shingles")
+        )
+    )
+
+
 def _md5_hash64(col: Column, seed: int) -> Column:
     """Deterministic 60-bit hash: first 15 hex chars of md5(seed||x)
     parsed base-16. Reproducible everywhere (DuckDB oracle re-derives

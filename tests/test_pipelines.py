@@ -1064,3 +1064,61 @@ def test_near_dedup_corpus_one_call_filter(spark, docs):
     )
     again = near_dedup_corpus(clean_df, threshold=0.8).toPandas()
     assert set(again.doc_id) == ids
+
+
+def test_split_assign_total_stable_and_leakage_safe(docs):
+    from gapless_deribit_clickhouse_spark.pipelines.sampling import split_assign
+
+    out = split_assign(docs, "doc_id").select("doc_id", "source", "split").toPandas()
+    n = docs.count()
+    assert len(out) == n  # a total labeling: no row dropped or duplicated
+    assert set(out.split) <= {"train", "val", "test"}
+    shares = out.split.value_counts(normalize=True)
+    assert 0.85 < shares.get("train", 0.0) < 0.95
+    # stable across runs
+    again = split_assign(docs, "doc_id").select("doc_id", "split").toPandas()
+    merged = out.merge(again, on="doc_id", suffixes=("", "_again"))
+    assert (merged.split == merged.split_again).all()
+    # a different salt gives a genuinely different assignment
+    resalted = split_assign(docs, "doc_id", salt="resplit-v2").select(
+        "doc_id", "split"
+    ).toPandas()
+    m2 = out.merge(resalted, on="doc_id", suffixes=("", "_v2"))
+    assert (m2.split != m2.split_v2).any()
+    # leakage guard: keying on a GROUP column sends whole groups to one split
+    grouped = split_assign(docs, "source").select("source", "split").toPandas()
+    assert grouped.groupby("source").split.nunique().max() == 1
+    # weight validation
+    with pytest.raises(ValueError):
+        split_assign(docs, "doc_id", weights=[("train", 1.0)])
+    with pytest.raises(ValueError):
+        split_assign(docs, "doc_id", weights=[("a", -0.1), ("b", 1.1)])
+
+
+def test_interdoc_repetition_flags_planted_boilerplate(spark):
+    from gapless_deribit_clickhouse_spark.pipelines.text_dedup import (
+        interdoc_repetition,
+    )
+
+    boiler = "subscribe to our newsletter for updates"
+    rows = [
+        (i, boiler + " " + " ".join(f"tail{i}w{j}" for j in range(6)))
+        for i in range(10)
+    ]
+    # fully unique docs: every token carries the doc index
+    rows += [
+        (100 + i, " ".join(f"solo{100 + i}w{j}" for j in range(9)))
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = interdoc_repetition(df, min_docs=5).toPandas().set_index("doc_id")
+    assert len(out) == 20  # one row per doc, zero-shared docs included
+    boiler_docs = out.loc[range(10)]
+    solo_docs = out.loc[range(100, 110)]
+    # the 4 boilerplate 3-grams appear in 10 >= 5 docs -> shared
+    assert (boiler_docs.shared_shingles == 4).all()
+    assert (solo_docs.shared_shingles == 0).all()
+    assert ((out.shared_fraction >= 0) & (out.shared_fraction <= 1)).all()
+    # raising min_docs past the clique size clears the signal
+    strict = interdoc_repetition(df, min_docs=11).toPandas()
+    assert (strict.shared_shingles == 0).all()
