@@ -105,10 +105,14 @@ WRITE_BENCHES = ["write_bucketed", "write_compact"]
 # queries that did not exist in earlier rounds — listed in the sidecar
 # so a cross-round TOTAL delta decomposes into new coverage vs real
 # regressions (r3 -> r4 adds the write path + 12 new operators; r5
-# adds the flagship's oracle-checked chunk projection — which re-runs
-# the curate->dedup->chunk prefix, so ~training_set-sized — plus the
+# adds: the flagship's oracle-checked chunk projection, which re-runs
+# the curate->dedup->chunk prefix, so ~training_set-sized; the
 # standalone near-dedup filter, which re-runs the exact tier + LSH +
-# connected components over documents and costs a few seconds itself)
+# connected components over documents and costs a few seconds itself;
+# four sub-second TPC-H join shapes (semi/outer/decorrelated-scalar/
+# anti); and two sub-second curation maps, split_assign and
+# interdoc_repetition — every second these nine add to the r4->r5
+# TOTAL is new coverage, not regression)
 NEW_IN_R5 = [
     "training_set_chunks",
     "near_dedup_docs",

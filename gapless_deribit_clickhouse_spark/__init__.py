@@ -111,6 +111,7 @@ def __getattr__(name: str):
         "hash_sample": "pipelines.sampling",
         "stratified_hash_sample": "pipelines.sampling",
         "split_assign": "pipelines.sampling",
+        "split_thresholds": "pipelines.sampling",
         "interdoc_repetition": "pipelines.text_dedup",
         "connected_components": "operators.connected_components",
         "dedup_clusters": "operators.connected_components",
@@ -243,7 +244,7 @@ __all__ = [
     "fingerprint", "token_topk", "tfidf_top_terms", "curate_corpus",
     "contamination_check", "repetition_stats", "corpus_profile", "sample_n_per_group",
     "hash_sample", "stratified_hash_sample", "split_assign",
-    "interdoc_repetition",
+    "split_thresholds", "interdoc_repetition",
     "connected_components", "dedup_clusters", "compact_table", "interval_join",
     "sessionize", "session_stats", "streaming_sessionize",
     "salted_agg",

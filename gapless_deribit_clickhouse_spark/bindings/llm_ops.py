@@ -45,6 +45,22 @@ _GRAMS3 = (
 )
 
 
+def _md5_bucket_sql(key_expr: str, salt: str = "", buckets: int = 10_000) -> str:
+    """DuckDB mirror of ``sampling.hash_bucket``: first 8 md5 hex
+    chars of (salt || key) parsed base-16 (Horner over the hex
+    digits), mod ``buckets``. The ONE generator for every oracle that
+    buckets on md5 (hash_sample / mixture_sample / split_assign) —
+    change ``hash_u32`` and update this mirror, nowhere else."""
+    key = f"CAST({key_expr} AS VARCHAR)"
+    if salt:
+        key = f"'{salt}' || {key}"
+    return (
+        "list_reduce(list_transform(range(1, 9), i ->\n"
+        f"           CAST(strpos('0123456789abcdef', substr(md5({key}), i, 1)) - 1 AS BIGINT)),\n"
+        f"           (acc, d) -> acc * 16 + d) % {buckets}"
+    )
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents")
 
@@ -425,7 +441,7 @@ def mixture_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Same exact-integer threshold derivation as pipelines/sampling.py
 # mixture_thresholds (Python bigints there, HUGEINT here): N = largest
 # total with no domain oversampled, threshold_d = floor(p*N*B/(P*c)).
-MIXTURE_SAMPLE_SQL = """
+MIXTURE_SAMPLE_SQL = f"""
 WITH parts(domain, p) AS (
   VALUES ('en', 4), ('zh', 2), ('es', 2), ('de', 1), ('fr', 1)),
 tot AS (SELECT SUM(p) AS tp FROM parts),
@@ -440,9 +456,7 @@ th AS (SELECT domain,
        FROM j),
 b AS (
   SELECT doc_id, lang, source,
-         list_reduce(list_transform(range(1, 9), i ->
-           CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)),
-           (acc, d) -> acc * 16 + d) % 10000 AS bucket
+         {_md5_bucket_sql("doc_id")} AS bucket
   FROM documents)
 SELECT b.doc_id, b.lang, b.source
 FROM b JOIN th ON b.lang = th.domain
@@ -469,12 +483,10 @@ WHERE rn <= 20
 """
 
 
-HASH_SAMPLE_SQL = """
+HASH_SAMPLE_SQL = f"""
 WITH b AS (
   SELECT doc_id, lang, source,
-         list_reduce(list_transform(range(1, 9), i ->
-           CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)),
-           (acc, d) -> acc * 16 + d) % 10000 AS bucket
+         {_md5_bucket_sql("doc_id")} AS bucket
   FROM documents)
 SELECT doc_id, lang, source FROM b
 WHERE bucket < (CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2500 ELSE 1000 END)
@@ -1116,33 +1128,44 @@ BINDINGS = [
 
 
 # --- leakage-safe deterministic split assignment ---
+_SPLIT_WEIGHTS = [("train", 0.9), ("val", 0.05), ("test", 0.05)]
+
+
 def split_assign_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """90/5/5 train/val/test labels keyed on doc_id: a salted
     md5-bucket when-chain — pure map, no shuffle, hash-stable
-    membership the DuckDB oracle reproduces bit-for-bit."""
+    membership the DuckDB oracle reproduces bit-for-bit (both sides
+    derive thresholds from the SAME ``split_thresholds`` call and the
+    same md5 bucket mirror, so they cannot desync)."""
     from gapless_deribit_clickhouse_spark.pipelines.sampling import split_assign
 
-    return split_assign(_docs(spark, sf_dir), "doc_id").select(
+    return split_assign(_docs(spark, sf_dir), "doc_id", weights=_SPLIT_WEIGHTS).select(
         "doc_id", "lang", "split"
     )
 
 
-# mirrors sampling.hash_bucket with salt='split': first 8 md5 hex
-# chars of ('split' || key) mod 10000, then the exact cumulative
-# integer thresholds 9000/9500 from weights 0.9/0.05/0.05
-SPLIT_ASSIGN_SQL = """
+def _split_assign_sql() -> str:
+    from gapless_deribit_clickhouse_spark.pipelines.sampling import (
+        split_thresholds,
+    )
+
+    cases = "\n            ".join(
+        f"WHEN bucket < {t} THEN '{name}'"
+        for name, t in split_thresholds(_SPLIT_WEIGHTS)
+    )
+    return f"""
 WITH b AS (
   SELECT doc_id, lang,
-         list_reduce(list_transform(range(1, 9), i ->
-           CAST(strpos('0123456789abcdef', substr(md5('split' || CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)),
-           (acc, d) -> acc * 16 + d) % 10000 AS bucket
+         {_md5_bucket_sql("doc_id", salt="split")} AS bucket
   FROM documents)
 SELECT doc_id, lang,
-       CASE WHEN bucket < 9000 THEN 'train'
-            WHEN bucket < 9500 THEN 'val'
-            ELSE 'test' END AS split
+       CASE {cases}
+            ELSE '{_SPLIT_WEIGHTS[-1][0]}' END AS split
 FROM b
 """
+
+
+SPLIT_ASSIGN_SQL = _split_assign_sql()
 
 
 # --- inter-document repetition (duplicated n-gram fraction) ---

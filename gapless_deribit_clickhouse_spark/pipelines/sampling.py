@@ -160,6 +160,51 @@ def mixture_sample(
     return df.filter(hash_bucket(F.col(key_col), salt) < threshold_col)
 
 
+def split_thresholds(
+    weights: list[tuple[str, float]],
+    buckets: int = BUCKETS,
+) -> list[tuple[str, int]]:
+    """Cumulative integer bucket thresholds for ``split_assign``, in
+    EXACT arithmetic: each weight is converted to an exact rational
+    via its decimal string (``Fraction(str(w))`` — so 0.9 means the
+    decimal 0.9, not the nearest float), normalized, and floored onto
+    ``buckets``. The last split takes everything past the previous
+    threshold (no entry). One shared derivation for the engine
+    when-chain AND any generated oracle SQL — float rounding never
+    decides a membership boundary. Raises if a positive-weight split
+    would get an empty bucket range (silent-empty splits are a foot-
+    gun, not a degenerate success)."""
+    from fractions import Fraction
+    from math import floor
+
+    if len(weights) < 2:
+        raise ValueError("split_assign needs at least two splits")
+    fracs = [(name, Fraction(str(w))) for name, w in weights]
+    total = sum(f for _, f in fracs)
+    if total <= 0 or any(f < 0 for _, f in fracs):
+        raise ValueError("split weights must be non-negative with a positive sum")
+    out: list[tuple[str, int]] = []
+    cum = Fraction(0)
+    prev = 0
+    for name, f in fracs[:-1]:
+        cum += f
+        t = floor(cum / total * buckets)
+        if f > 0 and t <= prev:
+            raise ValueError(
+                f"split {name!r}: weight {f} yields an empty bucket range "
+                f"at {buckets} buckets"
+            )
+        out.append((name, t))
+        prev = t
+    last_name, last_f = fracs[-1]
+    if last_f > 0 and prev >= buckets:
+        raise ValueError(
+            f"split {last_name!r}: weight {last_f} yields an empty bucket range "
+            f"at {buckets} buckets"
+        )
+    return out
+
+
 def split_assign(
     df: DataFrame,
     key_col: str,
@@ -180,21 +225,14 @@ def split_assign(
     evaluable at 100 TB inside the first stage of any plan.
 
     ``weights`` are (name, weight) pairs in priority order; they are
-    normalized, converted to EXACT cumulative integer thresholds over
-    ``BUCKETS`` (the same bigint math the DuckDB oracle mirrors), and
+    normalized and converted to EXACT cumulative integer thresholds
+    over ``BUCKETS`` by ``split_thresholds`` (rational arithmetic —
+    the one derivation any generated oracle SQL must also call), then
     applied as one ``when``-chain on a single bucket evaluation."""
     weights = weights or [("train", 0.9), ("val", 0.05), ("test", 0.05)]
-    if len(weights) < 2:
-        raise ValueError("split_assign needs at least two splits")
-    total = sum(w for _, w in weights)
-    if total <= 0 or any(w < 0 for _, w in weights):
-        raise ValueError("split weights must be non-negative with a positive sum")
     b = hash_bucket(F.col(key_col), salt)
-    cum = 0.0
     expr = None
-    for name, w in weights[:-1]:
-        cum += w
-        threshold = int(round(cum / total * BUCKETS))
+    for name, threshold in split_thresholds(weights):
         cond = b < F.lit(threshold)
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
     expr = expr.otherwise(F.lit(weights[-1][0]))

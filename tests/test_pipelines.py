@@ -1122,3 +1122,30 @@ def test_interdoc_repetition_flags_planted_boilerplate(spark):
     # raising min_docs past the clique size clears the signal
     strict = interdoc_repetition(df, min_docs=11).toPandas()
     assert (strict.shared_shingles == 0).all()
+
+
+def test_split_thresholds_exact_integer_math():
+    from gapless_deribit_clickhouse_spark.pipelines.sampling import (
+        split_thresholds,
+    )
+
+    # defaults: decimal-exact 9000/9500, no float rounding involved
+    assert split_thresholds([("train", 0.9), ("val", 0.05), ("test", 0.05)]) == [
+        ("train", 9000),
+        ("val", 9500),
+    ]
+    # thirds floor to 3333/6666 (NOT banker's-rounded 3333/6667) —
+    # any oracle following the documented exact-integer recipe agrees
+    assert split_thresholds([("a", 1), ("b", 1), ("c", 1)]) == [
+        ("a", 3333),
+        ("b", 6666),
+    ]
+    # a positive weight that floors to an empty bucket range raises
+    # instead of yielding a silently-empty split
+    with pytest.raises(ValueError):
+        split_thresholds([("a", 0.00001), ("b", 1.9999)])
+    # an explicitly ZERO weight is an intentional empty split: allowed
+    assert split_thresholds([("a", 0.0), ("b", 1.0), ("c", 1.0)]) == [
+        ("a", 0),
+        ("b", 5000),
+    ]

@@ -69,6 +69,8 @@ PROBES = [
     "cosine_topk",
     "semantic_dedup",
     "near_dedup_docs",
+    "split_assign",
+    "interdoc_repetition",
 ]
 
 # analytics-tier probes (VERDICT r4 #3): the union-window as-of join,
