@@ -536,7 +536,11 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     l_partkey) on the pruned set — ONE shuffle on partkey, no second
     scan of lineitem and no agg-then-join-back (whose per-part agg
     output is SF-proportional for a fixed brand, so broadcasting it
-    back would not survive scale-up). Per-part lineitem counts are
+    back would not survive scale-up). The part side carries NO
+    broadcast hint for the same reason Q5's supplier doesn't: a
+    one-brand slice of part is still SF-proportional, so the
+    cost-based planner must choose (it broadcasts at test scale,
+    shuffles at 100 TB — both correct). Per-part lineitem counts are
     ~constant in TPC-H regardless of SF, so the window partitions are
     bounded and skew-free."""
     from pyspark.sql import Window
@@ -547,7 +551,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_quantity", "l_extendedprice"
     )
-    pruned = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    pruned = li.join(p, F.col("l_partkey") == F.col("p_partkey"))
     w = Window.partitionBy("l_partkey")
     return (
         pruned.withColumn("qty_cut", 0.2 * F.avg("l_quantity").over(w))
