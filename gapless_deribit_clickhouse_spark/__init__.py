@@ -112,6 +112,8 @@ def __getattr__(name: str):
         "stratified_hash_sample": "pipelines.sampling",
         "split_assign": "pipelines.sampling",
         "split_thresholds": "pipelines.sampling",
+        "read_jsonl_corpus": "sources.corpus_reader",
+        "write_jsonl_shards": "sources.corpus_reader",
         "interdoc_repetition": "pipelines.text_dedup",
         "connected_components": "operators.connected_components",
         "dedup_clusters": "operators.connected_components",
@@ -245,6 +247,7 @@ __all__ = [
     "contamination_check", "repetition_stats", "corpus_profile", "sample_n_per_group",
     "hash_sample", "stratified_hash_sample", "split_assign",
     "split_thresholds", "interdoc_repetition",
+    "read_jsonl_corpus", "write_jsonl_shards",
     "connected_components", "dedup_clusters", "compact_table", "interval_join",
     "sessionize", "session_stats", "streaming_sessionize",
     "salted_agg",
