@@ -122,6 +122,7 @@ NEW_IN_R5 = [
     "q22_dormant_customers",
     "split_assign",
     "interdoc_repetition",
+    "incremental_dedup",
 ]
 NEW_IN_R4 = WRITE_BENCHES + [
     "mixture_sample",

@@ -115,6 +115,7 @@ def __getattr__(name: str):
         "read_jsonl_corpus": "sources.corpus_reader",
         "write_jsonl_shards": "sources.corpus_reader",
         "interdoc_repetition": "pipelines.text_dedup",
+        "incremental_dedup": "pipelines.text_dedup",
         "connected_components": "operators.connected_components",
         "dedup_clusters": "operators.connected_components",
         "compact_table": "operators.dedup",
@@ -246,7 +247,7 @@ __all__ = [
     "fingerprint", "token_topk", "tfidf_top_terms", "curate_corpus",
     "contamination_check", "repetition_stats", "corpus_profile", "sample_n_per_group",
     "hash_sample", "stratified_hash_sample", "split_assign",
-    "split_thresholds", "interdoc_repetition",
+    "split_thresholds", "interdoc_repetition", "incremental_dedup",
     "read_jsonl_corpus", "write_jsonl_shards",
     "connected_components", "dedup_clusters", "compact_table", "interval_join",
     "sessionize", "session_stats", "streaming_sessionize",

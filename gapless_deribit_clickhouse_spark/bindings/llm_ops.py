@@ -1195,9 +1195,114 @@ GROUP BY g.doc_id
 """
 
 
+# --- incremental dedup: new batch vs existing corpus ---
+def incremental_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The steady-state dedup shape: documents with doc_id % 5 >= 3
+    arrive as the NEW batch and are deduped within-batch AND against
+    the % 5 < 3 'existing corpus' — exact digest anti-join plus
+    banded-LSH candidates with exact-Jaccard verification, never a
+    corpus-corpus pair."""
+    from gapless_deribit_clickhouse_spark.pipelines.text_dedup import (
+        incremental_dedup,
+    )
+
+    docs = _docs(spark, sf_dir)
+    batch = docs.filter(F.col("doc_id") % 5 >= 3)
+    corpus = docs.filter(F.col("doc_id") % 5 < 3)
+    return incremental_dedup(batch, corpus, threshold=_DEDUP_THRESHOLD).select(
+        "doc_id", "lang", "source"
+    )
+
+
+def _incremental_dedup_sql(thr: float) -> str:
+    """Oracle for ``incremental_dedup_q``: the within-batch tier is
+    the SAME composed chain as near_dedup_docs (``_lsh_cc_kept_ctes``
+    over the batch's exact-dedup winners), then an exact digest
+    anti-join against the corpus, then cross-batch banded-minhash
+    candidates (same auto-sized params, same affine family) verified
+    with exact shingle Jaccard."""
+    from gapless_deribit_clickhouse_spark.pipelines.text_dedup import (
+        MINHASH_PRIME as _P,
+        minhash_affine_params,
+        minhash_params,
+    )
+
+    num_hashes, bands = minhash_params(thr)
+    r = num_hashes // bands
+    base = (
+        "list_reduce(list_transform(range(1, 16), i -> "
+        "CAST(strpos('0123456789abcdef', substr(md5('0:' || shingle), i, 1)) - 1 AS BIGINT)), "
+        f"(acc, d) -> (acc * 16 + d) % {_P})"
+    )
+    mins = ",\n         ".join(
+        f"min((h * CAST({a} AS BIGINT) + {b}) % {_P}) AS h{i}"
+        for i, (a, b) in enumerate(minhash_affine_params(num_hashes))
+    )
+    band_eq = " OR ".join(
+        "("
+        + " AND ".join(f"a.h{b * r + i} = b.h{b * r + i}" for i in range(r))
+        + ")"
+        for b in range(bands)
+    )
+    norm_c = _NORM.replace("(text)", "(c.text)")
+    return f"""
+WITH RECURSIVE corp AS (
+  SELECT doc_id FROM documents WHERE doc_id % 5 < 3),
+winners AS (
+  SELECT min(d.doc_id) AS doc_id
+  FROM documents d WHERE d.doc_id % 5 >= 3
+  GROUP BY md5({_NORM})),
+{_lsh_cc_kept_ctes("winners", thr)},
+kept2 AS (
+  SELECT k.doc_id
+  FROM kept k JOIN documents d USING (doc_id)
+  WHERE md5({_NORM}) NOT IN (
+    SELECT md5({norm_c}) FROM documents c JOIN corp USING (doc_id))),
+univ AS (SELECT doc_id FROM kept2 UNION ALL SELECT doc_id FROM corp),
+stoksx AS (
+  SELECT d.doc_id, string_split({_NORM}, ' ') AS t
+  FROM documents d JOIN univ USING (doc_id)),
+sgramsx AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(t) >= 3 THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+    ELSE [array_to_string(t, ' ')] END)) AS shingle FROM stoksx),
+hgx AS (SELECT doc_id, {base} AS h FROM sgramsx),
+sigx AS (
+  SELECT doc_id,
+         {mins}
+  FROM hgx GROUP BY doc_id),
+candx AS (
+  SELECT a.doc_id AS new_id, b.doc_id AS corp_id
+  FROM sigx a JOIN sigx b
+    ON a.doc_id IN (SELECT doc_id FROM kept2)
+   AND b.doc_id IN (SELECT doc_id FROM corp)
+   AND ({band_eq})),
+sszx AS (SELECT doc_id, count(*) AS c FROM sgramsx GROUP BY doc_id),
+jacx AS (
+  SELECT c.new_id, c.corp_id, count(*) AS inter
+  FROM candx c
+  JOIN sgramsx ga ON ga.doc_id = c.new_id
+  JOIN sgramsx gb ON gb.doc_id = c.corp_id AND gb.shingle = ga.shingle
+  GROUP BY 1, 2),
+crosslosers AS (
+  SELECT DISTINCT new_id AS doc_id
+  FROM jacx
+  JOIN sszx sa ON sa.doc_id = new_id
+  JOIN sszx sb ON sb.doc_id = corp_id
+  WHERE inter / (sa.c + sb.c - inter) >= {thr})
+SELECT d.doc_id, d.lang, d.source
+FROM documents d JOIN kept2 USING (doc_id)
+WHERE d.doc_id NOT IN (SELECT doc_id FROM crosslosers)
+"""
+
+
+INCREMENTAL_DEDUP_SQL = _incremental_dedup_sql(_DEDUP_THRESHOLD)
+
+
 # Round-5 curation additions, registered past the driver's stable
 # first-50 window (same CI value-check path as every tail binding)
 LATE_BINDINGS = [
     ("split_assign", split_assign_q, SPLIT_ASSIGN_SQL),
     ("interdoc_repetition", interdoc_repetition_q, INTERDOC_REPETITION_SQL),
+    ("incremental_dedup", incremental_dedup_q, INCREMENTAL_DEDUP_SQL),
 ]

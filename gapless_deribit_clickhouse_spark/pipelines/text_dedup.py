@@ -307,6 +307,22 @@ def minhash_params(
     return (r * b, b)
 
 
+def _banded(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(id, band, band_hash) rows from a signature table: each band's
+    sub-signature md5-hashed to one join key — the LSH bucket key both
+    the all-pairs and the incremental operators shuffle on."""
+    r = num_hashes // bands
+    band_sql = ", ".join(
+        "md5(concat_ws(',', "
+        + ", ".join(f"signature[{b * r + i}]" for i in range(r))
+        + "))"
+        for b in range(bands)
+    )
+    return sig.select(
+        "id", F.posexplode(F.expr(f"array({band_sql})")).alias("band", "band_hash")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -332,17 +348,8 @@ def minhash_lsh_pairs(
         auto_hashes, auto_bands = minhash_params(threshold)
         num_hashes = auto_hashes if num_hashes is None else num_hashes
         bands = auto_bands if bands is None else bands
-    r = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, n, num_hashes, base_hash)
-    band_sql = ", ".join(
-        "md5(concat_ws(',', "
-        + ", ".join(f"signature[{b * r + i}]" for i in range(r))
-        + "))"
-        for b in range(bands)
-    )
-    banded = sig.select(
-        "id", F.posexplode(F.expr(f"array({band_sql})")).alias("band", "band_hash")
-    )
+    banded = _banded(sig, num_hashes, bands)
     cand = (
         banded.alias("x")
         .join(banded.alias("y"), on=["band", "band_hash"])
@@ -519,3 +526,96 @@ def near_dedup_corpus(
         F.col("node").alias(id_col)
     )
     return survivors.join(losers, id_col, "left_anti")
+
+
+def incremental_dedup(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    num_hashes: int | None = None,
+    bands: int | None = None,
+    base_hash: str = "md5",
+) -> DataFrame:
+    """Dedup a NEW batch against itself AND an existing corpus,
+    without re-clustering the corpus — the steady-state shape of a
+    100 TB pipeline, where crawls arrive in batches and the
+    already-deduped corpus must never be re-paired against itself.
+
+    Returns the kept rows of ``new_df`` (all original columns): docs
+    that survive (1) within-batch exact + near dedup
+    (``near_dedup_corpus`` — min-id canonical per cluster), (2) an
+    exact anti-join against the corpus's normalized-text digests, and
+    (3) a banded-LSH candidate join of batch signatures against
+    corpus signatures with exact-Jaccard verification — a new doc
+    with jaccard >= threshold against ANY corpus doc is dropped.
+
+    Corpus-side cost is a few NARROW passes (text digest; in-row
+    minhash signature + band explosion; shingle arrays for the
+    candidate verification) — no corpus-corpus pairs are ever
+    generated (that work happened when the corpus was built). The
+    digest/band tables are pure functions of the corpus, so a
+    production deployment persists them once and appends per batch;
+    this function recomputes them from ``corpus_df`` because a
+    signature cache is storage layout, not operator semantics.
+    Candidate volume is batch-sized x band-collision rate, so the
+    cross join scales with the BATCH, not the corpus."""
+    if num_hashes is None or bands is None:
+        auto_hashes, auto_bands = minhash_params(threshold)
+        num_hashes = auto_hashes if num_hashes is None else num_hashes
+        bands = auto_bands if bands is None else bands
+
+    # (1) within-batch exact + near dedup; localCheckpoint because the
+    # surviving batch feeds BOTH the signature path and the final anti
+    # join (without the cut, the whole within-batch chain re-executes)
+    batch = near_dedup_corpus(
+        new_df, text_col, id_col, n, threshold, num_hashes, bands
+    ).localCheckpoint(eager=False)
+
+    # (2) exact tier vs corpus: anti-join on the normalized digest
+    digest = F.md5(normalized_text(F.col(text_col)))
+    corpus_hashes = corpus_df.select(digest.alias("__h")).distinct()
+    batch = batch.withColumn("__h", digest).join(
+        corpus_hashes, "__h", "left_anti"
+    ).drop("__h").localCheckpoint(eager=False)
+
+    # (3) near tier vs corpus: band-bucket equi-join between batch and
+    # corpus signatures, then exact-Jaccard verification on the
+    # candidates only
+    sig_new = minhash_signatures(batch, text_col, id_col, n, num_hashes, base_hash)
+    sig_corp = minhash_signatures(
+        corpus_df, text_col, id_col, n, num_hashes, base_hash
+    )
+    cand = (
+        _banded(sig_new, num_hashes, bands)
+        .withColumnRenamed("id", "new_id")
+        .join(
+            _banded(sig_corp, num_hashes, bands).withColumnRenamed("id", "corp_id"),
+            ["band", "band_hash"],
+        )
+        .select("new_id", "corp_id")
+        .distinct()
+    )
+
+    def _sets(df: DataFrame, out_id: str, out_set: str) -> DataFrame:
+        return ensure_parallelism(df).select(
+            F.col(id_col).alias(out_id),
+            F.array_distinct(
+                F.transform(shingles(F.col(text_col), n), lambda s: F.xxhash64(s))
+            ).alias(out_set),
+        )
+
+    joined = cand.join(_sets(batch, "new_id", "set_a"), "new_id").join(
+        _sets(corpus_df, "corp_id", "set_b"), "corp_id"
+    )
+    inter = F.size(F.array_intersect("set_a", "set_b"))
+    union = F.size("set_a") + F.size("set_b") - inter
+    losers = (
+        joined.withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select(F.col("new_id").alias(id_col))
+        .distinct()
+    )
+    return batch.join(losers, id_col, "left_anti")

@@ -1149,3 +1149,34 @@ def test_split_thresholds_exact_integer_math():
         ("a", 0),
         ("b", 5000),
     ]
+
+
+def test_incremental_dedup_against_corpus(spark):
+    from gapless_deribit_clickhouse_spark.pipelines.text_dedup import (
+        incremental_dedup,
+    )
+
+    def sent(i: int) -> str:
+        return " ".join(f"corp{i}tok{j}" for j in range(12))
+
+    corpus = spark.createDataFrame(
+        [(i, sent(i)) for i in range(10)], ["doc_id", "text"]
+    )
+    fresh = [(100 + i, " ".join(f"new{i}tok{j}" for j in range(12))) for i in range(5)]
+    batch_rows = fresh + [
+        (200, sent(3)),                  # exact copy of corpus doc 3
+        (201, sent(4) + " extra"),       # near copy of corpus doc 4
+        (202, fresh[0][1]),              # exact within-batch copy of 100
+        (203, fresh[1][1] + " tail"),    # near within-batch copy of 101
+    ]
+    batch = spark.createDataFrame(batch_rows, ["doc_id", "text"])
+
+    kept = incremental_dedup(batch, corpus, threshold=0.8).toPandas()
+    ids = set(kept.doc_id)
+    assert ids == {100, 101, 102, 103, 104}  # fresh docs survive, min-id wins
+    assert list(kept.columns) == ["doc_id", "text"]
+    # idempotent: re-running the kept batch against the same corpus
+    # drops nothing further
+    kept_df = spark.createDataFrame(kept, "doc_id long, text string")
+    again = incremental_dedup(kept_df, corpus, threshold=0.8).toPandas()
+    assert set(again.doc_id) == ids

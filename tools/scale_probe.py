@@ -71,6 +71,7 @@ PROBES = [
     "near_dedup_docs",
     "split_assign",
     "interdoc_repetition",
+    "incremental_dedup",
 ]
 
 # analytics-tier probes (VERDICT r4 #3): the union-window as-of join,
