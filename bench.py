@@ -110,9 +110,11 @@ WRITE_BENCHES = ["write_bucketed", "write_compact"]
 # standalone near-dedup filter, which re-runs the exact tier + LSH +
 # connected components over documents and costs a few seconds itself;
 # four sub-second TPC-H join shapes (semi/outer/decorrelated-scalar/
-# anti); and two sub-second curation maps, split_assign and
-# interdoc_repetition — every second these nine add to the r4->r5
-# TOTAL is new coverage, not regression)
+# anti); two sub-second curation maps, split_assign and
+# interdoc_repetition; and incremental_dedup, which is multi-second by
+# construction — it re-runs the within-batch exact+LSH+CC chain AND
+# corpus-wide signature/band passes. Every second these ten add to
+# the r4->r5 TOTAL is new coverage, not regression)
 NEW_IN_R5 = [
     "training_set_chunks",
     "near_dedup_docs",

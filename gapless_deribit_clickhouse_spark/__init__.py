@@ -113,7 +113,7 @@ def __getattr__(name: str):
         "split_assign": "pipelines.sampling",
         "split_thresholds": "pipelines.sampling",
         "read_jsonl_corpus": "sources.corpus_reader",
-        "write_jsonl_shards": "sources.corpus_reader",
+        "write_corpus_shards": "sources.corpus_reader",
         "interdoc_repetition": "pipelines.text_dedup",
         "incremental_dedup": "pipelines.text_dedup",
         "connected_components": "operators.connected_components",
@@ -248,7 +248,7 @@ __all__ = [
     "contamination_check", "repetition_stats", "corpus_profile", "sample_n_per_group",
     "hash_sample", "stratified_hash_sample", "split_assign",
     "split_thresholds", "interdoc_repetition", "incremental_dedup",
-    "read_jsonl_corpus", "write_jsonl_shards",
+    "read_jsonl_corpus", "write_corpus_shards",
     "connected_components", "dedup_clusters", "compact_table", "interval_join",
     "sessionize", "session_stats", "streaming_sessionize",
     "salted_agg",

@@ -887,16 +887,14 @@ def training_set_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("chunk_uid", "doc_id", "chunk_idx", "chunk_text", "n_tokens")
 
 
-def _lsh_cc_kept_ctes(survivor_cte: str, thr: float) -> str:
-    """The MinHash-LSH -> exact-Jaccard -> connected-components ->
-    survivors CTE chain, from a (doc_id) relation named
-    ``survivor_cte`` to a ``kept`` relation — shared by the
-    training_set_chunks and near_dedup_docs oracles so the dedup
-    semantics cannot desync. Auto-sizes (num_hashes, bands) from the
-    threshold with the SAME ``minhash_params`` derivation the Spark
-    side uses; components via recursive reachability (the
-    DUP_CLUSTERS_SQL pattern). Must be spliced after a
-    ``WITH RECURSIVE`` head."""
+def _minhash_sql_parts(thr: float) -> tuple[str, str, str]:
+    """The three DuckDB fragments of the banded-minhash derivation —
+    (base shingle hash, per-signature min expressions, band equality
+    over aliases a/b) — auto-sized from the threshold with the SAME
+    ``minhash_params`` call the Spark side uses. ONE generator for
+    every oracle that reproduces the banding (the within-set CC chain
+    and the incremental cross tier): a change to the band layout or
+    base hash lands in both or neither."""
     from gapless_deribit_clickhouse_spark.pipelines.text_dedup import (
         MINHASH_PRIME as _P,
         minhash_affine_params,
@@ -920,6 +918,20 @@ def _lsh_cc_kept_ctes(survivor_cte: str, thr: float) -> str:
         + ")"
         for b in range(bands)
     )
+    return base, mins, band_eq
+
+
+def _lsh_cc_kept_ctes(survivor_cte: str, thr: float) -> str:
+    """The MinHash-LSH -> exact-Jaccard -> connected-components ->
+    survivors CTE chain, from a (doc_id) relation named
+    ``survivor_cte`` to a ``kept`` relation — shared by the
+    training_set_chunks and near_dedup_docs oracles so the dedup
+    semantics cannot desync. Auto-sizes (num_hashes, bands) from the
+    threshold with the SAME ``minhash_params`` derivation the Spark
+    side uses; components via recursive reachability (the
+    DUP_CLUSTERS_SQL pattern). Must be spliced after a
+    ``WITH RECURSIVE`` head."""
+    base, mins, band_eq = _minhash_sql_parts(thr)
     return f"""stoks AS (
   SELECT d.doc_id, string_split({_NORM}, ' ') AS t
   FROM documents d JOIN {survivor_cte} USING (doc_id)),
@@ -1221,29 +1233,7 @@ def _incremental_dedup_sql(thr: float) -> str:
     anti-join against the corpus, then cross-batch banded-minhash
     candidates (same auto-sized params, same affine family) verified
     with exact shingle Jaccard."""
-    from gapless_deribit_clickhouse_spark.pipelines.text_dedup import (
-        MINHASH_PRIME as _P,
-        minhash_affine_params,
-        minhash_params,
-    )
-
-    num_hashes, bands = minhash_params(thr)
-    r = num_hashes // bands
-    base = (
-        "list_reduce(list_transform(range(1, 16), i -> "
-        "CAST(strpos('0123456789abcdef', substr(md5('0:' || shingle), i, 1)) - 1 AS BIGINT)), "
-        f"(acc, d) -> (acc * 16 + d) % {_P})"
-    )
-    mins = ",\n         ".join(
-        f"min((h * CAST({a} AS BIGINT) + {b}) % {_P}) AS h{i}"
-        for i, (a, b) in enumerate(minhash_affine_params(num_hashes))
-    )
-    band_eq = " OR ".join(
-        "("
-        + " AND ".join(f"a.h{b * r + i} = b.h{b * r + i}" for i in range(r))
-        + ")"
-        for b in range(bands)
-    )
+    base, mins, band_eq = _minhash_sql_parts(thr)
     norm_c = _NORM.replace("(text)", "(c.text)")
     return f"""
 WITH RECURSIVE corp AS (

@@ -307,6 +307,20 @@ def minhash_params(
     return (r * b, b)
 
 
+def _hashed_sets(
+    df: DataFrame, text_col: str, id_col: str, n: int, out_id: str, out_set: str
+) -> DataFrame:
+    """(id, hashed-shingle array) projection — the exact-Jaccard
+    verification input shared by minhash_lsh_pairs and
+    incremental_dedup."""
+    return ensure_parallelism(df).select(
+        F.col(id_col).alias(out_id),
+        F.array_distinct(
+            F.transform(shingles(F.col(text_col), n), lambda s: F.xxhash64(s))
+        ).alias(out_set),
+    )
+
+
 def _banded(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
     """(id, band, band_hash) rows from a signature table: each band's
     sub-signature md5-hashed to one join key — the LSH bucket key both
@@ -362,12 +376,7 @@ def minhash_lsh_pairs(
     # intersect per pair — candidates are few (that's the point of
     # LSH), so two narrow joins + array_intersect beat re-exploding
     # the corpus into two more shuffles.
-    arr = ensure_parallelism(df).select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(
-            F.transform(shingles(F.col(text_col), n), lambda s: F.xxhash64(s))
-        ).alias("sset"),
-    )
+    arr = _hashed_sets(df, text_col, id_col, n, "id", "sset")
     joined = (
         cand.join(arr.withColumnsRenamed({"id": "id_a", "sset": "set_a"}), "id_a")
         .join(arr.withColumnsRenamed({"id": "id_b", "sset": "set_b"}), "id_b")
@@ -479,6 +488,7 @@ def near_dedup_corpus(
     threshold: float = 0.8,
     num_hashes: int | None = None,
     bands: int | None = None,
+    base_hash: str = "md5",
 ) -> DataFrame:
     """The one-call near-dedup filter: exact dedup -> MinHash-LSH
     candidate pairs -> connected components -> keep one canonical doc
@@ -520,6 +530,7 @@ def near_dedup_corpus(
         num_hashes=num_hashes,
         bands=bands,
         threshold=threshold,
+        base_hash=base_hash,
     )
     comp = connected_components(pairs)
     losers = comp.filter(F.col("node") != F.col("component")).select(
@@ -571,15 +582,20 @@ def incremental_dedup(
     # surviving batch feeds BOTH the signature path and the final anti
     # join (without the cut, the whole within-batch chain re-executes)
     batch = near_dedup_corpus(
-        new_df, text_col, id_col, n, threshold, num_hashes, bands
+        new_df, text_col, id_col, n, threshold, num_hashes, bands, base_hash
     ).localCheckpoint(eager=False)
 
     # (2) exact tier vs corpus: anti-join on the normalized digest
+    # (temp column name dodges any real column on the caller's input —
+    # the contract is "all original columns back", including weird ones)
+    h = "__h"
+    while h in batch.columns:
+        h += "_"
     digest = F.md5(normalized_text(F.col(text_col)))
-    corpus_hashes = corpus_df.select(digest.alias("__h")).distinct()
-    batch = batch.withColumn("__h", digest).join(
-        corpus_hashes, "__h", "left_anti"
-    ).drop("__h").localCheckpoint(eager=False)
+    corpus_hashes = corpus_df.select(digest.alias(h)).distinct()
+    batch = batch.withColumn(h, digest).join(
+        corpus_hashes, h, "left_anti"
+    ).drop(h).localCheckpoint(eager=False)
 
     # (3) near tier vs corpus: band-bucket equi-join between batch and
     # corpus signatures, then exact-Jaccard verification on the
@@ -599,16 +615,16 @@ def incremental_dedup(
         .distinct()
     )
 
-    def _sets(df: DataFrame, out_id: str, out_set: str) -> DataFrame:
-        return ensure_parallelism(df).select(
-            F.col(id_col).alias(out_id),
-            F.array_distinct(
-                F.transform(shingles(F.col(text_col), n), lambda s: F.xxhash64(s))
-            ).alias(out_set),
-        )
-
-    joined = cand.join(_sets(batch, "new_id", "set_a"), "new_id").join(
-        _sets(corpus_df, "corp_id", "set_b"), "corp_id"
+    # The signature pass and this verification pass each normalize +
+    # shingle their side once (two narrow passes per side). Deliberate:
+    # emitting the shingle array alongside the signature and carrying
+    # it through the band explosion would multiply the array across
+    # `bands` exploded rows — far more shuffle bytes than a second
+    # narrow scan costs.
+    joined = cand.join(
+        _hashed_sets(batch, text_col, id_col, n, "new_id", "set_a"), "new_id"
+    ).join(
+        _hashed_sets(corpus_df, text_col, id_col, n, "corp_id", "set_b"), "corp_id"
     )
     inter = F.size(F.array_intersect("set_a", "set_b"))
     union = F.size("set_a") + F.size("set_b") - inter

@@ -12,9 +12,13 @@ treatment:
   result into (docs, quarantined): parse failures land in a
   quarantine DataFrame carrying the raw offending line, so bad input
   is auditable instead of vanished.
-- ``write_jsonl_shards`` writes a corpus back out as N JSONL shards
+- ``write_corpus_shards`` writes a corpus back out as N JSONL shards
   (round-robin repartition — shards are size-balanced regardless of
-  upstream partitioning skew).
+  upstream partitioning skew). Distinct from the serving-layer
+  exporter ``sinks.connector.write_jsonl_shards`` (deterministic
+  hash-sharded delivery keyed on an id column): this one optimizes
+  read parallelism of the NEXT pipeline stage, that one byte-stable
+  delivery artifacts.
 
 Scale notes: uncompressed / zstd / bzip2 JSONL splits by line within
 Spark's file partitioning, so the read parallelizes by
@@ -112,7 +116,7 @@ def read_jsonl_corpus(
     return CorpusRead(docs=docs, quarantined=quarantined)
 
 
-def write_jsonl_shards(
+def write_corpus_shards(
     df: DataFrame,
     path: str,
     num_shards: int,

@@ -13,7 +13,7 @@ from pyspark.sql import types as T
 from gapless_deribit_clickhouse_spark.sources.corpus_reader import (
     DOCUMENT_SCHEMA,
     read_jsonl_corpus,
-    write_jsonl_shards,
+    write_corpus_shards,
 )
 
 GOOD = [
@@ -72,7 +72,7 @@ def test_write_shards_balanced_and_roundtrip(spark, tmp_path):
         DOCUMENT_SCHEMA,
     )
     out = str(tmp_path / "shards")
-    write_jsonl_shards(docs, out, num_shards=4)
+    write_corpus_shards(docs, out, num_shards=4)
     parts = [f for f in os.listdir(out) if f.startswith("part-")]
     assert len(parts) == 4
     # round-robin: balanced within one row PER INPUT PARTITION (each
@@ -100,7 +100,7 @@ def test_quarantine_rate_over_testdata_documents(spark, tmp_path):
         "doc_id", "text", "lang", "source"
     )
     out = str(tmp_path / "docs_jsonl")
-    write_jsonl_shards(docs, out, num_shards=2)
+    write_corpus_shards(docs, out, num_shards=2)
     back, quarantined = read_jsonl_corpus(spark, out)
     assert quarantined.count() == 0
     assert back.count() == docs.count()
