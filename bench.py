@@ -125,6 +125,7 @@ NEW_IN_R5 = [
     "split_assign",
     "interdoc_repetition",
     "incremental_dedup",
+    "embedding_project",
 ]
 NEW_IN_R4 = WRITE_BENCHES + [
     "mixture_sample",

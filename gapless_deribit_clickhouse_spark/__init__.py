@@ -116,6 +116,7 @@ def __getattr__(name: str):
         "write_corpus_shards": "sources.corpus_reader",
         "interdoc_repetition": "pipelines.text_dedup",
         "incremental_dedup": "pipelines.text_dedup",
+        "project_embeddings": "pipelines.embeddings",
         "connected_components": "operators.connected_components",
         "dedup_clusters": "operators.connected_components",
         "compact_table": "operators.dedup",
@@ -248,6 +249,7 @@ __all__ = [
     "contamination_check", "repetition_stats", "corpus_profile", "sample_n_per_group",
     "hash_sample", "stratified_hash_sample", "split_assign",
     "split_thresholds", "interdoc_repetition", "incremental_dedup",
+    "project_embeddings",
     "read_jsonl_corpus", "write_corpus_shards",
     "connected_components", "dedup_clusters", "compact_table", "interval_join",
     "sessionize", "session_stats", "streaming_sessionize",

@@ -1291,8 +1291,58 @@ INCREMENTAL_DEDUP_SQL = _incremental_dedup_sql(_DEDUP_THRESHOLD)
 
 # Round-5 curation additions, registered past the driver's stable
 # first-50 window (same CI value-check path as every tail binding)
+# --- JL random-projection dimensionality reduction ---
+_PROJECT_OUT_DIM = 8
+
+
+def embedding_project_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Project the 64-d embeddings to 8 components against the seeded
+    Gaussian matrix and explode to (vec_id, dim_idx, value) rows — a
+    float-scalar layout the rounded value compare handles exactly
+    (array-of-double string formatting differs across engines)."""
+    from gapless_deribit_clickhouse_spark.pipelines.embeddings import (
+        project_embeddings,
+    )
+
+    out = project_embeddings(_emb(spark, sf_dir), out_dim=_PROJECT_OUT_DIM)
+    return out.select(
+        "vec_id", F.posexplode("projected").alias("dim_idx", "value")
+    )
+
+
+def _embedding_project_sql() -> str:
+    """Oracle regenerates the SAME seeded Gaussian matrix (identical
+    ``random_projections`` call) as literal VALUES rows; the dot is
+    list_sum(list_transform(...)) — the evaluation order
+    ``_proj_dot``'s fold mirrors."""
+    from gapless_deribit_clickhouse_spark.pipelines.embeddings import (
+        DEFAULT_LSH_SEED,
+        random_projections,
+    )
+
+    dim = 64  # testdata embeddings are FLOAT[64]
+    proj = random_projections(dim, _PROJECT_OUT_DIM, DEFAULT_LSH_SEED)
+    rows = ",\n  ".join(
+        f"({i}, [{', '.join(repr(float(x)) for x in row)}])"
+        for i, row in enumerate(proj)
+    )
+    return f"""
+WITH proj(dim_idx, w) AS (VALUES
+  {rows})
+SELECT e.vec_id, p.dim_idx,
+       list_sum(list_transform(range(1, {dim + 1}),
+                j -> e.embedding[j] * p.w[j])) AS value
+FROM embeddings e CROSS JOIN proj p
+WHERE e.embedding IS NOT NULL AND len(e.embedding) = {dim}
+"""
+
+
+EMBEDDING_PROJECT_SQL = _embedding_project_sql()
+
+
 LATE_BINDINGS = [
     ("split_assign", split_assign_q, SPLIT_ASSIGN_SQL),
     ("interdoc_repetition", interdoc_repetition_q, INTERDOC_REPETITION_SQL),
     ("incremental_dedup", incremental_dedup_q, INCREMENTAL_DEDUP_SQL),
+    ("embedding_project", embedding_project_q, EMBEDDING_PROJECT_SQL),
 ]

@@ -22,6 +22,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -161,6 +162,53 @@ def _proj_dot(vec: Column, weights: list[float]) -> Column:
     return F.aggregate(
         F.zip_with(vec, w, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
+
+
+def project_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_dim: int = 16,
+    seed: int = DEFAULT_LSH_SEED,
+    out_col: str = "projected",
+    normalize: bool = False,
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection: reduce ``vec_col`` to
+    ``out_dim`` components against a seeded Gaussian matrix — the
+    standard pre-ANN compaction step (project, then index/search in
+    the low dimension; JL guarantees pairwise distances distort by
+    ~1/sqrt(out_dim)).
+
+    Data-independent and reproducible like the SRP hyperplanes it
+    reuses (``random_projections``): any engine regenerates the
+    identical matrix from (dim, out_dim, seed), so the DuckDB oracle
+    re-derives the same literal matrix — no trained state. Pure
+    Column algebra (one ``aggregate`` fold per output component over
+    the literal row): zero shuffles, zero Python, evaluates inside
+    the scan stage at any scale. Null vectors and rows whose width
+    disagrees with the corpus dimension project to NULL (zip_with
+    would silently truncate a short vector — a wrong answer, not an
+    error — so the width guard is load-bearing). ``normalize`` adds
+    an L2 re-normalization of the projected vector (zero vectors stay
+    NULL rather than dividing by zero)."""
+    dim = _vec_dim(df, vec_col)
+    if dim is None:
+        return df.withColumn(
+            out_col, F.lit(None).cast(T.ArrayType(T.DoubleType()))
+        )
+    proj = random_projections(dim, out_dim, seed)
+    vec = F.col(vec_col)
+    out = F.array(*[_proj_dot(vec, row) for row in proj])
+    if normalize:
+        # the lambda references the outer norm, which HOF evaluation
+        # recomputes per element (no loop-invariant hoisting, and
+        # CollapseProject undoes a sibling-column hoist) — bounded
+        # here at out_dim^2 scalar ops on a SMALL projected array, the
+        # one case where the re-evaluation trap is cheaper than an
+        # Arrow crossing
+        nrm = l2_norm(out)
+        out = F.when(nrm > 0, F.transform(out, lambda x: x / nrm))
+    out = F.when(vec.isNotNull() & (F.size(vec) == dim), out)
+    return df.withColumn(out_col, out)
 
 
 def band_hashes(

@@ -1180,3 +1180,80 @@ def test_incremental_dedup_against_corpus(spark):
     kept_df = spark.createDataFrame(kept, "doc_id long, text string")
     again = incremental_dedup(kept_df, corpus, threshold=0.8).toPandas()
     assert set(again.doc_id) == ids
+
+
+def test_project_embeddings_jl_properties(spark, emb):
+    import numpy as np
+
+    from gapless_deribit_clickhouse_spark.pipelines.embeddings import (
+        project_embeddings,
+    )
+
+    def cos_pairs(m):
+        nrm = np.linalg.norm(m, axis=1, keepdims=True)
+        u = m / np.clip(nrm, 1e-12, None)
+        sims = u @ u.T
+        iu = np.triu_indices(len(m), k=1)
+        return sims[iu]
+
+    def corr_at(out_dim):
+        pdf = (
+            project_embeddings(emb, out_dim=out_dim)
+            .filter(F.col("projected").isNotNull())
+            .limit(200)
+            .toPandas()
+        )
+        hi = np.stack([np.asarray(v, dtype=float) for v in pdf.embedding])
+        lo = np.stack([np.asarray(v, dtype=float) for v in pdf.projected])
+        return np.corrcoef(cos_pairs(hi), cos_pairs(lo))[0, 1], lo
+
+    # JL: projected cosines track the high-dim cosines across pairs,
+    # and fidelity improves with out_dim (distortion ~ 1/sqrt(out_dim))
+    corr24, _ = corr_at(24)
+    corr48, lo = corr_at(48)
+    assert corr48 > 0.6, corr48
+    assert corr48 > corr24 - 0.05, (corr24, corr48)
+    # deterministic: same seed -> identical values
+    again = (
+        project_embeddings(emb, out_dim=48)
+        .filter(F.col("projected").isNotNull())
+        .limit(200)
+        .toPandas()
+    )
+    lo2 = np.stack([np.asarray(v, dtype=float) for v in again.projected])
+    assert np.array_equal(lo, lo2)
+
+
+def test_project_embeddings_guards_and_normalize(spark):
+    import numpy as np
+
+    from gapless_deribit_clickhouse_spark.pipelines.embeddings import (
+        project_embeddings,
+    )
+
+    rows = [
+        (1, [1.0, 2.0, 3.0, 4.0]),
+        (2, None),            # null vector -> null projection
+        (3, [1.0, 2.0]),      # width mismatch -> null, never truncated
+        (4, [0.0, 0.0, 0.0, 0.0]),  # zero vector
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.vec_id: r.projected for r in project_embeddings(df, out_dim=3).collect()}
+    assert out[1] is not None and len(out[1]) == 3
+    assert out[2] is None
+    assert out[3] is None
+    # zero vector projects to all-zero (valid), and linearity holds:
+    # proj(2v) == 2*proj(v)
+    assert all(abs(x) < 1e-12 for x in out[4])
+    df2 = spark.createDataFrame(
+        [(1, [2.0, 4.0, 6.0, 8.0])], "vec_id long, embedding array<double>"
+    )
+    doubled = project_embeddings(df2, out_dim=3).collect()[0].projected
+    assert np.allclose(np.asarray(doubled), 2 * np.asarray(out[1]))
+    # normalize: unit L2 norm for non-zero, NULL for the zero vector
+    norm_out = {
+        r.vec_id: r.projected
+        for r in project_embeddings(df, out_dim=3, normalize=True).collect()
+    }
+    assert abs(np.linalg.norm(np.asarray(norm_out[1])) - 1.0) < 1e-9
+    assert norm_out[4] is None

@@ -72,6 +72,7 @@ PROBES = [
     "split_assign",
     "interdoc_repetition",
     "incremental_dedup",
+    "embedding_project",
 ]
 
 # analytics-tier probes (VERDICT r4 #3): the union-window as-of join,
