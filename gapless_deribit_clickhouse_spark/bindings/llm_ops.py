@@ -1322,8 +1322,13 @@ def _embedding_project_sql() -> str:
 
     dim = 64  # testdata embeddings are FLOAT[64]
     proj = random_projections(dim, _PROJECT_OUT_DIM, DEFAULT_LSH_SEED)
+    # ::DOUBLE[] is load-bearing: without it DuckDB types the literal
+    # list from the repr'd values (DECIMAL unless one happens to print
+    # in scientific notation), FLOAT * DECIMAL evaluates single-
+    # precision, and the 64-term accumulation drifts past the
+    # harness's 6dp compare
     rows = ",\n  ".join(
-        f"({i}, [{', '.join(repr(float(x)) for x in row)}])"
+        f"({i}, [{', '.join(repr(float(x)) for x in row)}]::DOUBLE[])"
         for i, row in enumerate(proj)
     )
     return f"""
@@ -1331,7 +1336,7 @@ WITH proj(dim_idx, w) AS (VALUES
   {rows})
 SELECT e.vec_id, p.dim_idx,
        list_sum(list_transform(range(1, {dim + 1}),
-                j -> e.embedding[j] * p.w[j])) AS value
+                j -> CAST(e.embedding[j] AS DOUBLE) * p.w[j])) AS value
 FROM embeddings e CROSS JOIN proj p
 WHERE e.embedding IS NOT NULL AND len(e.embedding) = {dim}
 """

@@ -186,10 +186,14 @@ def project_embeddings(
     the literal row): zero shuffles, zero Python, evaluates inside
     the scan stage at any scale. Null vectors and rows whose width
     disagrees with the corpus dimension project to NULL (zip_with
-    would silently truncate a short vector — a wrong answer, not an
-    error — so the width guard is load-bearing). ``normalize`` adds
-    an L2 re-normalization of the projected vector (zero vectors stay
-    NULL rather than dividing by zero)."""
+    NULL-pads the shorter side, so a short vector would otherwise
+    yield an array of NULL components — the width guard collapses
+    that to one NULL column, which downstream explodes/filters drop
+    exactly like the oracle's width predicate). ``normalize`` adds an
+    L2 re-normalization of the projected vector (zero vectors stay
+    NULL rather than dividing by zero) — at O(out_dim^2 * dim) per
+    row, see the inline note; prefer normalize=False and a downstream
+    normalization for wide corpora."""
     dim = _vec_dim(df, vec_col)
     if dim is None:
         return df.withColumn(
@@ -200,11 +204,13 @@ def project_embeddings(
     out = F.array(*[_proj_dot(vec, row) for row in proj])
     if normalize:
         # the lambda references the outer norm, which HOF evaluation
-        # recomputes per element (no loop-invariant hoisting, and
-        # CollapseProject undoes a sibling-column hoist) — bounded
-        # here at out_dim^2 scalar ops on a SMALL projected array, the
-        # one case where the re-evaluation trap is cheaper than an
-        # Arrow crossing
+        # recomputes per element; the norm itself embeds the FULL
+        # projection (out_dim folds of width dim), so this path costs
+        # O(out_dim^2 * dim) multiply-adds per row — there is no clean
+        # hoist (CollapseProject undoes a sibling-column intermediate).
+        # Acceptable for eval-scale use; for wide corpora keep
+        # normalize=False and renormalize downstream (one extra narrow
+        # pass) or at an Arrow edge.
         nrm = l2_norm(out)
         out = F.when(nrm > 0, F.transform(out, lambda x: x / nrm))
     out = F.when(vec.isNotNull() & (F.size(vec) == dim), out)

@@ -1200,6 +1200,7 @@ def test_project_embeddings_jl_properties(spark, emb):
         pdf = (
             project_embeddings(emb, out_dim=out_dim)
             .filter(F.col("projected").isNotNull())
+            .orderBy("vec_id")
             .limit(200)
             .toPandas()
         )
@@ -1217,6 +1218,7 @@ def test_project_embeddings_jl_properties(spark, emb):
     again = (
         project_embeddings(emb, out_dim=48)
         .filter(F.col("projected").isNotNull())
+        .orderBy("vec_id")
         .limit(200)
         .toPandas()
     )
