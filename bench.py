@@ -126,6 +126,8 @@ NEW_IN_R5 = [
     "interdoc_repetition",
     "incremental_dedup",
     "embedding_project",
+    "window_funnel",
+    "retention",
 ]
 NEW_IN_R4 = WRITE_BENCHES + [
     "mixture_sample",

@@ -125,6 +125,8 @@ def __getattr__(name: str):
         "session_stats": "operators.sessionize",
         "streaming_sessionize": "operators.sessionize",
         "salted_agg": "operators.skew",
+        "window_funnel": "operators.funnel",
+        "retention": "operators.funnel",
         "ServingConnector": "sinks.connector",
         "ParquetServingConnector": "sinks.connector",
         "ClickHouseHTTPConnector": "sinks.connector",
@@ -253,7 +255,7 @@ __all__ = [
     "read_jsonl_corpus", "write_corpus_shards",
     "connected_components", "dedup_clusters", "compact_table", "interval_join",
     "sessionize", "session_stats", "streaming_sessionize",
-    "salted_agg",
+    "salted_agg", "window_funnel", "retention",
     "lsh_params", "minhash_params",
     "decode_image", "encode_png", "image_feature_extract",
     "synthetic_images",

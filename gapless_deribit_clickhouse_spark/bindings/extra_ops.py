@@ -588,3 +588,91 @@ BINDINGS = [
     ("audio_decode_features", audio_decode_features_q, AUDIO_DECODE_SQL),
     ("video_decode_features", video_decode_features_q, VIDEO_DECODE_SQL),
 ]
+
+
+# --- behavioral analytics: windowFunnel / retention parity ---
+def window_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view -> click -> purchase funnel within 24h of the first view
+    (ClickHouse windowFunnel parity): one shuffle on user_id, one
+    sorted per-user fold carrying per-level chain-start times."""
+    from gapless_deribit_clickhouse_spark.operators.funnel import window_funnel
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    return window_funnel(
+        ev,
+        steps=[
+            F.col("event_type") == "view",
+            F.col("event_type") == "click",
+            F.col("event_type") == "purchase",
+        ],
+        window="24 hours",
+    )
+
+
+# exists-chain formulation: level k iff a chain of step-1..k events
+# exists with non-decreasing times all within the window of the chain's
+# FIRST event — provably what the engine's greedy fold computes (the
+# latest-chain-start dominance argument in operators/funnel.py)
+WINDOW_FUNNEL_SQL = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS t,
+         CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+                         WHEN 'purchase' THEN 3 END AS s
+  FROM events
+  WHERE event_type IN ('view', 'click', 'purchase')),
+l2 AS (
+  SELECT DISTINCT a.user_id
+  FROM e a JOIN e b ON b.user_id = a.user_id
+  WHERE a.s = 1 AND b.s = 2 AND b.t >= a.t
+    AND b.t - a.t <= 86400000000),
+l3 AS (
+  SELECT DISTINCT a.user_id
+  FROM e a
+  JOIN e b ON b.user_id = a.user_id
+  JOIN e c ON c.user_id = a.user_id
+  WHERE a.s = 1 AND b.s = 2 AND c.s = 3
+    AND b.t >= a.t AND c.t >= b.t
+    AND c.t - a.t <= 86400000000),
+l1 AS (SELECT DISTINCT user_id FROM e WHERE s = 1)
+SELECT u.user_id,
+       CAST(CASE WHEN u.user_id IN (SELECT user_id FROM l3) THEN 3
+                 WHEN u.user_id IN (SELECT user_id FROM l2) THEN 2
+                 WHEN u.user_id IN (SELECT user_id FROM l1) THEN 1
+                 ELSE 0 END AS INT) AS funnel_level
+FROM (SELECT DISTINCT user_id FROM e) u
+"""
+
+
+def retention_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention (ClickHouse retention parity): of users who
+    signed up, who also clicked / purchased — one conditional
+    aggregation, no joins."""
+    from gapless_deribit_clickhouse_spark.operators.funnel import retention
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    return retention(
+        ev,
+        conds=[
+            F.col("event_type") == "signup",
+            F.col("event_type") == "click",
+            F.col("event_type") == "purchase",
+        ],
+    )
+
+
+RETENTION_SQL = """
+SELECT user_id,
+       max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS r1,
+       max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+         * max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS r2,
+       max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+         * max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS r3
+FROM events GROUP BY user_id
+"""
+
+
+# behavioral-analytics additions (round 5), past the stable window
+LATE_BINDINGS = [
+    ("window_funnel", window_funnel_q, WINDOW_FUNNEL_SQL),
+    ("retention", retention_q, RETENTION_SQL),
+]

@@ -1,0 +1,96 @@
+"""windowFunnel / retention parity: planted chains, window cutoffs,
+ordering, and the level-0 edge."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from gapless_deribit_clickhouse_spark.operators.funnel import (
+    retention,
+    window_funnel,
+)
+
+T0 = datetime(2024, 1, 1, 12, 0, 0)
+
+
+def _ev(user, minutes, etype):
+    return (user, T0 + timedelta(minutes=minutes), etype)
+
+
+@pytest.fixture(scope="module")
+def funnel_events(spark):
+    rows = [
+        # u1: full chain inside the window -> level 3
+        _ev(1, 0, "view"), _ev(1, 10, "click"), _ev(1, 20, "purchase"),
+        # u2: purchase BEFORE click -> chain order broken -> level 2
+        _ev(2, 0, "view"), _ev(2, 5, "purchase"), _ev(2, 30, "click"),
+        # u3: click outside the 1h window of the only view -> level 1
+        _ev(3, 0, "view"), _ev(3, 90, "click"),
+        # u4: never viewed -> level 0 (but has later-step events)
+        _ev(4, 0, "click"), _ev(4, 5, "purchase"),
+        # u5: first chain times out, a LATER view restarts it -> level 3
+        # (the greedy max-chain-start dominance case)
+        _ev(5, 0, "view"), _ev(5, 55, "view"), _ev(5, 70, "click"),
+        _ev(5, 100, "purchase"),
+        # u6: purchase 61min after first view but within window of the
+        # chain through the second view? no second view -> level 2
+        _ev(6, 0, "view"), _ev(6, 30, "click"), _ev(6, 70, "purchase"),
+    ]
+    return spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+
+
+STEPS = lambda: [  # noqa: E731
+    F.col("event_type") == "view",
+    F.col("event_type") == "click",
+    F.col("event_type") == "purchase",
+]
+
+
+def test_window_funnel_planted_levels(funnel_events):
+    out = {
+        r.user_id: r.funnel_level
+        for r in window_funnel(funnel_events, STEPS(), window="1 hour").collect()
+    }
+    assert out == {1: 3, 2: 2, 3: 1, 4: 0, 5: 3, 6: 2}
+
+
+def test_window_funnel_window_widening_is_monotone(funnel_events):
+    narrow = {
+        r.user_id: r.funnel_level
+        for r in window_funnel(funnel_events, STEPS(), window="5 minutes").collect()
+    }
+    wide = {
+        r.user_id: r.funnel_level
+        for r in window_funnel(funnel_events, STEPS(), window="3 hours").collect()
+    }
+    assert all(narrow[u] <= wide[u] for u in narrow)
+    # at 3h, u3's click re-enters the window and u6 completes
+    assert wide[3] == 2 and wide[6] == 3
+
+
+def test_window_funnel_validates_steps(funnel_events):
+    with pytest.raises(ValueError):
+        window_funnel(funnel_events, [F.col("event_type") == "view"])
+    with pytest.raises(ValueError):
+        window_funnel(funnel_events, STEPS(), window="1 fortnight")
+
+
+def test_retention_cohort_flags(funnel_events):
+    out = {
+        (r.user_id): (r.r1, r.r2, r.r3)
+        for r in retention(
+            funnel_events,
+            conds=[
+                F.col("event_type") == "view",
+                F.col("event_type") == "click",
+                F.col("event_type") == "purchase",
+            ],
+        ).collect()
+    }
+    # u4 clicked+purchased but never viewed: cohort flags all 0
+    assert out[4] == (0, 0, 0)
+    assert out[1] == (1, 1, 1)
+    assert out[3] == (1, 1, 0)

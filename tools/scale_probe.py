@@ -81,6 +81,7 @@ PROBES = [
 # measured, not argued
 PROBES_ANALYTICS = [
     "asof_join_spot",
+    "window_funnel",
     "rolling_percentile",
     "feature_pipeline",
     "training_set",
