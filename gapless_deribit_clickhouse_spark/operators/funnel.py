@@ -8,9 +8,10 @@ equivalent, so this module re-expresses them as pure DataFrame plans:
   a chain of events matching ``steps`` in order, with every chain
   event inside ``window`` of the chain's FIRST event and times
   non-decreasing along the chain (ClickHouse's default mode).
-- ``retention``: per user, an array of flags — did condition 1 fire,
-  and for each later condition, did it fire for a user that also
-  fired condition 1 (the cohort-retention shape).
+- ``retention``: per user, flat 0/1 columns r1..rN — did condition 1
+  fire, and for each later condition, did it fire for a user that
+  also fired condition 1 (the cohort-retention shape; ClickHouse
+  returns the same flags packed in an array).
 
 Scale design (window_funnel): ONE shuffle on the user key, then a
 single sorted fold per user — collect the user's (time, step) events,
@@ -43,7 +44,12 @@ def window_funnel(
 
     ``steps`` are boolean Columns, one per funnel stage, evaluated
     against each event row; an event counts for the FIRST step it
-    matches. Returns (user_col, funnel_level) for every user with at
+    matches. NOTE this is a parity deviation for OVERLAPPING step
+    conditions: ClickHouse's default mode lets one event satisfy
+    every condition it matches, so an event matching steps 1 AND 2
+    reaches level 2 there but only level 1 here — with mutually
+    exclusive conditions (the common event_type case) the two agree
+    exactly. Returns (user_col, funnel_level) for every user with at
     least one matching event — level 0 means the user fired later
     steps but never step 1. A chain must have non-decreasing event
     times and fit entirely inside ``window`` of its first event

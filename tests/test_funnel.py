@@ -35,8 +35,8 @@ def funnel_events(spark):
         # (the greedy max-chain-start dominance case)
         _ev(5, 0, "view"), _ev(5, 55, "view"), _ev(5, 70, "click"),
         _ev(5, 100, "purchase"),
-        # u6: purchase 61min after first view but within window of the
-        # chain through the second view? no second view -> level 2
+        # u6: view+click inside the 1h window, purchase at minute 70
+        # (past the window of the only view) -> level 2
         _ev(6, 0, "view"), _ev(6, 30, "click"), _ev(6, 70, "purchase"),
     ]
     return spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
