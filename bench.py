@@ -128,6 +128,9 @@ NEW_IN_R5 = [
     "embedding_project",
     "window_funnel",
     "retention",
+    "q6_forecast_revenue",
+    "ohlc_15m_gapless",
+    "value_histogram",
 ]
 NEW_IN_R4 = WRITE_BENCHES + [
     "mixture_sample",

@@ -126,6 +126,7 @@ def __getattr__(name: str):
         "streaming_sessionize": "operators.sessionize",
         "salted_agg": "operators.skew",
         "window_funnel": "operators.funnel",
+        "fill_time_gaps": "operators.gapfill",
         "retention": "operators.funnel",
         "ServingConnector": "sinks.connector",
         "ParquetServingConnector": "sinks.connector",
@@ -255,7 +256,7 @@ __all__ = [
     "read_jsonl_corpus", "write_corpus_shards",
     "connected_components", "dedup_clusters", "compact_table", "interval_join",
     "sessionize", "session_stats", "streaming_sessionize",
-    "salted_agg", "window_funnel", "retention",
+    "salted_agg", "window_funnel", "retention", "fill_time_gaps",
     "lsh_params", "minhash_params",
     "decode_image", "encode_png", "image_feature_extract",
     "synthetic_images",

@@ -639,9 +639,133 @@ BINDINGS = [
 # BINDINGS so the driver's stable first-50 window is untouched; the
 # CI past-window oracle compare value-checks them like any tail
 # binding (tests/test_demoted_bindings_oracle.py).
+# --- pure pushdown scan-agg (TPC-H Q6 shape) ---
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pushdown benchmark: three range predicates, no join, one
+    scalar aggregate — every filter reaches the parquet scan
+    (PushedFilters + row-group min/max pruning), the aggregation is a
+    map-side partial collapsing to one row per task. The query whose
+    cost at 100 TB is pure I/O on the pruned byte range."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue")
+        )
+    )
+
+
+Q6_SQL = """
+SELECT sum(l_extendedprice * l_discount) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+# --- WITH FILL parity: densified, forward-filled OHLC ---
+def ohlc_15m_gapless(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's namesake contract: the 15-min OHLC series
+    densified to its full per-key grid (ClickHouse ORDER BY ... WITH
+    FILL) with the close forward-filled across empty buckets and the
+    inserted rows flagged."""
+    from gapless_deribit_clickhouse_spark.operators.gapfill import (
+        fill_time_gaps,
+    )
+
+    bars = ohlc_15m(spark, sf_dir)
+    return fill_time_gaps(
+        bars,
+        ts_col="bucket_ts",
+        step_seconds=900,
+        keys=["event_type"],
+        fill_cols=["close"],
+    ).select("event_type", "bucket_ts", "close", "is_gap")
+
+
+OHLC_GAPLESS_SQL = f"""
+WITH ohlc AS (SELECT * FROM ({OHLC_15M_SQL})),
+bounds AS (
+  SELECT event_type, min(bucket_ts) AS lo, max(bucket_ts) AS hi
+  FROM ohlc GROUP BY event_type),
+grid AS (
+  SELECT event_type,
+         unnest(generate_series(lo, hi, INTERVAL 15 MINUTE)) AS bucket_ts
+  FROM bounds),
+j AS (
+  SELECT g.event_type, g.bucket_ts, o.close,
+         CASE WHEN o.bucket_ts IS NULL THEN 1 ELSE 0 END AS is_gap
+  FROM grid g LEFT JOIN ohlc o
+    ON o.event_type = g.event_type AND o.bucket_ts = g.bucket_ts)
+SELECT event_type, bucket_ts,
+       last_value(close IGNORE NULLS) OVER (
+         PARTITION BY event_type ORDER BY bucket_ts
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS close,
+       is_gap
+FROM j
+"""
+
+
+# --- fixed-bin histogram (two-phase global stat + bucket) ---
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bin histogram of the value column with data-derived bounds:
+    the 1-row min/max aggregate broadcasts into the plan (no driver
+    round-trip) and the bin index is shared double arithmetic, so the
+    oracle reproduces bucket membership bit-for-bit. The ClickHouse
+    histogram() shape with deterministic fixed bins instead of the
+    adaptive (order-dependent) centroids."""
+    n_bins = 32
+    ev = _events(spark, sf_dir).select("value").filter(F.col("value").isNotNull())
+    stats = ev.agg(F.min("value").alias("vmin"), F.max("value").alias("vmax"))
+    width = (F.col("vmax") - F.col("vmin")) / F.lit(float(n_bins))
+    bin_ = F.least(
+        F.floor((F.col("value") - F.col("vmin")) / width).cast("int"),
+        F.lit(n_bins - 1),
+    )
+    return (
+        ev.crossJoin(F.broadcast(stats))
+        .select(
+            bin_.alias("bin"),
+            (F.col("vmin") + bin_ * width).alias("bin_lo"),
+            (F.col("vmin") + (bin_ + 1) * width).alias("bin_hi"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.min("bin_lo").alias("bin_lo"),
+            F.min("bin_hi").alias("bin_hi"),
+        )
+    )
+
+
+VALUE_HISTOGRAM_SQL = """
+WITH s AS (
+  SELECT min(value) AS vmin, max(value) AS vmax
+  FROM events WHERE value IS NOT NULL),
+b AS (
+  SELECT LEAST(CAST(floor((value - vmin) / ((vmax - vmin) / 32.0)) AS INT), 31) AS bin,
+         vmin, vmax
+  FROM events, s WHERE value IS NOT NULL)
+SELECT bin, count(*) AS n_obs,
+       min(vmin + bin * (vmax - vmin) / 32.0) AS bin_lo,
+       min(vmin + (bin + 1) * (vmax - vmin) / 32.0) AS bin_hi
+FROM b GROUP BY bin
+"""
+
+
 LATE_BINDINGS = [
     ("q4_order_priority", q4_order_priority, Q4_SQL),
     ("q13_customer_distribution", q13_customer_distribution, Q13_SQL),
     ("q17_small_quantity_revenue", q17_small_quantity_revenue, Q17_SQL),
     ("q22_dormant_customers", q22_dormant_customers, Q22_SQL),
+    ("q6_forecast_revenue", q6_forecast_revenue, Q6_SQL),
+    ("ohlc_15m_gapless", ohlc_15m_gapless, OHLC_GAPLESS_SQL),
+    ("value_histogram", value_histogram, VALUE_HISTOGRAM_SQL),
 ]

@@ -1,0 +1,75 @@
+"""Time-series densification — ClickHouse ``ORDER BY ... WITH FILL``
+parity, plus forward fill.
+
+A resampled series has no row for an empty bucket; most downstream
+consumers (charting, diffing, rolling math over row counts, the
+"gapless" contract this engine is named for) need one row per grid
+step. ``fill_time_gaps`` densifies a bucket-aligned series to the
+regular grid between each key's first and last observation, flags the
+inserted rows, and (optionally) forward-fills chosen value columns
+from the last observation — ClickHouse's WITH FILL +
+last-value-carried-forward in one operator.
+
+Scale shape: a per-key bounds aggregation (metadata-sized output), a
+``sequence``-explode scaffold (rows = grid size, the answer's own
+size), one equi-join back on (keys, bucket), and one ordered window
+per key for the forward fill. Grid size is (time range / step) per
+key — the output's inherent cardinality, not overhead; a caller
+densifying years of data at 1-second steps is asking for exactly that
+many rows and should bucket coarser first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def fill_time_gaps(
+    df: DataFrame,
+    ts_col: str,
+    step_seconds: int,
+    keys: list[str] | tuple[str, ...] = (),
+    fill_cols: list[str] | tuple[str, ...] = (),
+    gap_col: str = "is_gap",
+) -> DataFrame:
+    """Densify a bucket-aligned time series to its regular grid.
+
+    ``df`` must hold at most one row per (keys, ``ts_col``) with
+    ``ts_col`` already truncated to the grid (e.g. a resampler
+    output). Emits one row per grid step from each key's min to max
+    bucket: observed rows keep their values (``gap_col`` = 0);
+    inserted rows carry NULLs (``gap_col`` = 1) except ``fill_cols``,
+    which are forward-filled from the most recent observation (an
+    inserted row before a key's first observation cannot exist —
+    grids start AT the first observation)."""
+    if step_seconds < 1:
+        raise ValueError("step_seconds must be >= 1")
+    keys = list(keys)
+    bounds = df.groupBy(*keys).agg(
+        F.min(ts_col).alias("__lo"), F.max(ts_col).alias("__hi")
+    )
+    scaffold = bounds.select(
+        *keys,
+        F.explode(
+            F.sequence(
+                F.col("__lo"),
+                F.col("__hi"),
+                F.expr(f"INTERVAL {int(step_seconds)} SECOND"),
+            )
+        ).alias(ts_col),
+    )
+    marked = df.withColumn("__present", F.lit(1))
+    out = scaffold.join(marked, [*keys, ts_col], "left").withColumn(
+        gap_col,
+        F.when(F.col("__present").isNull(), F.lit(1)).otherwise(F.lit(0)),
+    )
+    if fill_cols:
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(ts_col)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        for c in fill_cols:
+            out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return out.drop("__present")

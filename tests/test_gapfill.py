@@ -1,0 +1,56 @@
+"""fill_time_gaps: planted gaps, forward fill, per-key grids."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from gapless_deribit_clickhouse_spark.operators.gapfill import fill_time_gaps
+
+
+def _t(minute):
+    return datetime(2024, 1, 1, 0, minute, 0)
+
+
+@pytest.fixture(scope="module")
+def sparse(spark):
+    rows = [
+        # key a: observations at minutes 0, 2, 5 -> gaps at 1, 3, 4
+        ("a", _t(0), 10.0), ("a", _t(2), 20.0), ("a", _t(5), 50.0),
+        # key b: a single observation -> no gaps, grid of one
+        ("b", _t(7), 70.0),
+    ]
+    return spark.createDataFrame(rows, ["k", "bucket_ts", "close"])
+
+
+def test_fill_densifies_and_forward_fills(sparse):
+    out = (
+        fill_time_gaps(
+            sparse, ts_col="bucket_ts", step_seconds=60,
+            keys=["k"], fill_cols=["close"],
+        )
+        .orderBy("k", "bucket_ts")
+        .collect()
+    )
+    a = [(r.bucket_ts.minute, r.close, r.is_gap) for r in out if r.k == "a"]
+    assert a == [
+        (0, 10.0, 0), (1, 10.0, 1), (2, 20.0, 0),
+        (3, 20.0, 1), (4, 20.0, 1), (5, 50.0, 0),
+    ]
+    b = [(r.bucket_ts.minute, r.close, r.is_gap) for r in out if r.k == "b"]
+    assert b == [(7, 70.0, 0)]  # grid starts AT the first observation
+
+
+def test_fill_without_fill_cols_leaves_nulls(sparse):
+    out = fill_time_gaps(
+        sparse, ts_col="bucket_ts", step_seconds=60, keys=["k"]
+    ).filter(F.col("is_gap") == 1)
+    assert out.count() == 3
+    assert out.filter(F.col("close").isNotNull()).count() == 0
+
+
+def test_fill_validates_step(sparse):
+    with pytest.raises(ValueError):
+        fill_time_gaps(sparse, ts_col="bucket_ts", step_seconds=0)

@@ -47,7 +47,13 @@ ALLOWED_PYTHON = REQUIRED_PYTHON | {"dup_clusters"}
 #   (ivf_topk, embedding_near_dup, minhash_lsh_pairs) must NOT NLJ
 #   since round 3's banded-LSH equi-join rewrite
 # - q22_dormant_customers: 1-row global-average scalar broadcast
-ALLOWED_NLJ = {"tfidf_top_terms", "cosine_topk", "q22_dormant_customers"}
+# - value_histogram: 1-row min/max-bounds scalar broadcast
+ALLOWED_NLJ = {
+    "tfidf_top_terms",
+    "cosine_topk",
+    "q22_dormant_customers",
+    "value_histogram",
+}
 
 
 def _plan(fn, spark) -> str:
