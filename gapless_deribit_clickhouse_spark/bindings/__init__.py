@@ -14,16 +14,17 @@ from gapless_deribit_clickhouse_spark.bindings import (
     extra_ops,
     features_ops,
     llm_ops,
+    olap_ops,
     tpch_ops,
 )
 
 ALL_BINDINGS = []
-for _mod in (core_ops, features_ops, analytics_ops, extra_ops, llm_ops, tpch_ops):
+for _mod in (core_ops, features_ops, analytics_ops, extra_ops, llm_ops, tpch_ops, olap_ops):
     ALL_BINDINGS.extend(_mod.BINDINGS)
 # LATE_BINDINGS land after every module's BINDINGS: past the driver's
 # stable first-50 window, where the CI past-window oracle compare
 # value-checks them (tests/test_demoted_bindings_oracle.py).
-for _mod in (core_ops, features_ops, analytics_ops, extra_ops, llm_ops, tpch_ops):
+for _mod in (core_ops, features_ops, analytics_ops, extra_ops, llm_ops, tpch_ops, olap_ops):
     ALL_BINDINGS.extend(getattr(_mod, "LATE_BINDINGS", []))
 
 # The driver's CORRECTNESS harness checks the first CHECKED_WINDOW

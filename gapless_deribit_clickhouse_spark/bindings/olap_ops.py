@@ -1,0 +1,138 @@
+"""OLAP parity bindings: ClickHouse LIMIT-n-BY, ROLLUP grouping sets,
+and exact multi-level percentiles.
+
+The reference exposes its query surface through ClickHouse, whose
+users lean on three aggregation idioms the SURVEY §2 inventory covers
+only partially: ``LIMIT n BY group`` (per-group top-n with rank),
+``GROUP BY ... WITH ROLLUP`` (subtotal grouping sets in one pass),
+and ``quantile``/``median`` families.  Each gets a Spark-first
+binding with a full DuckDB oracle.  All three land in LATE_BINDINGS
+(past the driver's first-50 window) and are value-checked in CI by
+tests/test_demoted_bindings_oracle.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gapless_deribit_clickhouse_spark.core.tables import load_table
+from gapless_deribit_clickhouse_spark.operators.topk import topn_per_group
+
+
+# --- ClickHouse LIMIT n BY: per-group top-n with rank ---
+def limit_by_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 events by value per event_type (ClickHouse
+    ``ORDER BY value DESC LIMIT 3 BY event_type`` parity; reference
+    users page per-instrument leaders this way).  One shuffle on the
+    group key; WindowGroupLimit caps per-map-task output at n rows
+    per group, so a hot event_type never ships its full row set.
+    NULLS LAST is explicit on BOTH sides — Spark's DESC defaults
+    nulls-last, DuckDB's defaults nulls-first."""
+    df = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return topn_per_group(
+        df,
+        ["event_type"],
+        [F.col("value").desc_nulls_last(), F.col("event_id").asc()],
+        3,
+    ).select("event_type", "rn", "event_id", "value")
+
+
+LIMIT_BY_SQL = """
+SELECT event_type, rn, event_id, value
+FROM (
+  SELECT event_type, event_id, value,
+         row_number() OVER (
+           PARTITION BY event_type
+           ORDER BY value DESC NULLS LAST, event_id ASC) AS rn
+  FROM events WHERE value IS NOT NULL) t
+WHERE rn <= 3
+"""
+
+
+# --- WITH ROLLUP: subtotal grouping sets in one aggregation ---
+def volume_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1's aggregate recomputed at every rollup level of
+    (l_returnflag, l_linestatus) — detail rows, per-flag subtotals,
+    and the grand total — in ONE aggregation pass (ClickHouse ``WITH
+    ROLLUP`` / Spark ``rollup()`` parity).  Spark expands the rollup
+    into grouping sets BEFORE the exchange, so partial aggregation
+    still happens map-side for every level and the shuffle carries
+    (n_groups x n_levels) partial rows, not the fact table.  gid
+    disambiguates a real NULL group value from a rolled-up level
+    (grouping_id bit order matches 2*GROUPING(a)+GROUPING(b))."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+        )
+        .orderBy("gid", "l_returnflag", "l_linestatus")
+    )
+
+
+ROLLUP_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(2 * GROUPING(l_returnflag) + GROUPING(l_linestatus) AS BIGINT) AS gid,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       sum(l_quantity) AS sum_qty,
+       sum(l_extendedprice * (1 - l_discount)) AS revenue
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+ORDER BY gid, l_returnflag, l_linestatus
+"""
+
+
+# --- exact multi-level percentiles (quantile/median parity) ---
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p25/p50/p75/p90 of event value per event_type —
+    ClickHouse ``quantileExact``/``median`` parity.  Spark's
+    ``percentile`` and DuckDB's ``quantile_cont`` both use linear
+    interpolation over the sorted set, so values match to float
+    round-off.  Exact percentile gathers each group to sort it; the
+    grouping key here is low-cardinality but each group is
+    SF-proportional, so at 100 TB the move is approx_percentile
+    (t-digest sketch, map-side mergeable — the ClickHouse
+    ``quantileTDigest`` analogue); that variant is benched in
+    bench.py rather than oracle-bound because sketches are
+    engine-specific."""
+    df = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    pct = F.expr("percentile(value, array(0.25D, 0.5D, 0.75D, 0.9D))")
+    return (
+        df.groupBy("event_type")
+        .agg(
+            pct[0].alias("p25"),
+            pct[1].alias("p50"),
+            pct[2].alias("p75"),
+            pct[3].alias("p90"),
+            F.count(F.lit(1)).alias("n_obs"),
+        )
+        .orderBy("event_type")
+    )
+
+
+PERCENTILES_SQL = """
+SELECT event_type,
+       quantile_cont(value, 0.25) AS p25,
+       quantile_cont(value, 0.5)  AS p50,
+       quantile_cont(value, 0.75) AS p75,
+       quantile_cont(value, 0.9)  AS p90,
+       CAST(count(*) AS BIGINT)   AS n_obs
+FROM events WHERE value IS NOT NULL
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+BINDINGS: list = []
+
+LATE_BINDINGS = [
+    ("limit_by_topn", limit_by_topn, LIMIT_BY_SQL),
+    ("volume_rollup", volume_rollup, ROLLUP_SQL),
+    ("value_percentiles", value_percentiles, PERCENTILES_SQL),
+]

@@ -44,3 +44,32 @@ def top1_per_group(
         *[c for c in out.columns if c != "__row"],
         *[F.col(f"__row.{c}").alias(c) for c in payload_cols],
     )
+
+
+def topn_per_group(
+    df: DataFrame,
+    group_cols: Sequence[Column | str],
+    order: Sequence[Column],
+    n: int,
+    rank_col: str = "rn",
+) -> DataFrame:
+    """ClickHouse ``LIMIT n BY group`` parity: the first ``n`` rows per
+    group under ``order``, with their 1-based rank in ``rank_col``.
+
+    Make ``order`` end in a unique tiebreak or the selection is
+    nondeterministic under shuffle.  Physical plan: one shuffle on the
+    group keys + a per-partition sort; Spark 3.5+/4.x inserts a
+    WindowGroupLimit below the shuffle, so each map task forwards at
+    most ``n`` rows per group instead of the whole group — the same
+    partial-top-k trick TakeOrderedAndProject uses, which is what
+    keeps a hot group with 10^9 rows from ever crossing the wire.
+    For n=1 with no rank column, prefer ``top1_per_group`` (hash agg,
+    no sort at all).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols).orderBy(*order)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= n)
+    )
