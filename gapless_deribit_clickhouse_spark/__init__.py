@@ -100,6 +100,7 @@ def __getattr__(name: str):
         "token_count": "pipelines.text_stats",
         "bpe_ish_token_count": "pipelines.text_stats",
         "fingerprint": "pipelines.text_stats",
+        "bigram_lm_score": "pipelines.text_stats",
         "token_topk": "pipelines.text_stats",
         "tfidf_top_terms": "pipelines.text_stats",
         "curate_corpus": "pipelines.curation",
@@ -125,6 +126,7 @@ def __getattr__(name: str):
         "session_stats": "operators.sessionize",
         "streaming_sessionize": "operators.sessionize",
         "salted_agg": "operators.skew",
+        "topn_per_group": "operators.topk",
         "window_funnel": "operators.funnel",
         "fill_time_gaps": "operators.gapfill",
         "retention": "operators.funnel",
@@ -248,7 +250,7 @@ __all__ = [
     "simhash_near_pairs",
     "cosine_topk", "ivf_topk", "embedding_near_dup_pairs",
     "quality_score", "lang_id", "token_count", "bpe_ish_token_count",
-    "fingerprint", "token_topk", "tfidf_top_terms", "curate_corpus",
+    "fingerprint", "bigram_lm_score", "token_topk", "tfidf_top_terms", "curate_corpus",
     "contamination_check", "repetition_stats", "corpus_profile", "sample_n_per_group",
     "hash_sample", "stratified_hash_sample", "split_assign",
     "split_thresholds", "interdoc_repetition", "incremental_dedup",
@@ -256,7 +258,7 @@ __all__ = [
     "read_jsonl_corpus", "write_corpus_shards",
     "connected_components", "dedup_clusters", "compact_table", "interval_join",
     "sessionize", "session_stats", "streaming_sessionize",
-    "salted_agg", "window_funnel", "retention", "fill_time_gaps",
+    "salted_agg", "topn_per_group", "window_funnel", "retention", "fill_time_gaps",
     "lsh_params", "minhash_params",
     "decode_image", "encode_png", "image_feature_extract",
     "synthetic_images",

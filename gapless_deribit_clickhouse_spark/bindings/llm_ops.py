@@ -1345,9 +1345,39 @@ WHERE e.embedding IS NOT NULL AND len(e.embedding) = {dim}
 EMBEDDING_PROJECT_SQL = _embedding_project_sql()
 
 
+# --- corpus bigram LM quality scoring (CCNet-style ppl filter) ---
+def lm_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gapless_deribit_clickhouse_spark.pipelines.text_stats import (
+        bigram_lm_score,
+    )
+
+    return bigram_lm_score(_docs(spark, sf_dir), k=0.5)
+
+
+LM_SCORE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS l
+  FROM documents
+  WHERE length({_NORM}) > 0 AND len(string_split({_NORM}, ' ')) >= 2),
+pairs AS (
+  SELECT doc_id, pr[1] AS w1, pr[2] AS w2
+  FROM (SELECT doc_id, unnest(list_zip(l[1:-2], l[2:])) AS pr FROM toks) u),
+cnt2 AS (SELECT w1, w2, count(*) AS c2 FROM pairs GROUP BY w1, w2),
+cnt1 AS (SELECT w1, count(*) AS c1 FROM pairs GROUP BY w1),
+voc AS (SELECT count(DISTINCT w2) AS v FROM pairs)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       avg(ln((c2 + 0.5) / (c1 + 0.5 * v))) AS avg_logp,
+       exp(-avg(ln((c2 + 0.5) / (c1 + 0.5 * v)))) AS ppl
+FROM pairs JOIN cnt2 USING (w1, w2) JOIN cnt1 USING (w1), voc
+GROUP BY doc_id
+"""
+
+
 LATE_BINDINGS = [
     ("split_assign", split_assign_q, SPLIT_ASSIGN_SQL),
     ("interdoc_repetition", interdoc_repetition_q, INTERDOC_REPETITION_SQL),
     ("incremental_dedup", incremental_dedup_q, INCREMENTAL_DEDUP_SQL),
     ("embedding_project", embedding_project_q, EMBEDDING_PROJECT_SQL),
+    ("lm_score", lm_score_q, LM_SCORE_SQL),
 ]

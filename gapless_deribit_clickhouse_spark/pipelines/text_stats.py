@@ -389,3 +389,73 @@ def hashed_linear_score(
         # don't poison downstream filters
         F.size(toks).cast("bigint").alias("n_tokens"),
     )
+
+
+def bigram_lm_score(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: float = 0.5,
+) -> DataFrame:
+    """CCNet-style corpus language-model quality scoring: fit an
+    add-k-smoothed bigram model ON the corpus, then score every
+    document by mean token log-probability and perplexity (low ppl =
+    fluent/templated, high ppl = gibberish — both tails are filter
+    targets in pretraining curation).
+
+    P(w2 | w1) = (c(w1, w2) + k) / (c(w1, .) + k * V), with V the
+    corpus-wide distinct-successor count.  The whole thing is three
+    aggregations over ONE tokenize+explode pass and two joins — no
+    UDFs, no driver-side model object, fully oracle-checkable:
+
+    - pairs: explode adjacent token pairs (one scan of documents);
+    - c2 = count per (w1, w2); c1 = count per w1; V = 1-row scalar;
+    - join pairs -> c2 on (w1, w2), -> c1 on w1, broadcast V, then
+      groupBy doc and average log P.
+
+    Scale notes: both count tables are sub-linear in the corpus
+    (vocab saturates), so at 100 TB the c1 join is a broadcast
+    candidate and c2 a bucketed/shuffle join — neither carries a
+    hint; stats/AQE decide.  Natural-language token frequency is
+    Zipfian, so the (w1, w2) shuffle key is the right one: it splits
+    a hot context's mass across its successors instead of
+    concentrating on w1 (the c1 aggregation DOES key on w1 alone, but
+    counts partial-aggregate map-side, so the hot key moves one long
+    per task, not its rows).  Docs with fewer than 2 tokens carry no
+    bigram evidence and are excluded (count them upstream via
+    ``token_count`` if coverage accounting needs them).
+    """
+    t = normalized_text(F.col(text_col))
+    toks = F.split(t, " ")
+    n = F.size(toks)
+    pairs = (
+        docs.filter(F.length(t) > 0)
+        .filter(n >= 2)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.arrays_zip(
+                    F.slice(toks, 1, n - 1).alias("w1"),
+                    F.slice(toks, 2, n - 1).alias("w2"),
+                )
+            ).alias("pr"),
+        )
+        .select(id_col, F.col("pr.w1").alias("w1"), F.col("pr.w2").alias("w2"))
+    )
+    c2 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = pairs.agg(F.countDistinct("w2").alias("v"))
+    logp = F.log(
+        (F.col("c2") + F.lit(k)) / (F.col("c1") + F.lit(k) * F.col("v"))
+    )
+    return (
+        pairs.join(c2, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .crossJoin(F.broadcast(vocab))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.avg(logp).alias("avg_logp"),
+        )
+        .withColumn("ppl", F.exp(-F.col("avg_logp")))
+    )

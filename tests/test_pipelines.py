@@ -1259,3 +1259,32 @@ def test_project_embeddings_guards_and_normalize(spark):
     }
     assert abs(np.linalg.norm(np.asarray(norm_out[1])) - 1.0) < 1e-9
     assert norm_out[4] is None
+
+
+def test_bigram_lm_score_separates_fluent_from_gibberish(spark):
+    from gapless_deribit_clickhouse_spark.pipelines.text_stats import (
+        bigram_lm_score,
+    )
+
+    fluent = "the cat sat on the mat and the cat sat on the mat again"
+    rows = [
+        ("f1", fluent),
+        ("f2", fluent + " and the cat sat down"),
+        # tokens never repeat a context seen elsewhere -> every bigram
+        # is a smoothing-only probability
+        ("g1", "zq xv qj wk vb nm pl ty re ua"),
+        ("s1", "onetoken"),  # < 2 tokens: no bigram evidence, excluded
+        ("n1", None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {r["doc_id"]: r for r in bigram_lm_score(docs).collect()}
+    assert set(out) == {"f1", "f2", "g1"}
+    # repeated fluent bigrams score far better than unseen-context ones
+    assert out["f1"]["avg_logp"] > out["g1"]["avg_logp"]
+    assert out["g1"]["ppl"] > out["f1"]["ppl"]
+    # perplexity is exp(-avg_logp) by construction
+    import math
+
+    for r in out.values():
+        assert math.isclose(r["ppl"], math.exp(-r["avg_logp"]), rel_tol=1e-12)
+        assert r["n_bigrams"] >= 1
