@@ -127,6 +127,9 @@ def __getattr__(name: str):
         "streaming_sessionize": "operators.sessionize",
         "salted_agg": "operators.skew",
         "topn_per_group": "operators.topk",
+        "partial_rollup": "operators.merge_rollup",
+        "merge_rollup": "operators.merge_rollup",
+        "finalize_rollup": "operators.merge_rollup",
         "window_funnel": "operators.funnel",
         "fill_time_gaps": "operators.gapfill",
         "retention": "operators.funnel",
@@ -258,7 +261,8 @@ __all__ = [
     "read_jsonl_corpus", "write_corpus_shards",
     "connected_components", "dedup_clusters", "compact_table", "interval_join",
     "sessionize", "session_stats", "streaming_sessionize",
-    "salted_agg", "topn_per_group", "window_funnel", "retention", "fill_time_gaps",
+    "salted_agg", "topn_per_group", "partial_rollup", "merge_rollup",
+    "finalize_rollup", "window_funnel", "retention", "fill_time_gaps",
     "lsh_params", "minhash_params",
     "decode_image", "encode_png", "image_feature_extract",
     "synthetic_images",

@@ -129,10 +129,125 @@ ORDER BY event_type
 """
 
 
+# --- AggregatingMergeTree parity: mergeable partial-aggregate states ---
+def mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split events into two disjoint batches (history vs new data),
+    partial-rollup EACH batch independently, merge the state tables,
+    finalize — and the oracle recomputes the same metrics in one pass
+    over the full table, so the driver compare proves the merge
+    algebra is exact (the AggregatingMergeTree insert/merge model).
+    stddev comes from the mergeable (n, sum, sum_sq) triple; each
+    batch shuffles only its own rows, and the merge reduces state rows
+    (keys x batches), never history."""
+    from gapless_deribit_clickhouse_spark.operators.merge_rollup import (
+        finalize_rollup,
+        merge_rollup,
+        partial_rollup,
+    )
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", F.col("ts"))
+    )
+    cut = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    keys = ["event_type", "day"]
+    s1 = partial_rollup(ev.filter(F.col("ts") < cut), keys, "value")
+    s2 = partial_rollup(ev.filter(F.col("ts") >= cut), keys, "value")
+    merged = merge_rollup([s1, s2], keys)
+    return finalize_rollup(merged, keys).orderBy("event_type", "day")
+
+
+MERGEABLE_ROLLUP_SQL = """
+SELECT event_type, date_trunc('day', ts) AS day,
+       CAST(count(value) AS BIGINT) AS n_obs,
+       sum(value) AS sum_value,
+       min(value) AS min_value,
+       max(value) AS max_value,
+       avg(value) AS avg_value,
+       CASE WHEN count(value) >= 2
+            THEN sqrt(greatest(
+              (sum(value * value) - sum(value) * sum(value) / count(value))
+                / (count(value) - 1), 0.0))
+       END AS stddev_value
+FROM events
+GROUP BY event_type, date_trunc('day', ts)
+ORDER BY event_type, day
+"""
+
+
+# --- time/volume weighted average price (TWAP / VWAP resample) ---
+def twap_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly TWAP + VWAP per event_type: VWAP weights value by the
+    JSON props quantity; TWAP weights each observation by its holding
+    time — microseconds until the NEXT event in the same (type, hour)
+    partition via lead(), so the last observation of each hour carries
+    no weight (NULL product, skipped by sum — identical semantics in
+    both engines; single-event hours yield NULL TWAP).  One shuffle on
+    (type, hour); the window and the aggregation share it.  unix_micros
+    keeps the arithmetic exact-integer until the final division
+    (epoch microseconds fit double's 53-bit mantissa but never leave
+    bigint here)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    ev = ev.select(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        "ts",
+        "event_id",
+        "value",
+        F.from_json(F.col("props"), "k INT")["k"].cast("double").alias("qty"),
+    )
+    w = Window.partitionBy("event_type", "hour").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    delta = (F.lead(us).over(w) - us).cast("double")
+    return (
+        ev.withColumn("hold_us", delta)
+        .groupBy("event_type", "hour")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            # nullif guards: an hour whose events share one timestamp
+            # has zero total hold time; ANSI mode makes /0 an error,
+            # and NULL is the honest TWAP there in any mode
+            (
+                F.sum(F.col("value") * F.col("hold_us"))
+                / F.nullif(F.sum("hold_us"), F.lit(0.0))
+            ).alias("twap"),
+            (
+                F.sum(F.col("value") * F.col("qty"))
+                / F.nullif(F.sum("qty"), F.lit(0.0))
+            ).alias("vwap"),
+        )
+        .orderBy("event_type", "hour")
+    )
+
+
+TWAP_VWAP_SQL = """
+WITH ev AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, ts, event_id, value,
+         CAST(CAST(json_extract(props, '$.k') AS INT) AS DOUBLE) AS qty
+  FROM events WHERE value IS NOT NULL),
+d AS (
+  SELECT *,
+         CAST(lead(epoch_us(ts)) OVER (
+             PARTITION BY event_type, hour ORDER BY ts, event_id)
+           - epoch_us(ts) AS DOUBLE) AS hold_us
+  FROM ev)
+SELECT event_type, hour,
+       CAST(count(*) AS BIGINT) AS n_events,
+       sum(value * hold_us) / nullif(sum(hold_us), 0.0) AS twap,
+       sum(value * qty) / nullif(sum(qty), 0.0) AS vwap
+FROM d
+GROUP BY event_type, hour
+ORDER BY event_type, hour
+"""
+
+
 BINDINGS: list = []
 
 LATE_BINDINGS = [
     ("limit_by_topn", limit_by_topn, LIMIT_BY_SQL),
     ("volume_rollup", volume_rollup, ROLLUP_SQL),
     ("value_percentiles", value_percentiles, PERCENTILES_SQL),
+    ("mergeable_rollup", mergeable_rollup, MERGEABLE_ROLLUP_SQL),
+    ("twap_vwap", twap_vwap, TWAP_VWAP_SQL),
 ]

@@ -254,3 +254,35 @@ def test_ensure_spot_dictionary_probe(spark, tmp_path):
         spark, table="__nope__", path=str(tmp_path / "missing"), auto_create=True
     )
     spark.catalog.dropTempView("__spot_probe__")
+
+
+def test_merge_rollup_is_split_invariant(spark):
+    from gapless_deribit_clickhouse_spark.operators.merge_rollup import (
+        finalize_rollup,
+        merge_rollup,
+        partial_rollup,
+    )
+
+    rows = [
+        ("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", None),
+        ("b", 5.0), ("b", 5.0), ("c", 7.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, v double").repartition(4)
+
+    def final(splits):
+        states = [partial_rollup(s, ["k"], "v") for s in splits]
+        out = finalize_rollup(merge_rollup(states, ["k"]), ["k"])
+        return {
+            r["k"]: (r["n_obs"], r["sum_value"], r["min_value"], r["max_value"],
+                     round(r["avg_value"], 12),
+                     None if r["stddev_value"] is None else round(r["stddev_value"], 12))
+            for r in out.collect()
+        }
+
+    whole = final([df])
+    halves = final([df.filter("v < 4"), df.filter("v >= 4 or v is null")])
+    thirds = final([df.limit(0), df.filter("k = 'a'"), df.filter("k != 'a'")])
+    assert whole == halves == thirds
+    assert whole["a"][0] == 3 and whole["c"][5] is None  # n<2 -> NULL stddev
+    import math
+    assert math.isclose(whole["a"][5], 1.0)  # stddev_samp of 1,2,3

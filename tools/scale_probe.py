@@ -73,6 +73,11 @@ PROBES = [
     "interdoc_repetition",
     "incremental_dedup",
     "embedding_project",
+    # corpus bigram LM: token salting makes each copy's vocabulary
+    # disjoint, so the count tables grow ~linearly with the corpus —
+    # exactly the growth the probe should confirm (a quadratic row
+    # here would mean the pairs->counts joins are exploding)
+    "lm_score",
 ]
 
 # analytics-tier probes (VERDICT r4 #3): the union-window as-of join,
