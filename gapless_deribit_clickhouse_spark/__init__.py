@@ -131,6 +131,7 @@ def __getattr__(name: str):
         "merge_rollup": "operators.merge_rollup",
         "finalize_rollup": "operators.merge_rollup",
         "window_funnel": "operators.funnel",
+        "sequence_count": "operators.funnel",
         "fill_time_gaps": "operators.gapfill",
         "retention": "operators.funnel",
         "ServingConnector": "sinks.connector",
@@ -262,7 +263,8 @@ __all__ = [
     "connected_components", "dedup_clusters", "compact_table", "interval_join",
     "sessionize", "session_stats", "streaming_sessionize",
     "salted_agg", "topn_per_group", "partial_rollup", "merge_rollup",
-    "finalize_rollup", "window_funnel", "retention", "fill_time_gaps",
+    "finalize_rollup", "window_funnel", "sequence_count", "retention",
+    "fill_time_gaps",
     "lsh_params", "minhash_params",
     "decode_image", "encode_png", "image_feature_extract",
     "synthetic_images",

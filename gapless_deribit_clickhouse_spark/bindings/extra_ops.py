@@ -540,6 +540,43 @@ FROM events e JOIN iv
 """
 
 
+# --- sequenceCount('(?1).*(?2)') parity: greedy non-overlapping pairs ---
+def sequence_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view -> purchase greedy non-overlapping sequence count per user
+    (ClickHouse sequenceCount parity). The engine counts via the
+    run-boundary window-lag plan; the oracle mirrors the same
+    characterization in DuckDB window SQL, and the equivalence to the
+    scanning automaton itself is pinned by a brute-force property test
+    (tests/test_funnel.py) — same split of duties as window_funnel's
+    fold/exists-chain pair."""
+    from gapless_deribit_clickhouse_spark.operators.funnel import sequence_count
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    return sequence_count(
+        ev,
+        first=F.col("event_type") == "view",
+        then=F.col("event_type") == "purchase",
+    )
+
+
+SEQUENCE_COUNT_SQL = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS t,
+         CASE event_type WHEN 'view' THEN 1 WHEN 'purchase' THEN 2 END AS s
+  FROM events
+  WHERE event_type IN ('view', 'purchase')),
+d AS (
+  SELECT user_id, s,
+         lag(s) OVER (PARTITION BY user_id ORDER BY t, s) AS prev_s
+  FROM e)
+SELECT user_id,
+       CAST(sum(CASE WHEN s = 2 AND prev_s = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS sequence_count
+FROM d
+GROUP BY user_id
+"""
+
+
 # --- semi-structured JSON projection + rollup (SURVEY §2.8 JSON
 # group: the reference round-trips JSON at its API/checkpoint edges;
 # here the engine-side equivalent — typed extraction with from_json
@@ -674,5 +711,6 @@ FROM events GROUP BY user_id
 # behavioral-analytics additions (round 5), past the stable window
 LATE_BINDINGS = [
     ("window_funnel", window_funnel_q, WINDOW_FUNNEL_SQL),
+    ("sequence_count", sequence_count_q, SEQUENCE_COUNT_SQL),
     ("retention", retention_q, RETENTION_SQL),
 ]

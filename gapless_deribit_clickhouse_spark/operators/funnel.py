@@ -144,3 +144,46 @@ def _interval_micros(window: str) -> int:
     if per is None:
         raise ValueError(f"unsupported window unit {unit!r}")
     return qty * per
+
+
+def sequence_count(
+    df: DataFrame,
+    first: Column,
+    then: Column,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """ClickHouse ``sequenceCount('(?1).*(?2)')`` parity: per user,
+    the number of NON-OVERLAPPING "first ... then" occurrences under
+    greedy left-to-right scanning (after a match completes, scanning
+    resumes; an unmatched pending ``first`` persists until consumed).
+
+    The greedy automaton reduces to a run-boundary count: a ``then``
+    event completes a match iff the tagged event immediately before
+    it is a ``first`` (within an A-run followed by B, only the FIRST
+    B fires — exactly the automaton's pending-flag semantics). That
+    makes the whole operator one window ``lag`` + conditional sum —
+    no per-user collect, no fold, whole-stage codegen end to end, one
+    shuffle on the user key shared by the window and the aggregation.
+
+    Events matching BOTH conditions tag as ``first`` (same
+    first-match deviation as ``window_funnel``; with mutually
+    exclusive conditions — the event_type case — parity is exact).
+    Ties: equal-time events order ``first`` before ``then``, so an
+    equal-timestamp pair still counts (mirror any oracle with
+    ORDER BY t, tag)."""
+    from pyspark.sql import Window
+
+    tag = F.when(first, F.lit(1)).when(then, F.lit(2))
+    evs = df.select(
+        F.col(user_col),
+        F.unix_micros(F.col(ts_col)).alias("t"),
+        tag.alias("s"),
+    ).filter(F.col("s").isNotNull())
+    w = Window.partitionBy(user_col).orderBy("t", "s")
+    hit = (F.col("s") == 2) & (F.lag("s").over(w) == 1)
+    return (
+        evs.withColumn("hit", hit)
+        .groupBy(user_col)
+        .agg(F.sum(F.when(F.col("hit"), 1).otherwise(0)).alias("sequence_count"))
+    )

@@ -94,3 +94,61 @@ def test_retention_cohort_flags(funnel_events):
     assert out[4] == (0, 0, 0)
     assert out[1] == (1, 1, 1)
     assert out[3] == (1, 1, 0)
+
+
+def test_sequence_count_matches_bruteforce_automaton(spark):
+    import itertools
+    import datetime
+
+    from gapless_deribit_clickhouse_spark.operators.funnel import sequence_count
+
+    def automaton(tags):
+        pending, cnt = False, 0
+        for t in tags:
+            if t == 1:
+                pending = True
+            elif t == 2 and pending:
+                cnt += 1
+                pending = False
+        return cnt
+
+    # every tag sequence up to length 6 over {A, B, other}
+    rows, expected = [], {}
+    uid = 0
+    base = datetime.datetime(2024, 1, 1)
+    for n in range(7):
+        for seq in itertools.product("abx", repeat=n):
+            uid += 1
+            tagged = []
+            for i, c in enumerate(seq):
+                rows.append((uid, base + datetime.timedelta(minutes=i), c))
+                if c in "ab":
+                    tagged.append(1 if c == "a" else 2)
+            if tagged:
+                expected[uid] = automaton(tagged)
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    got = {
+        r["user_id"]: r["sequence_count"]
+        for r in sequence_count(
+            df,
+            first=F.col("event_type") == "a",
+            then=F.col("event_type") == "b",
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_sequence_count_equal_time_pair_counts(spark):
+    import datetime
+
+    from gapless_deribit_clickhouse_spark.operators.funnel import sequence_count
+
+    t0 = datetime.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(1, t0, "b"), (1, t0, "a")],  # same timestamp: a orders first
+        "user_id long, ts timestamp, event_type string",
+    )
+    out = sequence_count(
+        df, first=F.col("event_type") == "a", then=F.col("event_type") == "b"
+    ).collect()
+    assert out[0]["sequence_count"] == 1
