@@ -48,11 +48,15 @@ ALLOWED_PYTHON = REQUIRED_PYTHON | {"dup_clusters"}
 #   since round 3's banded-LSH equi-join rewrite
 # - q22_dormant_customers: 1-row global-average scalar broadcast
 # - value_histogram: 1-row min/max-bounds scalar broadcast
+# - q11_important_stock: 1-row avg-part-value scalar broadcast
+# - lm_score: 1-row vocabulary-size scalar broadcast
 ALLOWED_NLJ = {
     "tfidf_top_terms",
     "cosine_topk",
     "q22_dormant_customers",
     "value_histogram",
+    "q11_important_stock",
+    "lm_score",
 }
 
 

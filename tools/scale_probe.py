@@ -90,6 +90,15 @@ PROBES_ANALYTICS = [
     "rolling_percentile",
     "feature_pipeline",
     "training_set",
+    # round-5 events-tier additions (time-disjoint copies keep their
+    # answers linear: sequence_count can chain at most one extra
+    # match per copy boundary per user; twap/rollup group on
+    # per-copy-disjoint time buckets; limit_by's WindowGroupLimit
+    # caps per-task output at n per group regardless of input size)
+    "sequence_count",
+    "twap_vwap",
+    "mergeable_rollup",
+    "limit_by_topn",
 ]
 
 
