@@ -242,6 +242,51 @@ ORDER BY event_type, hour
 """
 
 
+# --- groupArray / user-journey path (ordered array aggregation) ---
+def user_journey_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``arrayStringConcat(arraySlice(groupArray(...)))``
+    parity: per user, total event count and the '>'-joined path of
+    their first five events in time order — the canonical journey/
+    funnel-exploration query.  One shuffle on the user key;
+    collect_list gathers per-user structs (bounded by per-user event
+    counts, the same boundedness window_funnel relies on), sort_array
+    orders them deterministically by (ts, event_id), and the slice
+    caps the path before the join — the full array never leaves the
+    aggregation.  The path is emitted as a STRING so the oracle
+    compare is representation-stable across engines."""
+    ev = load_table(spark, sf_dir, "events")
+    ordered = F.sort_array(
+        F.collect_list(
+            F.struct(
+                F.unix_micros(F.col("ts")).alias("t"),
+                F.col("event_id").alias("eid"),
+                F.col("event_type").alias("et"),
+            )
+        )
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.array_join(
+                F.transform(F.slice(ordered, 1, 5), lambda x: x["et"]), ">"
+            ).alias("path5"),
+        )
+        .orderBy("user_id")
+    )
+
+
+USER_JOURNEY_SQL = """
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       array_to_string((list(event_type ORDER BY ts, event_id))[1:5], '>')
+         AS path5
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 BINDINGS: list = []
 
 LATE_BINDINGS = [
@@ -250,4 +295,5 @@ LATE_BINDINGS = [
     ("value_percentiles", value_percentiles, PERCENTILES_SQL),
     ("mergeable_rollup", mergeable_rollup, MERGEABLE_ROLLUP_SQL),
     ("twap_vwap", twap_vwap, TWAP_VWAP_SQL),
+    ("user_journey_path", user_journey_path, USER_JOURNEY_SQL),
 ]
