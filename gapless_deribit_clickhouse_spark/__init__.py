@@ -111,6 +111,7 @@ def __getattr__(name: str):
         "sample_n_per_group": "pipelines.sampling",
         "hash_sample": "pipelines.sampling",
         "stratified_hash_sample": "pipelines.sampling",
+        "weighted_sample_per_group": "pipelines.sampling",
         "split_assign": "pipelines.sampling",
         "split_thresholds": "pipelines.sampling",
         "read_jsonl_corpus": "sources.corpus_reader",
@@ -256,7 +257,8 @@ __all__ = [
     "quality_score", "lang_id", "token_count", "bpe_ish_token_count",
     "fingerprint", "bigram_lm_score", "token_topk", "tfidf_top_terms", "curate_corpus",
     "contamination_check", "repetition_stats", "corpus_profile", "sample_n_per_group",
-    "hash_sample", "stratified_hash_sample", "split_assign",
+    "hash_sample", "stratified_hash_sample", "weighted_sample_per_group",
+    "split_assign",
     "split_thresholds", "interdoc_repetition", "incremental_dedup",
     "project_embeddings",
     "read_jsonl_corpus", "write_corpus_shards",

@@ -1374,10 +1374,50 @@ GROUP BY doc_id
 """
 
 
+# --- weighted reservoir sampling (A-Res, deterministic) ---
+def weighted_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5 docs per language, probability proportional to length
+    (Efraimidis-Spirtsos A-Res over the canonical md5-uniform):
+    the curation move for building length-balanced eval slices.
+    WindowGroupLimit caps per-task output at n per group."""
+    from gapless_deribit_clickhouse_spark.pipelines.sampling import (
+        weighted_sample_per_group,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+    out = weighted_sample_per_group(
+        docs, group_col="lang", n=5, key_col="doc_id",
+        weight_col="n_chars", salt="wsamp",
+    )
+    return out.select("lang", "rn", "doc_id", "n_chars", "priority")
+
+
+def _weighted_sample_sql() -> str:
+    u32 = _md5_bucket_sql("doc_id", salt="wsamp", buckets=4_294_967_296)
+    return f"""
+WITH w AS (
+  SELECT doc_id, lang, n_chars,
+         -ln(CAST(({u32}) + 1 AS DOUBLE) / 4294967296.0)
+           / CAST(n_chars AS DOUBLE) AS priority
+  FROM documents
+  WHERE n_chars IS NOT NULL AND n_chars > 0),
+r AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY lang ORDER BY priority ASC, doc_id ASC) AS rn
+  FROM w)
+SELECT lang, rn, doc_id, n_chars, priority
+FROM r WHERE rn <= 5
+"""
+
+
+WEIGHTED_SAMPLE_SQL = _weighted_sample_sql()
+
+
 LATE_BINDINGS = [
     ("split_assign", split_assign_q, SPLIT_ASSIGN_SQL),
     ("interdoc_repetition", interdoc_repetition_q, INTERDOC_REPETITION_SQL),
     ("incremental_dedup", incremental_dedup_q, INCREMENTAL_DEDUP_SQL),
     ("embedding_project", embedding_project_q, EMBEDDING_PROJECT_SQL),
     ("lm_score", lm_score_q, LM_SCORE_SQL),
+    ("weighted_sample", weighted_sample_q, WEIGHTED_SAMPLE_SQL),
 ]

@@ -261,3 +261,39 @@ def stratified_hash_sample(
         else F.lit(int(default_rate * BUCKETS))
     )
     return df.filter(hash_bucket(F.col(key_col), salt) < threshold)
+
+
+def weighted_sample_per_group(
+    df: DataFrame,
+    group_col: str,
+    n: int,
+    key_col: str,
+    weight_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement, ``n`` rows
+    per group (Efraimidis-Spirtsos A-Res): each row draws the uniform
+    u from its salted key hash (reproducible across runs, partitions,
+    and engines — the same canonical ``hash_u32`` every sampler here
+    uses) and gets priority -ln(u) / weight; the n SMALLEST
+    priorities per group are exactly a weight-proportional sample
+    without replacement.  Rides ``topn_per_group``, so the plan is
+    one shuffle on the group key with WindowGroupLimit capping
+    per-task output at n — a 10^9-row group ships n rows, not its
+    tail.  Rows with NULL/non-positive weight carry no mass and are
+    excluded.  The priority column stays in the output so downstream
+    resumption/dedup can re-verify membership without re-hashing.
+    """
+    from gapless_deribit_clickhouse_spark.operators.topk import topn_per_group
+
+    u = (hash_u32(F.col(key_col), salt) + 1).cast("double") / F.lit(2.0**32)
+    pri = -F.log(u) / F.col(weight_col).cast("double")
+    out = df.filter(
+        F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
+    ).withColumn("priority", pri)
+    return topn_per_group(
+        out,
+        [group_col],
+        [F.col("priority").asc(), F.col(key_col).asc()],
+        n,
+    )

@@ -1288,3 +1288,36 @@ def test_bigram_lm_score_separates_fluent_from_gibberish(spark):
     for r in out.values():
         assert math.isclose(r["ppl"], math.exp(-r["avg_logp"]), rel_tol=1e-12)
         assert r["n_bigrams"] >= 1
+
+
+def test_weighted_sample_per_group_properties(spark):
+    from gapless_deribit_clickhouse_spark.pipelines.sampling import (
+        weighted_sample_per_group,
+    )
+
+    rows = [(f"d{i}", "en" if i % 2 else "de", 10.0) for i in range(40)]
+    rows += [("heavy_en", "en", 1e12), ("heavy_de", "de", 1e12)]
+    rows += [("zero", "en", 0.0), ("nullw", "de", None)]
+    df = spark.createDataFrame(rows, "doc_id string, lang string, w double")
+
+    out = weighted_sample_per_group(
+        df, group_col="lang", n=5, key_col="doc_id", weight_col="w", salt="t"
+    ).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r["doc_id"])
+    # exactly n per group, ranks 1..n
+    assert sorted(len(v) for v in by_lang.values()) == [5, 5]
+    assert sorted(r["rn"] for r in out if r["lang"] == "en") == [1, 2, 3, 4, 5]
+    # overwhelming weight -> certain inclusion; zero/null weight -> excluded
+    assert "heavy_en" in by_lang["en"] and "heavy_de" in by_lang["de"]
+    picked = {r["doc_id"] for r in out}
+    assert "zero" not in picked and "nullw" not in picked
+    # partition-invariant determinism
+    out2 = weighted_sample_per_group(
+        df.repartition(13), group_col="lang", n=5, key_col="doc_id",
+        weight_col="w", salt="t",
+    ).collect()
+    assert {(r["lang"], r["rn"], r["doc_id"]) for r in out2} == {
+        (r["lang"], r["rn"], r["doc_id"]) for r in out
+    }
