@@ -315,7 +315,7 @@ ORDER BY nation, o_year DESC
 
 # --- Q11: scalar-subquery HAVING (important stock identification) ---
 def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Parts whose revenue through NATION_5 suppliers exceeds 1.5x
+    """Parts whose revenue through EUROPE suppliers exceeds 1.5x
     the average per-part value: per-part aggregate filtered against a
     global scalar (the spec's FRACTION*sum threshold must be rescaled
     by 1/SF to return rows at any scale — an avg-relative threshold
@@ -324,10 +324,12 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     back into the plan as a 1-row nested-loop build — never a driver
     collect, never a rescan of lineitem.  The per-part agg shuffles
     once on partkey."""
-    nat = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     sup = (
         _t(spark, sf_dir, "supplier")
         .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
         .select("s_suppkey")
     )
     li = _t(spark, sf_dir, "lineitem").select(
@@ -353,7 +355,8 @@ WITH per_part AS (
   FROM lineitem
   JOIN supplier ON l_suppkey = s_suppkey
   JOIN nation ON s_nationkey = n_nationkey
-  WHERE n_name = 'NATION_5'
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
   GROUP BY l_partkey)
 SELECT l_partkey, part_value
 FROM per_part
