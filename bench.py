@@ -131,6 +131,28 @@ NEW_IN_R5 = [
     "q6_forecast_revenue",
     "ohlc_15m_gapless",
     "value_histogram",
+    # second r5 session: the TPC-H completion set (ten shapes), the
+    # OLAP/behavioral parity set, and three curation ops — every
+    # second these add to the r4->r5 TOTAL is new coverage
+    "q2_min_cost_supplier",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q12_late_line_priority",
+    "q15_top_supplier",
+    "q16_parts_supplier_count",
+    "q20_part_promotion",
+    "q21_waiting_supplier",
+    "limit_by_topn",
+    "volume_rollup",
+    "value_percentiles",
+    "mergeable_rollup",
+    "twap_vwap",
+    "user_journey_path",
+    "sequence_count",
+    "lm_score",
+    "weighted_sample",
 ]
 NEW_IN_R4 = WRITE_BENCHES + [
     "mixture_sample",
@@ -260,6 +282,50 @@ def _write_bench_fns(spark, sf_dir: str, scratch: str):
         ("write_bucketed", None, bucketed_once),
         ("write_compact", compact_setup, compact_once),
     ]
+
+
+def _sketch_bench(spark, sf_dir: str) -> dict[str, float]:
+    """Exact vs sketch percentiles on the same grouped data: exact
+    ``percentile`` sorts each group; ``approx_percentile`` (accuracy
+    10000) merges t-digest-style partials map-side — the shape that
+    stays bounded when a group is 10^9 rows. Reports min-of-2 wall
+    seconds each and the sketch's worst relative error vs exact."""
+    from pyspark.sql import functions as F
+
+    ev = (
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "value")
+    )
+    pcts = "array(0.25D, 0.5D, 0.75D, 0.9D)"
+    exact_expr = F.expr(f"percentile(value, {pcts})").alias("p")
+    approx_expr = F.expr(f"approx_percentile(value, {pcts}, 10000)").alias("p")
+
+    def timed(expr) -> float:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            ev.groupBy("event_type").agg(expr).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    ev.groupBy("event_type").agg(exact_expr).collect()  # warm both shapes
+    exact_sec = timed(exact_expr)
+    approx_sec = timed(approx_expr)
+    ex = {r["event_type"]: r["p"] for r in ev.groupBy("event_type").agg(exact_expr).collect()}
+    ap = {r["event_type"]: r["p"] for r in ev.groupBy("event_type").agg(approx_expr).collect()}
+    worst = 0.0
+    for k, evs in ex.items():
+        for a, b in zip(evs, ap[k]):
+            if a:
+                worst = max(worst, abs(a - b) / abs(a))
+    return {
+        "exact_percentile_sec": round(exact_sec, 3),
+        "approx_percentile_sec": round(approx_sec, 3),
+        "worst_rel_err": round(worst, 6),
+    }
 
 
 def _streaming_bench(spark, seconds: float = 10.0) -> dict[str, object]:
@@ -471,6 +537,15 @@ def main() -> None:
         if delta is not None:
             telemetry[name] = delta
 
+    # sketch tier: value_percentiles' docstring names approx_percentile
+    # as the 100 TB path (map-side-mergeable t-digest analogue of
+    # ClickHouse quantileTDigest); time it against the exact variant on
+    # the same data so the artifact carries the measured trade-off
+    try:
+        sketch = _sketch_bench(spark, sf_dir)
+    except Exception as exc:  # noqa: BLE001 — never fail the batch bench
+        sketch = {"error": str(exc)[:200]}
+
     # guarded at the CALL site too: any failure inside the streaming
     # tier (including import errors, which the inner try cannot see)
     # must cost only the streaming lines, never the finished batch run
@@ -486,6 +561,7 @@ def main() -> None:
         "timings_4dp": timings,  # full precision; headline carries 2dp
         "conditions": conditions,
         "streaming": streaming,
+        "sketch": sketch,
         "new_in_r4": NEW_IN_R4,
         "new_in_r5": NEW_IN_R5,
     }
@@ -501,6 +577,7 @@ def main() -> None:
                 "bench_sidecar": "conditions",
                 "conditions": conditions,
                 "streaming": streaming,
+                "sketch": sketch,
                 "new_in_r4": NEW_IN_R4,
                 "new_in_r5": NEW_IN_R5,
             }

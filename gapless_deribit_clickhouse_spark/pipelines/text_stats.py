@@ -441,6 +441,11 @@ def bigram_lm_score(
             ).alias("pr"),
         )
         .select(id_col, F.col("pr.w1").alias("w1"), F.col("pr.w2").alias("w2"))
+        # pairs feed FOUR consumers (c2, c1, vocab, and the final
+        # join); the lazy localCheckpoint cuts the lineage so the
+        # tokenize+explode prefix scans the corpus once, not once per
+        # consumer (the curation-flagship pattern)
+        .localCheckpoint(eager=False)
     )
     c2 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
     c1 = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
