@@ -713,6 +713,68 @@ FROM j
 """
 
 
+def ohlc_gapless_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH FILL ... INTERPOLATE parity: the same densified grid with
+    the close LINEARLY interpolated between the surrounding observed
+    bars instead of stepped forward — the variant charting and
+    diff-based consumers want.  Same plan as the forward-fill shape
+    plus one mirrored window (both ride the (key, ts) sort already
+    paid); interpolation weights are exact-integer epoch micros cast
+    to double, shared with the oracle."""
+    from gapless_deribit_clickhouse_spark.operators.gapfill import (
+        fill_time_gaps,
+    )
+
+    bars = ohlc_15m(spark, sf_dir)
+    return fill_time_gaps(
+        bars,
+        ts_col="bucket_ts",
+        step_seconds=900,
+        keys=["event_type"],
+        interpolate_cols=["close"],
+    ).select("event_type", "bucket_ts", "close", "is_gap")
+
+
+OHLC_GAPLESS_INTERP_SQL = f"""
+WITH ohlc AS (SELECT * FROM ({OHLC_15M_SQL})),
+bounds AS (
+  SELECT event_type, min(bucket_ts) AS lo, max(bucket_ts) AS hi
+  FROM ohlc GROUP BY event_type),
+grid AS (
+  SELECT event_type,
+         unnest(generate_series(lo, hi, INTERVAL 15 MINUTE)) AS bucket_ts
+  FROM bounds),
+j AS (
+  SELECT g.event_type, g.bucket_ts, o.close,
+         CASE WHEN o.bucket_ts IS NULL THEN 1 ELSE 0 END AS is_gap,
+         CASE WHEN o.bucket_ts IS NOT NULL
+              THEN CAST(epoch_us(g.bucket_ts) AS DOUBLE) END AS obs_t
+  FROM grid g LEFT JOIN ohlc o
+    ON o.event_type = g.event_type AND o.bucket_ts = g.bucket_ts),
+wv AS (
+  SELECT *,
+         CAST(epoch_us(bucket_ts) AS DOUBLE) AS t,
+         last_value(close IGNORE NULLS) OVER wp AS prev_v,
+         first_value(close IGNORE NULLS) OVER wn AS next_v,
+         last_value(obs_t IGNORE NULLS) OVER wp AS prev_t,
+         first_value(obs_t IGNORE NULLS) OVER wn AS next_t
+  FROM j
+  WINDOW wp AS (PARTITION BY event_type ORDER BY bucket_ts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wn AS (PARTITION BY event_type ORDER BY bucket_ts
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+SELECT event_type, bucket_ts,
+       -- parenthesized to Spark's evaluation order, a * (b / c):
+       -- (a*b)/c rounds differently by ~1 ulp, which the compare's
+       -- 6dp rounding amplifies at exact-half boundaries
+       CASE WHEN is_gap = 0 THEN close
+            ELSE prev_v + (next_v - prev_v) * ((t - prev_t) / (next_t - prev_t))
+       END AS close,
+       is_gap
+FROM wv
+"""
+
+
 # --- fixed-bin histogram (two-phase global stat + bucket) ---
 def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bin histogram of the value column with data-derived bounds:
@@ -768,4 +830,5 @@ LATE_BINDINGS = [
     ("q6_forecast_revenue", q6_forecast_revenue, Q6_SQL),
     ("ohlc_15m_gapless", ohlc_15m_gapless, OHLC_GAPLESS_SQL),
     ("value_histogram", value_histogram, VALUE_HISTOGRAM_SQL),
+    ("ohlc_gapless_interp", ohlc_gapless_interp, OHLC_GAPLESS_INTERP_SQL),
 ]

@@ -32,6 +32,7 @@ def fill_time_gaps(
     keys: list[str] | tuple[str, ...] = (),
     fill_cols: list[str] | tuple[str, ...] = (),
     gap_col: str = "is_gap",
+    interpolate_cols: list[str] | tuple[str, ...] = (),
 ) -> DataFrame:
     """Densify a bucket-aligned time series to its regular grid.
 
@@ -42,9 +43,23 @@ def fill_time_gaps(
     inserted rows carry NULLs (``gap_col`` = 1) except ``fill_cols``,
     which are forward-filled from the most recent observation (an
     inserted row before a key's first observation cannot exist —
-    grids start AT the first observation)."""
+    grids start AT the first observation), and ``interpolate_cols``,
+    which are LINEARLY interpolated between the surrounding
+    observations (ClickHouse ``WITH FILL ... INTERPOLATE`` with the
+    lerp the charting/diffing consumers actually want; a column may
+    appear in only one of the two lists).  Interpolation weights use
+    exact-integer epoch microseconds; a gap row needs BOTH neighbors
+    (grids end AT the last observation, so a one-sided gap cannot
+    exist).  Cost: two ordered windows per interpolated column over
+    the same (keys, ts) sort the forward fill already pays — no extra
+    shuffle."""
     if step_seconds < 1:
         raise ValueError("step_seconds must be >= 1")
+    overlap = set(fill_cols) & set(interpolate_cols)
+    if overlap:
+        raise ValueError(
+            f"columns in both fill_cols and interpolate_cols: {sorted(overlap)}"
+        )
     keys = list(keys)
     bounds = df.groupBy(*keys).agg(
         F.min(ts_col).alias("__lo"), F.max(ts_col).alias("__hi")
@@ -64,12 +79,32 @@ def fill_time_gaps(
         gap_col,
         F.when(F.col("__present").isNull(), F.lit(1)).otherwise(F.lit(0)),
     )
-    if fill_cols:
-        w = (
+    if fill_cols or interpolate_cols:
+        w_prev = (
             Window.partitionBy(*keys)
             .orderBy(ts_col)
             .rowsBetween(Window.unboundedPreceding, 0)
         )
         for c in fill_cols:
-            out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+            out = out.withColumn(c, F.last(c, ignorenulls=True).over(w_prev))
+        if interpolate_cols:
+            w_next = (
+                Window.partitionBy(*keys)
+                .orderBy(ts_col)
+                .rowsBetween(0, Window.unboundedFollowing)
+            )
+            t = F.unix_micros(F.col(ts_col)).cast("double")
+            obs_t = F.when(F.col("__present").isNotNull(), t)
+            prev_t = F.last(obs_t, ignorenulls=True).over(w_prev)
+            next_t = F.first(obs_t, ignorenulls=True).over(w_next)
+            for c in interpolate_cols:
+                prev_v = F.last(c, ignorenulls=True).over(w_prev)
+                next_v = F.first(c, ignorenulls=True).over(w_next)
+                frac = (t - prev_t) / (next_t - prev_t)
+                out = out.withColumn(
+                    c,
+                    F.when(F.col(gap_col) == 0, F.col(c)).otherwise(
+                        prev_v + (next_v - prev_v) * frac
+                    ),
+                )
     return out.drop("__present")

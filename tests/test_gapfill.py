@@ -54,3 +54,31 @@ def test_fill_without_fill_cols_leaves_nulls(sparse):
 def test_fill_validates_step(sparse):
     with pytest.raises(ValueError):
         fill_time_gaps(sparse, ts_col="bucket_ts", step_seconds=0)
+
+
+def test_fill_linear_interpolation(sparse):
+    out = {
+        (r["k"], r["bucket_ts"].minute): (r["close"], r["is_gap"])
+        for r in fill_time_gaps(
+            sparse, "bucket_ts", 60, keys=["k"], interpolate_cols=["close"]
+        ).collect()
+    }
+    # observed rows untouched
+    assert out[("a", 0)] == (10.0, 0)
+    assert out[("a", 2)] == (20.0, 0)
+    assert out[("a", 5)] == (50.0, 0)
+    # gap at minute 1: halfway between 10 and 20
+    assert out[("a", 1)] == (15.0, 1)
+    # gaps at 3, 4: linear between 20 (t=2) and 50 (t=5)
+    assert out[("a", 3)] == (30.0, 1)
+    assert out[("a", 4)] == (40.0, 1)
+    # single-observation key: grid of one, nothing to interpolate
+    assert out[("b", 7)] == (70.0, 0)
+
+
+def test_fill_rejects_overlapping_modes(sparse):
+    with pytest.raises(ValueError, match="both fill_cols"):
+        fill_time_gaps(
+            sparse, "bucket_ts", 60, keys=["k"],
+            fill_cols=["close"], interpolate_cols=["close"],
+        )
