@@ -287,6 +287,81 @@ ORDER BY user_id
 """
 
 
+# --- set operations (SURVEY §2.7): INTERSECT / EXCEPT, value-checked ---
+def user_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Converted-but-clean users: (viewers INTERSECT purchasers)
+    EXCEPT first-week-errored — the §2.7 set-operation group as a
+    value-checked binding rather than pytest-only machinery (the
+    anti side is time-windowed so the result is non-empty at every
+    SF — unwindowed, every converting user has errored somewhere).  Catalyst compiles
+    INTERSECT to a distinct left-semi join and EXCEPT to a distinct
+    left-anti join, so the whole chain is per-key hash aggregation +
+    two key-only joins on user_id: each side reduces to its distinct
+    key set BEFORE any join, and nothing wider than a user_id ever
+    shuffles."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def users_of(etype: str) -> DataFrame:
+        return ev.filter(F.col("event_type") == etype).select("user_id")
+
+    errored_w1 = ev.filter(
+        (F.col("event_type") == "error")
+        & (F.col("ts") >= F.lit("2024-01-01"))
+        & (F.col("ts") < F.lit("2024-01-08"))
+    ).select("user_id")
+    out = (
+        users_of("view")
+        .intersect(users_of("purchase"))
+        .exceptAll(errored_w1.distinct())
+    )
+    return out.orderBy("user_id")
+
+
+USER_SET_OPS_SQL = """
+SELECT user_id FROM events WHERE event_type = 'view'
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'purchase'
+EXCEPT
+SELECT user_id FROM events WHERE event_type = 'error'
+  AND ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'
+ORDER BY user_id
+"""
+
+
+# --- dynamic pivot (one-scan conditional-agg expansion) ---
+def event_value_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily value totals pivoted to one column per event_type via
+    Spark's native ``pivot`` — the dynamic-crosstab operator proper,
+    complementing moneyness_pivot's static when-chain.  The value
+    list is passed EXPLICITLY, which matters twice at 100 TB: it
+    skips pivot's otherwise-mandatory distinct-value collection scan,
+    and it makes the output schema static so downstream plans stay
+    resolvable.  The pivot still compiles to ONE single-pass
+    conditional aggregation (partial map-side, one shuffle on the day
+    key)."""
+    ev = load_table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .pivot("event_type", types)
+        .agg(F.sum("value"))
+        .orderBy("day")
+    )
+
+
+EVENT_VALUE_PIVOT_SQL = """
+SELECT date_trunc('day', ts) AS day,
+       sum(CASE WHEN event_type = 'click' THEN value END) AS click,
+       sum(CASE WHEN event_type = 'error' THEN value END) AS error,
+       sum(CASE WHEN event_type = 'purchase' THEN value END) AS purchase,
+       sum(CASE WHEN event_type = 'signup' THEN value END) AS signup,
+       sum(CASE WHEN event_type = 'view' THEN value END) AS view
+FROM events
+GROUP BY date_trunc('day', ts)
+ORDER BY day
+"""
+
+
 BINDINGS: list = []
 
 LATE_BINDINGS = [
@@ -296,4 +371,6 @@ LATE_BINDINGS = [
     ("mergeable_rollup", mergeable_rollup, MERGEABLE_ROLLUP_SQL),
     ("twap_vwap", twap_vwap, TWAP_VWAP_SQL),
     ("user_journey_path", user_journey_path, USER_JOURNEY_SQL),
+    ("user_set_ops", user_set_ops, USER_SET_OPS_SQL),
+    ("event_value_pivot", event_value_pivot, EVENT_VALUE_PIVOT_SQL),
 ]
