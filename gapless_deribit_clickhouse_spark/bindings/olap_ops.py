@@ -362,6 +362,69 @@ ORDER BY day
 """
 
 
+# --- weighted median (quantileExactWeighted parity) ---
+def weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event_type, the k-weighted median of value (ClickHouse
+    ``quantileExactWeighted(0.5)`` / ``medianExactWeighted``): the
+    smallest value whose running weight reaches half the group total.
+    Neither engine ships a weighted quantile, so BOTH sides express
+    the same definition as the same plan — a cumulative-weight window
+    over the value order, then min_by on the first qualifying row —
+    making the compare a true cross-engine check of the shared
+    formulation, like the mixture/split threshold math.  One shuffle
+    on the group key; the window and both aggregations share it.
+    Weights are exact integers (the JSON qty), so the half-total
+    comparison is exact: 2*cum >= total avoids ever dividing."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        F.from_json(F.col("props"), "k INT")["k"].cast("long").alias("qty"),
+    ).filter(
+        F.col("value").isNotNull() & F.col("qty").isNotNull() & (F.col("qty") > 0)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("value").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = Window.partitionBy("event_type")
+    cum = F.sum("qty").over(w)
+    total = F.sum("qty").over(tot)
+    return (
+        ev.withColumn("cum", cum)
+        .withColumn("total", total)
+        .filter(2 * F.col("cum") >= F.col("total"))
+        .groupBy("event_type")
+        .agg(
+            F.min("value").alias("weighted_median"),
+            F.min("total").cast("bigint").alias("total_weight"),
+        )
+        .orderBy("event_type")
+    )
+
+
+WEIGHTED_MEDIAN_SQL = """
+WITH ev AS (
+  SELECT event_type, value,
+         CAST(CAST(json_extract(props, '$.k') AS INT) AS BIGINT) AS qty
+  FROM events
+  WHERE value IS NOT NULL
+    AND CAST(json_extract(props, '$.k') AS INT) > 0),
+c AS (
+  SELECT event_type, value,
+         sum(qty) OVER (PARTITION BY event_type ORDER BY value
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(qty) OVER (PARTITION BY event_type) AS total
+  FROM ev)
+SELECT event_type,
+       min(value) AS weighted_median,
+       CAST(min(total) AS BIGINT) AS total_weight
+FROM c WHERE 2 * cum >= total
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 BINDINGS: list = []
 
 LATE_BINDINGS = [
@@ -373,4 +436,5 @@ LATE_BINDINGS = [
     ("user_journey_path", user_journey_path, USER_JOURNEY_SQL),
     ("user_set_ops", user_set_ops, USER_SET_OPS_SQL),
     ("event_value_pivot", event_value_pivot, EVENT_VALUE_PIVOT_SQL),
+    ("weighted_median", weighted_median, WEIGHTED_MEDIAN_SQL),
 ]
