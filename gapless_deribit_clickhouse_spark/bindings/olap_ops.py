@@ -425,6 +425,74 @@ ORDER BY event_type
 """
 
 
+# --- FULL OUTER reconciliation (the one join type nothing else uses) ---
+def full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-level reconciliation of two independent aggregates — event
+    revenue vs order revenue — via FULL OUTER join: days present in
+    only one source survive with the other side NULL-coalesced to
+    zero, the shape an inner join silently gets wrong in both
+    directions (q13 covers left-outer; this completes the join-type
+    matrix).  Both sides aggregate BEFORE the join, so the full outer
+    joins two day-cardinality tables — at 100 TB the join inputs are
+    thousands of rows regardless of fact size, and the day key is
+    unique per side so the join cannot fan out."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.sum("value").alias("event_value"))
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        # the orders table spans 1995-2001 vs events' 2024: restrict
+        # to a slice REMAPPED into the events year so the full outer
+        # exercises all three match cases (both / left-only /
+        # right-only) instead of degenerating to a disjoint union
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01"))
+            & (F.col("o_orderdate") < F.lit("1996-02-15"))
+        )
+        .groupBy(
+            (F.col("o_orderdate") + F.expr("INTERVAL 28 YEARS")).alias("day")
+        )
+        .agg(F.sum("o_totalprice").alias("order_value"))
+    )
+    return (
+        ev.join(orders, "day", "full_outer")
+        .select(
+            "day",
+            F.coalesce("event_value", F.lit(0.0)).alias("event_value"),
+            F.coalesce("order_value", F.lit(0.0)).alias("order_value"),
+            (
+                F.coalesce("event_value", F.lit(0.0))
+                - F.coalesce("order_value", F.lit(0.0))
+            ).alias("delta"),
+        )
+        .orderBy("day")
+    )
+
+
+FULL_OUTER_SQL = """
+WITH ev AS (
+  SELECT date_trunc('day', ts) AS day, sum(value) AS event_value
+  FROM events WHERE value IS NOT NULL
+  GROUP BY date_trunc('day', ts)),
+o AS (
+  SELECT o_orderdate + INTERVAL 28 YEAR AS day,
+         sum(o_totalprice) AS order_value
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate <  TIMESTAMP '1996-02-15'
+  GROUP BY o_orderdate + INTERVAL 28 YEAR)
+SELECT COALESCE(ev.day, o.day) AS day,
+       COALESCE(event_value, 0.0) AS event_value,
+       COALESCE(order_value, 0.0) AS order_value,
+       COALESCE(event_value, 0.0) - COALESCE(order_value, 0.0) AS delta
+FROM ev FULL OUTER JOIN o ON ev.day = o.day
+ORDER BY day
+"""
+
+
 BINDINGS: list = []
 
 LATE_BINDINGS = [
@@ -437,4 +505,5 @@ LATE_BINDINGS = [
     ("user_set_ops", user_set_ops, USER_SET_OPS_SQL),
     ("event_value_pivot", event_value_pivot, EVENT_VALUE_PIVOT_SQL),
     ("weighted_median", weighted_median, WEIGHTED_MEDIAN_SQL),
+    ("full_outer_reconcile", full_outer_reconcile, FULL_OUTER_SQL),
 ]
