@@ -61,6 +61,9 @@ def __getattr__(name: str):
         "load_schema": "schema", "validate_table": "schema",
         "write_bucketed": "schema",
         "get_spark": "core.session",
+        "load_table": "core.tables",
+        "load_tables": "core.tables",
+        "register_views": "core.tables",
         # feature surface (reference features/__init__.py:61-88)
         "FeatureConfig": "features", "get_preset": "features",
         "DEFAULT": "features", "CONSERVATIVE": "features",
@@ -232,7 +235,7 @@ __all__ = [
     "print_validation_summary",
     "load_schema", "write_bucketed",
     "validate_table",
-    "get_spark",
+    "get_spark", "load_table", "load_tables", "register_views",
     # feature surface (lazy)
     "FeatureConfig", "get_preset", "DEFAULT", "CONSERVATIVE",
     "HIGH_FREQUENCY",

@@ -286,3 +286,24 @@ def test_merge_rollup_is_split_invariant(spark):
     assert whole["a"][0] == 3 and whole["c"][5] is None  # n<2 -> NULL stddev
     import math
     assert math.isclose(whole["a"][5], 1.0)  # stddev_samp of 1,2,3
+
+
+def test_register_views_enables_raw_sql(spark):
+    from gapless_deribit_clickhouse_spark.core.tables import register_views
+
+    register_views(spark, "/root/testdata/sf0.001")
+    # the ClickHouse-migration story: keep writing plain SQL against
+    # the same table names; Catalyst plans it like the DataFrame API
+    out = spark.sql(
+        """
+        SELECT event_type, count(*) AS n
+        FROM events GROUP BY event_type ORDER BY event_type
+        """
+    ).collect()
+    assert [r["event_type"] for r in out] == [
+        "click", "error", "purchase", "signup", "view"
+    ]
+    assert all(r["n"] > 0 for r in out)
+    # idempotent re-registration
+    register_views(spark, "/root/testdata/sf0.001")
+    assert spark.sql("SELECT count(*) AS c FROM region").collect()[0]["c"] == 5
