@@ -107,6 +107,7 @@ def __getattr__(name: str):
         "token_topk": "pipelines.text_stats",
         "tfidf_top_terms": "pipelines.text_stats",
         "curate_corpus": "pipelines.curation",
+        "quality_gate": "pipelines.curation",
         "build_training_set": "pipelines.curation",
         "contamination_check": "pipelines.curation",
         "repetition_stats": "pipelines.text_stats",
@@ -259,6 +260,7 @@ __all__ = [
     "cosine_topk", "ivf_topk", "embedding_near_dup_pairs",
     "quality_score", "lang_id", "token_count", "bpe_ish_token_count",
     "fingerprint", "bigram_lm_score", "token_topk", "tfidf_top_terms", "curate_corpus",
+    "quality_gate",
     "contamination_check", "repetition_stats", "corpus_profile", "sample_n_per_group",
     "hash_sample", "stratified_hash_sample", "weighted_sample_per_group",
     "split_assign",

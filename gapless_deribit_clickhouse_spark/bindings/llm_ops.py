@@ -1413,6 +1413,29 @@ FROM r WHERE rn <= 5
 WEIGHTED_SAMPLE_SQL = _weighted_sample_sql()
 
 
+# --- composed two-signal quality gate (heuristics x corpus LM) ---
+def quality_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs clearing BOTH the heuristic quality floor and the
+    corpus-median perplexity cut — the composed gate whose oracle is
+    the conjunction of the two already-proven chains plus an exact
+    median scalar, so the composition (not just the parts) is
+    value-checked."""
+    from gapless_deribit_clickhouse_spark.pipelines.curation import quality_gate
+
+    return quality_gate(_docs(spark, sf_dir), min_quality=0.5).orderBy("doc_id")
+
+
+QUALITY_GATE_SQL = f"""
+WITH lm AS ({LM_SCORE_SQL}),
+q AS ({QUALITY_SQL})
+SELECT doc_id, quality_score, ppl
+FROM q JOIN lm USING (doc_id)
+WHERE quality_score >= 0.5
+  AND ppl <= (SELECT quantile_cont(ppl, 0.5) FROM lm)
+ORDER BY doc_id
+"""
+
+
 LATE_BINDINGS = [
     ("split_assign", split_assign_q, SPLIT_ASSIGN_SQL),
     ("interdoc_repetition", interdoc_repetition_q, INTERDOC_REPETITION_SQL),
@@ -1420,4 +1443,5 @@ LATE_BINDINGS = [
     ("embedding_project", embedding_project_q, EMBEDDING_PROJECT_SQL),
     ("lm_score", lm_score_q, LM_SCORE_SQL),
     ("weighted_sample", weighted_sample_q, WEIGHTED_SAMPLE_SQL),
+    ("quality_gate", quality_gate_q, QUALITY_GATE_SQL),
 ]

@@ -185,3 +185,42 @@ def build_training_set(
         "chunk_uid", id_col, "chunk_idx", "chunk_text",
         "pack_id", "pack_pos", "n_tokens", "oversized",
     )
+
+
+def quality_gate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_quality: float = 0.5,
+) -> DataFrame:
+    """The FineWeb/CCNet-style two-signal quality gate: keep documents
+    whose heuristic quality score clears ``min_quality`` AND whose
+    corpus-LM perplexity is at-or-below the corpus MEDIAN — the
+    classic "fluent half by the model, clean by the heuristics"
+    intersection.  The median is a 1-row exact-percentile scalar
+    broadcast into the plan (scale-free: thresholds on raw ppl drift
+    with vocabulary size, the median does not), the same bounded
+    nested-loop pattern as q22/value_histogram.  Cost = one
+    quality-score scan + the lm_score plan + two key joins; both
+    signal frames reduce to (doc_id, metric) before joining."""
+    from gapless_deribit_clickhouse_spark.pipelines.text_stats import (
+        bigram_lm_score,
+        quality_score,
+    )
+
+    q = quality_score(df, text_col=text_col, id_col=id_col).select(
+        id_col, "quality_score"
+    )
+    lm = bigram_lm_score(df, text_col=text_col, id_col=id_col).select(
+        id_col, "ppl"
+    )
+    med = lm.agg(F.expr("percentile(ppl, 0.5D)").alias("median_ppl"))
+    return (
+        q.join(lm, id_col)
+        .crossJoin(F.broadcast(med))
+        .filter(
+            (F.col("quality_score") >= F.lit(min_quality))
+            & (F.col("ppl") <= F.col("median_ppl"))
+        )
+        .select(id_col, "quality_score", "ppl")
+    )

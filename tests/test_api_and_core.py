@@ -307,3 +307,45 @@ def test_register_views_enables_raw_sql(spark):
     # idempotent re-registration
     register_views(spark, "/root/testdata/sf0.001")
     assert spark.sql("SELECT count(*) AS c FROM region").collect()[0]["c"] == 5
+
+
+def test_weighted_median_matches_bruteforce(spark):
+    """50 random groups in ONE job, each checked against a Python
+    brute force of the definition (smallest value whose running
+    weight reaches half the total), including value ties and skewed
+    weights."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows, expected = [], {}
+    for g in range(50):
+        n = int(rng.integers(1, 30))
+        # small value alphabet forces ties; weights span 4 decades
+        vals = rng.integers(0, 8, n).astype(float)
+        wts = (10.0 ** rng.integers(0, 4, n)).astype(int)
+        key = f"g{g}"
+        rows += [(key, float(v), int(w)) for v, w in zip(vals, wts)]
+        order = np.argsort(vals, kind="stable")
+        sv, sw = vals[order], wts[order]
+        cum = np.cumsum(sw)
+        expected[key] = float(sv[np.searchsorted(2 * cum, cum[-1])])
+    df = spark.createDataFrame(rows, "k string, value double, qty long")
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy("k").orderBy("value").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = Window.partitionBy("k")
+    got = {
+        r["k"]: r["m"]
+        for r in (
+            df.withColumn("cum", F.sum("qty").over(w))
+            .withColumn("total", F.sum("qty").over(tot))
+            .filter(2 * F.col("cum") >= F.col("total"))
+            .groupBy("k")
+            .agg(F.min("value").alias("m"))
+        ).collect()
+    }
+    assert got == expected

@@ -50,6 +50,8 @@ ALLOWED_PYTHON = REQUIRED_PYTHON | {"dup_clusters"}
 # - value_histogram: 1-row min/max-bounds scalar broadcast
 # - q11_important_stock: 1-row avg-part-value scalar broadcast
 # - lm_score: 1-row vocabulary-size scalar broadcast
+# - quality_gate: lm_score's vocabulary scalar + the 1-row
+#   median-ppl percentile scalar
 ALLOWED_NLJ = {
     "tfidf_top_terms",
     "cosine_topk",
@@ -57,6 +59,7 @@ ALLOWED_NLJ = {
     "value_histogram",
     "q11_important_stock",
     "lm_score",
+    "quality_gate",
 }
 
 
