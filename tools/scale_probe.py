@@ -78,6 +78,7 @@ PROBES = [
     # exactly the growth the probe should confirm (a quadratic row
     # here would mean the pairs->counts joins are exploding)
     "lm_score",
+    "quality_gate",  # composed heuristics x LM gate over the same scan
 ]
 
 # analytics-tier probes (VERDICT r4 #3): the union-window as-of join,
