@@ -153,6 +153,12 @@ NEW_IN_R5 = [
     "sequence_count",
     "lm_score",
     "weighted_sample",
+    "ohlc_gapless_interp",
+    "user_set_ops",
+    "event_value_pivot",
+    "weighted_median",
+    "full_outer_reconcile",
+    "quality_gate",
 ]
 NEW_IN_R4 = WRITE_BENCHES + [
     "mixture_sample",
