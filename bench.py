@@ -317,7 +317,8 @@ def _sketch_bench(spark, sf_dir: str) -> dict[str, float]:
             best = min(best, time.perf_counter() - t0)
         return best
 
-    ev.groupBy("event_type").agg(exact_expr).collect()  # warm both shapes
+    ev.groupBy("event_type").agg(exact_expr).collect()  # warm exact
+    ev.groupBy("event_type").agg(approx_expr).collect()  # warm approx
     exact_sec = timed(exact_expr)
     approx_sec = timed(approx_expr)
     ex = {r["event_type"]: r["p"] for r in ev.groupBy("event_type").agg(exact_expr).collect()}

@@ -132,6 +132,7 @@ def __getattr__(name: str):
         "streaming_sessionize": "operators.sessionize",
         "salted_agg": "operators.skew",
         "topn_per_group": "operators.topk",
+        "weighted_median_per_group": "operators.weighted",
         "partial_rollup": "operators.merge_rollup",
         "merge_rollup": "operators.merge_rollup",
         "finalize_rollup": "operators.merge_rollup",
@@ -269,7 +270,8 @@ __all__ = [
     "read_jsonl_corpus", "write_corpus_shards",
     "connected_components", "dedup_clusters", "compact_table", "interval_join",
     "sessionize", "session_stats", "streaming_sessionize",
-    "salted_agg", "topn_per_group", "partial_rollup", "merge_rollup",
+    "salted_agg", "topn_per_group", "weighted_median_per_group",
+    "partial_rollup", "merge_rollup",
     "finalize_rollup", "window_funnel", "sequence_count", "retention",
     "fill_time_gaps",
     "lsh_params", "minhash_params",

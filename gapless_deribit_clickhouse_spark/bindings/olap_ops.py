@@ -312,7 +312,7 @@ def user_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = (
         users_of("view")
         .intersect(users_of("purchase"))
-        .exceptAll(errored_w1.distinct())
+        .subtract(errored_w1)  # EXCEPT DISTINCT, the oracle's operator
     )
     return out.orderBy("user_id")
 
@@ -374,33 +374,21 @@ def weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     formulation, like the mixture/split threshold math.  One shuffle
     on the group key; the window and both aggregations share it.
     Weights are exact integers (the JSON qty), so the half-total
-    comparison is exact: 2*cum >= total avoids ever dividing."""
+    comparison is exact: 2*cum >= total avoids ever dividing.  The
+    plan lives in ``operators/weighted.py`` so the brute-force pin in
+    tests exercises the SAME code the binding ships."""
+    from gapless_deribit_clickhouse_spark.operators.weighted import (
+        weighted_median_per_group,
+    )
+
     ev = load_table(spark, sf_dir, "events").select(
         "event_type",
         "value",
         F.from_json(F.col("props"), "k INT")["k"].cast("long").alias("qty"),
-    ).filter(
-        F.col("value").isNotNull() & F.col("qty").isNotNull() & (F.col("qty") > 0)
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("event_type").orderBy("value").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    tot = Window.partitionBy("event_type")
-    cum = F.sum("qty").over(w)
-    total = F.sum("qty").over(tot)
-    return (
-        ev.withColumn("cum", cum)
-        .withColumn("total", total)
-        .filter(2 * F.col("cum") >= F.col("total"))
-        .groupBy("event_type")
-        .agg(
-            F.min("value").alias("weighted_median"),
-            F.min("total").cast("bigint").alias("total_weight"),
-        )
-        .orderBy("event_type")
-    )
+    return weighted_median_per_group(
+        ev, ["event_type"], "value", "qty"
+    ).orderBy("event_type")
 
 
 WEIGHTED_MEDIAN_SQL = """

@@ -417,7 +417,10 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-row max aggregates the per-supplier output (already tiny) and
     broadcasts back — the revenue 'view' is computed exactly once,
     exactly like the SQL WITH binds it once.  Equality against the
-    max is exact: both sides take max over the identical double set."""
+    max is exact: the revenue frame is checkpointed so the scalar and
+    the probe read the SAME materialized doubles (re-execution could
+    merge sum partials in a different order — 1 ulp off on an
+    exact-equality boundary is an empty result)."""
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01"))
         & (F.col("l_shipdate") < F.lit("1997-04-01"))
@@ -426,7 +429,12 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
             "total_revenue"
         )
-    )
+    # the max scalar AND the probe side must read the SAME materialized
+    # doubles: without the checkpoint each branch re-executes the sum,
+    # whose shuffle partials merge in nondeterministic order, and a
+    # 1-ulp wobble on the exact-equality boundary row silently returns
+    # zero rows
+    ).localCheckpoint(eager=False)
     top = revenue.agg(F.max("total_revenue").alias("max_revenue"))
     sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (

@@ -94,10 +94,17 @@ def fill_time_gaps(
                 .rowsBetween(0, Window.unboundedFollowing)
             )
             t = F.unix_micros(F.col(ts_col)).cast("double")
-            obs_t = F.when(F.col("__present").isNotNull(), t)
-            prev_t = F.last(obs_t, ignorenulls=True).over(w_prev)
-            next_t = F.first(obs_t, ignorenulls=True).over(w_next)
             for c in interpolate_cols:
+                # time anchors are PER COLUMN and gated on the value
+                # being non-null: an observed row with a NULL value
+                # must not anchor the slope (a presence-based anchor
+                # would pair t from that row with v from an earlier
+                # one and bend the line)
+                anchored = F.when(
+                    F.col("__present").isNotNull() & F.col(c).isNotNull(), t
+                )
+                prev_t = F.last(anchored, ignorenulls=True).over(w_prev)
+                next_t = F.first(anchored, ignorenulls=True).over(w_next)
                 prev_v = F.last(c, ignorenulls=True).over(w_prev)
                 next_v = F.first(c, ignorenulls=True).over(w_next)
                 frac = (t - prev_t) / (next_t - prev_t)

@@ -201,8 +201,9 @@ def quality_gate(
     broadcast into the plan (scale-free: thresholds on raw ppl drift
     with vocabulary size, the median does not), the same bounded
     nested-loop pattern as q22/value_histogram.  Cost = one
-    quality-score scan + the lm_score plan + two key joins; both
-    signal frames reduce to (doc_id, metric) before joining."""
+    quality-score scan + ONE materialized lm_score plan (checkpointed
+    — the median scalar and the join re-read it) + two key joins;
+    both signal frames reduce to (doc_id, metric) before joining."""
     from gapless_deribit_clickhouse_spark.pipelines.text_stats import (
         bigram_lm_score,
         quality_score,
@@ -213,7 +214,11 @@ def quality_gate(
     )
     lm = bigram_lm_score(df, text_col=text_col, id_col=id_col).select(
         id_col, "ppl"
-    )
+    # the median scalar and the join side must read the SAME
+    # materialized ppl values: re-executing the lm plan would both
+    # double its cost and re-merge avg partials in a different order,
+    # and the median-boundary document sits on an exact-equality edge
+    ).localCheckpoint(eager=False)
     med = lm.agg(F.expr("percentile(ppl, 0.5D)").alias("median_ppl"))
     return (
         q.join(lm, id_col)

@@ -331,21 +331,12 @@ def test_weighted_median_matches_bruteforce(spark):
         expected[key] = float(sv[np.searchsorted(2 * cum, cum[-1])])
     df = spark.createDataFrame(rows, "k string, value double, qty long")
 
-    from pyspark.sql import Window
-    from pyspark.sql import functions as F
-
-    w = Window.partitionBy("k").orderBy("value").rowsBetween(
-        Window.unboundedPreceding, 0
+    from gapless_deribit_clickhouse_spark.operators.weighted import (
+        weighted_median_per_group,
     )
-    tot = Window.partitionBy("k")
+
     got = {
-        r["k"]: r["m"]
-        for r in (
-            df.withColumn("cum", F.sum("qty").over(w))
-            .withColumn("total", F.sum("qty").over(tot))
-            .filter(2 * F.col("cum") >= F.col("total"))
-            .groupBy("k")
-            .agg(F.min("value").alias("m"))
-        ).collect()
+        r["k"]: r["weighted_median"]
+        for r in weighted_median_per_group(df, ["k"], "value", "qty").collect()
     }
     assert got == expected

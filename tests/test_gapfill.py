@@ -82,3 +82,25 @@ def test_fill_rejects_overlapping_modes(sparse):
             sparse, "bucket_ts", 60, keys=["k"],
             fill_cols=["close"], interpolate_cols=["close"],
         )
+
+
+def test_fill_interpolation_skips_null_valued_observations(spark):
+    # an observed row with a NULL value must not anchor the slope
+    rows = [
+        ("a", _t(0), 10.0),
+        ("a", _t(2), None),   # observed, value missing
+        ("a", _t(4), 30.0),
+    ]
+    df = spark.createDataFrame(rows, ["k", "bucket_ts", "close"])
+    out = {
+        (r["bucket_ts"].minute): (r["close"], r["is_gap"])
+        for r in fill_time_gaps(
+            df, "bucket_ts", 60, keys=["k"], interpolate_cols=["close"]
+        ).collect()
+    }
+    # gap rows lerp between the surrounding NON-NULL observations
+    # (10 at t=0, 30 at t=4): t=1 -> 15, t=3 -> 25
+    assert out[1] == (15.0, 1)
+    assert out[3] == (25.0, 1)
+    # the null-valued OBSERVED row keeps its NULL (is_gap = 0)
+    assert out[2] == (None, 0)
