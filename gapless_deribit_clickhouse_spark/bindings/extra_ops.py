@@ -188,6 +188,52 @@ def egarch_params_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- EGARCH input series: the SQL-expressible half of the fit ---
+def egarch_inputs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact log-return series ``fit_egarch`` consumes — hourly
+    count series (+1 laplace bump), strict re-indexed grid, r =
+    100 * diff(ln v) — as an oracle-checked projection.  This moves
+    the one remaining rows-only component's boundary: everything up
+    to the iterative MLE (grid construction, re-indexing, the return
+    transform) is now value-checked cross-engine; only the
+    Nelder-Mead optimization itself stays pinned by the committed
+    golden fixtures (the power-of-10 rescale rides with it: its
+    while-loop boundary semantics on floats have no safe SQL twin).
+    Plan: one aggregation + one lag window sharing the group-key
+    shuffle."""
+    from gapless_deribit_clickhouse_spark.functions.timeutils import time_bucket
+
+    ev = load_table(spark, sf_dir, "events")
+    series = ev.groupBy(
+        "event_type", time_bucket(F.col("ts"), 3600).alias("bts")
+    ).agg((F.count(F.lit(1)) + 1).cast("double").alias("v"))
+    w = Window.partitionBy("event_type").orderBy("bts")
+    r100 = 100.0 * (F.log("v") - F.log(F.lag("v").over(w)))
+    return (
+        series.withColumn("idx", F.row_number().over(w) - 1)
+        .withColumn("r100", r100)
+        .filter(F.col("r100").isNotNull())
+        .select("event_type", "idx", "r100")
+        .orderBy("event_type", "idx")
+    )
+
+
+EGARCH_INPUTS_SQL = f"""
+WITH series AS (
+  SELECT event_type, {bucket_sql('ts', 3600)} AS bts,
+         CAST(count(*) + 1 AS DOUBLE) AS v
+  FROM events GROUP BY event_type, {bucket_sql('ts', 3600)}),
+lagged AS (
+  SELECT event_type,
+         row_number() OVER (PARTITION BY event_type ORDER BY bts) - 1 AS idx,
+         100.0 * (ln(v) - ln(lag(v) OVER (PARTITION BY event_type ORDER BY bts))) AS r100
+  FROM series)
+SELECT event_type, CAST(idx AS INT) AS idx, r100
+FROM lagged WHERE r100 IS NOT NULL
+ORDER BY event_type, idx
+"""
+
+
 # --- multimodal: mapInPandas feature extraction over text payloads ---
 def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -710,6 +756,7 @@ FROM events GROUP BY user_id
 
 # behavioral-analytics additions (round 5), past the stable window
 LATE_BINDINGS = [
+    ("egarch_inputs", egarch_inputs_q, EGARCH_INPUTS_SQL),
     ("window_funnel", window_funnel_q, WINDOW_FUNNEL_SQL),
     ("sequence_count", sequence_count_q, SEQUENCE_COUNT_SQL),
     ("retention", retention_q, RETENTION_SQL),
