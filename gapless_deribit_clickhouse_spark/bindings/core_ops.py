@@ -775,6 +775,41 @@ FROM wv
 """
 
 
+def scan_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The second page of the fetch_trades scan — ORDER BY ts DESC
+    LIMIT 100 OFFSET 100 (the reference pages its trade fetches;
+    this is the query-side pagination shape).  Spark compiles
+    offset+limit over a sort into a single CollectLimit(offset, n)
+    over per-partition top-(m+n) heaps: each partition forwards at
+    most offset+limit rows and the driver drops the first offset —
+    still no global sort, the same scale story as
+    TakeOrderedAndProject (deep pagination pays m+n per partition,
+    which is why real cursors should keyset-paginate on (ts,
+    event_id) instead; this binding documents the tradeoff)."""
+    df = _events(spark, sf_dir)
+    df = df.filter(
+        (F.col("ts") >= F.lit("2024-01-05 00:00:00"))
+        & (F.col("ts") < F.lit("2024-01-25 00:00:00"))
+        & (F.col("event_type") != "error")
+    )
+    return (
+        df.orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        .offset(100)
+        .limit(100)
+    )
+
+
+SCAN_PAGE2_SQL = """
+SELECT event_id, ts, user_id, event_type, value, props
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+  AND ts <  TIMESTAMP '2024-01-25 00:00:00'
+  AND event_type <> 'error'
+ORDER BY ts DESC, event_id DESC
+LIMIT 100 OFFSET 100
+"""
+
+
 # --- fixed-bin histogram (two-phase global stat + bucket) ---
 def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bin histogram of the value column with data-derived bounds:
@@ -831,4 +866,5 @@ LATE_BINDINGS = [
     ("ohlc_15m_gapless", ohlc_15m_gapless, OHLC_GAPLESS_SQL),
     ("value_histogram", value_histogram, VALUE_HISTOGRAM_SQL),
     ("ohlc_gapless_interp", ohlc_gapless_interp, OHLC_GAPLESS_INTERP_SQL),
+    ("scan_page2", scan_page2, SCAN_PAGE2_SQL),
 ]
