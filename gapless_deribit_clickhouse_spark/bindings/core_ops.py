@@ -705,9 +705,13 @@ j AS (
   FROM grid g LEFT JOIN ohlc o
     ON o.event_type = g.event_type AND o.bucket_ts = g.bucket_ts)
 SELECT event_type, bucket_ts,
-       last_value(close IGNORE NULLS) OVER (
-         PARTITION BY event_type ORDER BY bucket_ts
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS close,
+       -- only inserted rows are filled; an observed NULL stays NULL
+       -- (mirrors gapfill.py's WITH FILL parity rule — ADVICE r5)
+       CASE WHEN is_gap = 0 THEN close
+            ELSE last_value(close IGNORE NULLS) OVER (
+              PARTITION BY event_type ORDER BY bucket_ts
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       END AS close,
        is_gap
 FROM j
 """
@@ -747,7 +751,10 @@ grid AS (
 j AS (
   SELECT g.event_type, g.bucket_ts, o.close,
          CASE WHEN o.bucket_ts IS NULL THEN 1 ELSE 0 END AS is_gap,
-         CASE WHEN o.bucket_ts IS NOT NULL
+         -- anchor gate mirrors gapfill.py: presence AND value
+         -- non-null (a NULL-valued observed bar must not anchor the
+         -- slope timestamps either — ADVICE r5)
+         CASE WHEN o.bucket_ts IS NOT NULL AND o.close IS NOT NULL
               THEN CAST(epoch_us(g.bucket_ts) AS DOUBLE) END AS obs_t
   FROM grid g LEFT JOIN ohlc o
     ON o.event_type = g.event_type AND o.bucket_ts = g.bucket_ts),
@@ -821,7 +828,13 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_bins = 32
     ev = _events(spark, sf_dir).select("value").filter(F.col("value").isNotNull())
     stats = ev.agg(F.min("value").alias("vmin"), F.max("value").alias("vmax"))
-    width = (F.col("vmax") - F.col("vmin")) / F.lit(float(n_bins))
+    # nullif guards the degenerate all-equal corpus: a zero span must
+    # yield NULL bins on BOTH engines (DuckDB's IEEE double division
+    # would produce inf and then error on the INT cast; Spark non-ANSI
+    # would NULL silently — ADVICE r5)
+    width = F.nullif(F.col("vmax") - F.col("vmin"), F.lit(0.0)) / F.lit(
+        float(n_bins)
+    )
     bin_ = F.least(
         F.floor((F.col("value") - F.col("vmin")) / width).cast("int"),
         F.lit(n_bins - 1),
@@ -847,12 +860,14 @@ WITH s AS (
   SELECT min(value) AS vmin, max(value) AS vmax
   FROM events WHERE value IS NOT NULL),
 b AS (
-  SELECT LEAST(CAST(floor((value - vmin) / ((vmax - vmin) / 32.0)) AS INT), 31) AS bin,
+  SELECT LEAST(CAST(floor((value - vmin) / (nullif(vmax - vmin, 0) / 32.0)) AS INT), 31) AS bin,
          vmin, vmax
   FROM events, s WHERE value IS NOT NULL)
 SELECT bin, count(*) AS n_obs,
-       min(vmin + bin * (vmax - vmin) / 32.0) AS bin_lo,
-       min(vmin + (bin + 1) * (vmax - vmin) / 32.0) AS bin_hi
+       -- bin * (span/32), matching Spark's bin_*width evaluation
+       -- order: (bin*span)/32 rounds ~1 ulp differently (ADVICE r5)
+       min(vmin + bin * (nullif(vmax - vmin, 0) / 32.0)) AS bin_lo,
+       min(vmin + (bin + 1) * (nullif(vmax - vmin, 0) / 32.0)) AS bin_hi
 FROM b GROUP BY bin
 """
 

@@ -39,9 +39,11 @@ def fill_time_gaps(
     ``df`` must hold at most one row per (keys, ``ts_col``) with
     ``ts_col`` already truncated to the grid (e.g. a resampler
     output). Emits one row per grid step from each key's min to max
-    bucket: observed rows keep their values (``gap_col`` = 0);
-    inserted rows carry NULLs (``gap_col`` = 1) except ``fill_cols``,
-    which are forward-filled from the most recent observation (an
+    bucket: observed rows keep their values VERBATIM (``gap_col`` = 0;
+    a legitimately-NULL observed value stays NULL — ClickHouse WITH
+    FILL only populates the rows it inserts); inserted rows carry
+    NULLs (``gap_col`` = 1) except ``fill_cols``, which are
+    forward-filled from the most recent non-null observation (an
     inserted row before a key's first observation cannot exist —
     grids start AT the first observation), and ``interpolate_cols``,
     which are LINEARLY interpolated between the surrounding
@@ -86,7 +88,18 @@ def fill_time_gaps(
             .rowsBetween(Window.unboundedPreceding, 0)
         )
         for c in fill_cols:
-            out = out.withColumn(c, F.last(c, ignorenulls=True).over(w_prev))
+            # only INSERTED rows are populated — an observed row keeps
+            # its value verbatim, including a legitimate NULL
+            # (ClickHouse WITH FILL only fills the rows it inserts;
+            # ADVICE r5). The carry source still skips observed NULLs
+            # via ignorenulls, so a gap after a NULL bar carries the
+            # last non-null observation.
+            out = out.withColumn(
+                c,
+                F.when(F.col(gap_col) == 0, F.col(c)).otherwise(
+                    F.last(c, ignorenulls=True).over(w_prev)
+                ),
+            )
         if interpolate_cols:
             w_next = (
                 Window.partitionBy(*keys)

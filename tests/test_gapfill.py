@@ -76,6 +76,32 @@ def test_fill_linear_interpolation(sparse):
     assert out[("b", 7)] == (70.0, 0)
 
 
+def test_fill_forward_fill_keeps_observed_nulls_verbatim(spark):
+    # ClickHouse WITH FILL only populates INSERTED rows: an observed
+    # bar whose value is legitimately NULL must stay NULL, while a gap
+    # row after it still carries the last NON-null observation
+    # (ADVICE r5)
+    rows = [
+        ("a", _t(0), 10.0),
+        ("a", _t(2), None),   # observed, value missing
+        # gaps at 1, 3, 4
+        ("a", _t(5), 50.0),
+    ]
+    df = spark.createDataFrame(rows, ["k", "bucket_ts", "close"])
+    out = {
+        r["bucket_ts"].minute: (r["close"], r["is_gap"])
+        for r in fill_time_gaps(
+            df, "bucket_ts", 60, keys=["k"], fill_cols=["close"]
+        ).collect()
+    }
+    assert out[0] == (10.0, 0)
+    assert out[1] == (10.0, 1)
+    assert out[2] == (None, 0)   # observed NULL survives verbatim
+    assert out[3] == (10.0, 1)   # carry skips the NULL observation
+    assert out[4] == (10.0, 1)
+    assert out[5] == (50.0, 0)
+
+
 def test_fill_rejects_overlapping_modes(sparse):
     with pytest.raises(ValueError, match="both fill_cols"):
         fill_time_gaps(

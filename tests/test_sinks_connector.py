@@ -232,7 +232,8 @@ def test_clickhouse_live_roundtrip(spark, tmp_path):
     import socket
     import subprocess
     import time
-    import urllib.request
+    import urllib.parse  # explicit: urlencode below must not rely on
+    import urllib.request  # the request import's side effect (ADVICE r5)
 
     def free_port() -> int:
         s = socket.socket()
