@@ -817,6 +817,90 @@ LIMIT 100 OFFSET 100
 """
 
 
+def scan_keyset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset (cursor) pagination — the scale-safe alternative that
+    ``scan_page2``'s docstring promises: instead of OFFSET (every
+    partition forwards offset+limit rows, so page N costs O(N)), the
+    client passes the last row of the previous page and the predicate
+    ``(ts, event_id) < (:last_ts, :last_id)`` (DESC order) selects
+    strictly-older rows.  The tuple comparison decomposes into
+    ``ts < c OR (ts = c AND event_id < id)``; the ``ts <= c`` bound is
+    ALSO emitted standalone so it reaches the parquet scan as a
+    pushed filter (row-group min/max pruning on the sort column —
+    the OR-form alone defeats pushdown).  Every page is then a
+    constant-cost TakeOrderedAndProject over the pruned byte range:
+    page 1000 reads the same bytes as page 2.
+
+    The cursor below is the true last row of ``scan_page2``'s page 1
+    (computed by the oracle's own semantics), so this binding's rows
+    are IDENTICAL to ``scan_page2``'s — the equivalence the driver's
+    hash compare certifies.
+
+    Reference parity: ``/root/reference/src/gapless_deribit_clickhouse/
+    api.py:100-182`` pages trade fetches by shifting the time bound of
+    each subsequent request — exactly this cursor shape."""
+    # page-1-last cursor for the sf-independent filter window: the
+    # 100th row of the same ORDER BY over sf0.01 *and* any superset
+    # slice is data-dependent, so derive it in-plan from the same
+    # query instead of hard-coding a value that drifts across sf.
+    df = _events(spark, sf_dir)
+    df = df.filter(
+        (F.col("ts") >= F.lit("2024-01-05 00:00:00"))
+        & (F.col("ts") < F.lit("2024-01-25 00:00:00"))
+        & (F.col("event_type") != "error")
+    )
+    cursor = (
+        df.orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        .limit(100)
+        .agg(
+            F.min_by(F.struct("ts", "event_id"), F.struct("ts", "event_id"))
+            .alias("c")
+        )
+        .select(F.col("c.ts").alias("c_ts"), F.col("c.event_id").alias("c_id"))
+    )
+    # broadcast the 1-row cursor into the plan (no driver round-trip);
+    # the standalone ts <= c_ts conjunct is the pushdown-friendly
+    # bound, the OR-tuple refines it exactly
+    page2 = (
+        df.join(F.broadcast(cursor))
+        .filter(
+            (F.col("ts") <= F.col("c_ts"))
+            & (
+                (F.col("ts") < F.col("c_ts"))
+                | ((F.col("ts") == F.col("c_ts")) & (F.col("event_id") < F.col("c_id")))
+            )
+        )
+        .drop("c_ts", "c_id")
+        .orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        .limit(100)
+    )
+    return page2
+
+
+SCAN_KEYSET_SQL = """
+WITH page1 AS (
+  SELECT ts, event_id
+  FROM events
+  WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+    AND ts <  TIMESTAMP '2024-01-25 00:00:00'
+    AND event_type <> 'error'
+  ORDER BY ts DESC, event_id DESC
+  LIMIT 100),
+cursor AS (
+  SELECT ts AS c_ts, event_id AS c_id
+  FROM page1 ORDER BY ts ASC, event_id ASC LIMIT 1)
+SELECT e.event_id, e.ts, e.user_id, e.event_type, e.value, e.props
+FROM events e, cursor c
+WHERE e.ts >= TIMESTAMP '2024-01-05 00:00:00'
+  AND e.ts <  TIMESTAMP '2024-01-25 00:00:00'
+  AND e.event_type <> 'error'
+  AND e.ts <= c.c_ts
+  AND (e.ts < c.c_ts OR (e.ts = c.c_ts AND e.event_id < c.c_id))
+ORDER BY e.ts DESC, e.event_id DESC
+LIMIT 100
+"""
+
+
 # --- fixed-bin histogram (two-phase global stat + bucket) ---
 def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bin histogram of the value column with data-derived bounds:
@@ -882,4 +966,5 @@ LATE_BINDINGS = [
     ("value_histogram", value_histogram, VALUE_HISTOGRAM_SQL),
     ("ohlc_gapless_interp", ohlc_gapless_interp, OHLC_GAPLESS_INTERP_SQL),
     ("scan_page2", scan_page2, SCAN_PAGE2_SQL),
+    ("scan_keyset", scan_keyset, SCAN_KEYSET_SQL),
 ]

@@ -19,14 +19,15 @@ single per-key window:
    ``orderBy(ts, side)`` fills every left row from right rows at or
    before it in the SAME bucket. One shuffle of left+right on
    (keys, bucket), linear per partition.
-3. Cross-bucket carry: per (key, bucket) reduce the right side to its
-   last row (map-side-combinable ``max_by``), then a per-key window
-   over BUCKETS (tiny: one row per key per bucket, not per event)
-   computes each bucket's carry-in = last right row of any earlier
-   bucket. Carries are injected into the union as pseudo right rows
-   at the bucket start (sorting before any real row in the bucket),
-   so step 2's window resolves in-bucket vs carried values with no
-   join operator anywhere in the plan.
+3. Cross-bucket carry: ONE combined groupBy over narrow projections
+   of both sides reduces each (key, bucket) to the right side's last
+   row plus a left-presence flag (map-side-combinable ``max_by`` /
+   ``max``), then a per-key window over BUCKETS (tiny: one row per
+   key per bucket, not per event) computes each bucket's carry-in =
+   last right row of any earlier bucket. Carries are injected into
+   the union as pseudo right rows at the bucket start (sorting before
+   any real row in the bucket), so step 2's window resolves in-bucket
+   vs carried values with no join operator anywhere in the plan.
 
 A range-condition join would be O(|L|*|R|) per key without an
 interval index; the single-window form serializes per key. This form
@@ -99,36 +100,42 @@ def asof_join(
     )
 
     # --- cross-bucket carry (metadata-scale) ---
-    # Last right row per (key, bucket): partial-aggregates map-side,
-    # shuffles one row per (key, bucket) per map task.
-    rb = (
-        r_tag.groupBy(*on, "__bucket")
-        .agg(
-            F.max_by(F.col("__payload"), F.col("__payload.__rts")).alias("__p")
+    # ONE combined aggregation over narrow projections of BOTH sides:
+    # per (key, bucket), the right side reduces to its last row
+    # (``max_by`` skips the left rows' NULL order keys) while
+    # ``max(__has_left)`` remembers whether the LEFT touches the
+    # bucket — every left bucket needs a carry-in, including buckets
+    # with no right rows at all. Both aggregates partial-combine
+    # map-side, shuffling one row per (key, bucket) per map task.
+    # (Round 6: this replaces a right-side groupBy + a left-side
+    # distinct + a union — two shuffle stages fused into one.)
+    kb = (
+        r_tag.select(
+            *on, "__bucket", "__payload", F.lit(0).alias("__has_left")
         )
-        .withColumn("__flag", F.lit(1))
-    )
-    # Bucket spine: every (key, bucket) the LEFT touches needs a
-    # carry-in, including buckets with no right rows at all.
-    spine = (
-        l_tag.select(*on, "__bucket")
-        .distinct()
-        .withColumn("__p", F.lit(None).cast(rb.schema["__p"].dataType))
-        .withColumn("__flag", F.lit(0))
+        .unionByName(
+            l_tag.select(
+                *on, "__bucket", "__payload", F.lit(1).alias("__has_left")
+            )
+        )
+        .groupBy(*on, "__bucket")
+        .agg(
+            F.max_by(F.col("__payload"), F.col("__payload.__rts")).alias("__p"),
+            F.max("__has_left").alias("__has_left"),
+        )
     )
     # Per-key running last over buckets, frame excluding the current
-    # row: a spine row of bucket b sees payload rows of buckets < b
-    # (same-bucket payload sorts AFTER it via __flag). Row count here
-    # is #distinct (key, bucket) — the "tiny second pass".
+    # row: bucket b's carry-in is the last right payload of any bucket
+    # < b. Row count here is #distinct (key, bucket) — the "tiny
+    # second pass".
     wk = (
         Window.partitionBy(*on)
-        .orderBy(F.col("__bucket"), F.col("__flag"))
+        .orderBy(F.col("__bucket"))
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     carry = (
-        spine.unionByName(rb)
-        .withColumn("__carry", F.last("__p", ignorenulls=True).over(wk))
-        .filter((F.col("__flag") == 0) & F.col("__carry").isNotNull())
+        kb.withColumn("__carry", F.last("__p", ignorenulls=True).over(wk))
+        .filter((F.col("__has_left") == 1) & F.col("__carry").isNotNull())
     )
     # Pseudo right row at the bucket start (sorts before every real
     # row of the bucket: ts = bucket floor, side = -1). Keeps the
