@@ -65,10 +65,32 @@ _DEMOTED = (
     # agg) + q3 (join-agg); CI value-oracle
     "q19_discounted_revenue",  # siblings: q3/q10 (join-agg family;
     # Q19 adds the OR-of-ANDs cross-side predicate); CI value-oracle
+    # --- round-6 rotation (VERDICT r5 #7): two near-duplicates out,
+    # two operator families the window never exercised in ---
+    "sample_per_group",  # sibling: mixture_sample (same md5-hash
+    # stable-sampling core; mixture adds the in-plan recipe->threshold
+    # derivation); CI value-oracle
+    "doc_fingerprint",  # siblings: dedup_exact (same normalized-text
+    # digest core) + token_counts (same normalized tokenization
+    # algebra over documents); CI value-oracle
 )
-ALL_BINDINGS = [b for b in ALL_BINDINGS if b[0] not in _DEMOTED] + [
-    b for b in ALL_BINDINGS if b[0] in _DEMOTED
+
+# Promoted INTO the checked window at rotation (placed in the last
+# window slots so the untouched entries keep their positions and
+# CORRECTNESS diffs stay line-stable across rounds):
+# - ohlc_gapless_interp: gapfill + linear interpolation (WITH FILL
+#   INTERPOLATE) — an operator family the window never exercised
+# - q21_waiting_supplier: decorrelated EXISTS / NOT EXISTS over a
+#   per-order aggregate — the hardest TPC-H join shape
+_PROMOTED = ("ohlc_gapless_interp", "q21_waiting_supplier")
+
+_dem = [b for b in ALL_BINDINGS if b[0] in _DEMOTED]
+_prom = [b for b in ALL_BINDINGS if b[0] in _PROMOTED]
+_rest = [
+    b for b in ALL_BINDINGS if b[0] not in _DEMOTED and b[0] not in _PROMOTED
 ]
+_cut = CHECKED_WINDOW - len(_prom)
+ALL_BINDINGS = _rest[:_cut] + _prom + _rest[_cut:] + _dem
 
 _names = [n for n, _f, _s in ALL_BINDINGS]
 assert len(_names) == len(set(_names)), "duplicate binding names"

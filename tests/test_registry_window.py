@@ -35,7 +35,24 @@ SIBLINGS = {
     "q5_local_supplier_volume": ["q3_shipping_priority", "q10_returned_revenue"],
     "q14_promo_revenue": ["q1_pricing_summary", "q3_shipping_priority"],
     "q19_discounted_revenue": ["q3_shipping_priority", "q10_returned_revenue"],
+    # round-6 rotation (VERDICT r5 #7)
+    "sample_per_group": ["mixture_sample"],
+    "doc_fingerprint": ["dedup_exact", "token_counts"],
 }
+
+# rotated INTO the window in round 6 — operator families the window
+# never exercised (gapfill+interpolation; decorrelated EXISTS/NOT
+# EXISTS); both carried CI value-oracles before promotion
+PROMOTED = ("ohlc_gapless_interp", "q21_waiting_supplier")
+
+
+def test_promoted_bindings_occupy_checked_slots():
+    from gapless_deribit_clickhouse_spark.bindings import _PROMOTED
+
+    assert set(_PROMOTED) == set(PROMOTED)
+    names = [n for n, _f, _s in ALL_BINDINGS]
+    for p in PROMOTED:
+        assert p in names[:WINDOW], f"{p} not inside the checked window"
 
 
 def test_demoted_set_matches_sibling_map():
