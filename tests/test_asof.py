@@ -60,13 +60,35 @@ def test_asof_tolerance_nulls_out_stale(spark, spot_pdf):
 
 
 def test_asof_single_shuffle_plan(spark, spot_pdf):
-    """The operator is exchanges + windows — never a range join
-    (PLANS.md scale argument). The bucketed carry pass is also
-    join-free (pseudo-rows injected via union)."""
+    """The operator never plans a RANGE join (PLANS.md scale
+    argument), and event-scale data is shuffled exactly ONCE: the
+    carry reduction aggregates the fill window's own output, so its
+    exchange is a ReusedExchange of the fill shuffle (round 6 — one
+    shuffle write, two reads, each input scanned once), and the
+    carry-attach join is an equi-join whose big side arrives
+    pre-partitioned."""
     _, _, left, right = _frames(spark, spot_pdf)
     df = asof_join(left, right, on=["symbol"], value_cols=["close"])
-    plan = df._jdf.queryExecution().optimizedPlan().toString()
-    assert "Join" not in plan  # union+window, no join operator at all
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    # the only join is the metadata-scale carry equi-join — no range
+    # condition anywhere (a theta join would appear as a filtered
+    # cartesian or NLJ with a '<' in the condition)
+    assert opt.count("Join") == 1
+    assert "Join LeftOuter, ((" in opt  # pure conjunctive equi-join
+    # single_pass: both the carry branch and the output branch consume
+    # ONE materialized union — the inputs appear in the optimized plan
+    # exactly once (the r5 shape re-ran the right side twice), as the
+    # lazily-checkpointed scan both join sides reference
+    assert opt.count("LogicalRDD") == 2  # once per join side, same RDD
+    assert "LocalRelation" not in opt  # inputs fused behind the barrier
+    # pure-lineage mode stays available and agrees
+    a = df.orderBy("trade_id").toPandas()["close_asof"]
+    b = (
+        asof_join(left, right, on=["symbol"], value_cols=["close"],
+                  single_pass=False)
+        .orderBy("trade_id").toPandas()["close_asof"]
+    )
+    assert list(a.fillna(-1)) == list(b.fillna(-1))
 
 
 def test_asof_bucketed_parallelism(spark, spot_pdf):
@@ -74,9 +96,13 @@ def test_asof_bucketed_parallelism(spark, spot_pdf):
     #keys partitions: with hourly buckets a 2-symbol input spreads
     across >2 non-empty partitions (VERDICT r2 'What's wrong' #2)."""
     _, _, left, right = _frames(spark, spot_pdf)
+    # lineage mode: the single_pass barrier captures its physical plan
+    # at call time, so the conf flip below could not reach it — the
+    # barrier variant shuffles with the SAME (key, bucket) partitioning
+    # before AQE coalescing, this just makes it observable
     out = asof_join(
         left, right, on=["symbol"], value_cols=["close"],
-        bucket_seconds=600.0,
+        bucket_seconds=600.0, single_pass=False,
     )
     # the heavy window partitions by (key, bucket), not key alone
     plan = out._jdf.queryExecution().optimizedPlan().toString()
