@@ -52,6 +52,9 @@ ALLOWED_PYTHON = REQUIRED_PYTHON | {"dup_clusters"}
 # - lm_score: 1-row vocabulary-size scalar broadcast
 # - quality_gate: lm_score's vocabulary scalar + the 1-row
 #   median-ppl percentile scalar
+# - scan_keyset: 1-row pagination-cursor broadcast (LIMIT 1 by
+#   construction — the keyset predicate references the cursor's
+#   (ts, event_id) on every row, the textbook scalar-broadcast shape)
 ALLOWED_NLJ = {
     "tfidf_top_terms",
     "cosine_topk",
@@ -60,6 +63,7 @@ ALLOWED_NLJ = {
     "q11_important_stock",
     "lm_score",
     "quality_gate",
+    "scan_keyset",
 }
 
 

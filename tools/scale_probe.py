@@ -361,6 +361,7 @@ def main() -> None:
     results: dict[str, dict[int, float]] = {}
     try:
         _probe(qs, spark, dirs, factors, results)
+        _probe_indexed_dedup(spark, dirs, factors, results, scratch)
     finally:  # a failed probe must not leak 16x corpora in /tmp
         shutil.rmtree(scratch, ignore_errors=True)
 
@@ -388,6 +389,58 @@ def _probe(qs, spark, dirs, factors, results) -> None:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             results[name][f] = round(time.perf_counter() - t0, 3)
         print(f"done {name}: {results[name]}", file=sys.stderr)
+
+
+def _probe_indexed_dedup(spark, dirs, factors, results, scratch) -> None:
+    """Persisted-index dedup (VERDICT r5 #5): same corpus/batch split
+    as the ``incremental_dedup`` binding, but the corpus artifacts are
+    built ONCE per factor (``build_dedup_index``, reported as its own
+    one-time row) and each batch runs ``incremental_dedup_indexed``
+    against the parquet index — the steady-state shape whose per-batch
+    cost must not grow with corpus passes. Compare its row against
+    ``incremental_dedup`` (which recomputes the corpus side per
+    batch)."""
+    from gapless_deribit_clickhouse_spark.bindings.llm_ops import (
+        _DEDUP_THRESHOLD,
+        _docs,
+    )
+    from gapless_deribit_clickhouse_spark.pipelines.text_dedup import (
+        build_dedup_index,
+        incremental_dedup_indexed,
+    )
+
+    results["build_dedup_index"] = {}
+    results["incremental_dedup_indexed"] = {}
+    for f in factors:
+        docs = _docs(spark, dirs[f])
+        corpus = docs.filter(F.col("doc_id") % 5 < 3)
+        batch = docs.filter(F.col("doc_id") % 5 >= 3)
+        idx = os.path.join(scratch, f"dedup_index_x{f}")
+
+        def build() -> None:
+            build_dedup_index(corpus, idx, threshold=_DEDUP_THRESHOLD)
+
+        build()  # warm-up (same per-cell rule as _probe)
+        t0 = time.perf_counter()
+        build()
+        results["build_dedup_index"][f] = round(time.perf_counter() - t0, 3)
+
+        def run() -> None:
+            incremental_dedup_indexed(batch, idx).select(
+                "doc_id", "lang", "source"
+            ).write.format("noop").mode("overwrite").save()
+
+        run()
+        t0 = time.perf_counter()
+        run()
+        results["incremental_dedup_indexed"][f] = round(
+            time.perf_counter() - t0, 3
+        )
+    print(
+        f"done indexed dedup: build={results['build_dedup_index']} "
+        f"batch={results['incremental_dedup_indexed']}",
+        file=sys.stderr,
+    )
 
 
 def _report(factors, results, lo, hi, amp, load1, recall=None) -> None:
