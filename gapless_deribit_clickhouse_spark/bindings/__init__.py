@@ -15,16 +15,27 @@ from gapless_deribit_clickhouse_spark.bindings import (
     features_ops,
     llm_ops,
     olap_ops,
+    sketch_ops,
     tpch_ops,
 )
 
+_MODULES = (
+    core_ops,
+    features_ops,
+    analytics_ops,
+    extra_ops,
+    llm_ops,
+    tpch_ops,
+    olap_ops,
+    sketch_ops,
+)
 ALL_BINDINGS = []
-for _mod in (core_ops, features_ops, analytics_ops, extra_ops, llm_ops, tpch_ops, olap_ops):
+for _mod in _MODULES:
     ALL_BINDINGS.extend(_mod.BINDINGS)
 # LATE_BINDINGS land after every module's BINDINGS: past the driver's
 # stable first-50 window, where the CI past-window oracle compare
 # value-checks them (tests/test_demoted_bindings_oracle.py).
-for _mod in (core_ops, features_ops, analytics_ops, extra_ops, llm_ops, tpch_ops, olap_ops):
+for _mod in _MODULES:
     ALL_BINDINGS.extend(getattr(_mod, "LATE_BINDINGS", []))
 
 # The driver's CORRECTNESS harness checks the first CHECKED_WINDOW

@@ -687,28 +687,74 @@ def build_dedup_index(
         bands = auto_bands if bands is None else bands
     spark = corpus_df.sparkSession
 
-    digest = F.md5(normalized_text(F.col(text_col)))
-    corpus_df.select(digest.alias("digest")).distinct().write.mode(
-        "overwrite"
-    ).parquet(f"{path}/digests")
-
-    sig = minhash_signatures(corpus_df, text_col, id_col, n, num_hashes, base_hash)
-    # partitioned by band: the batch probe joins on (band, band_hash),
-    # so partition pruning would let a band-sliced probe read 1/bands
-    # of the table; more importantly the layout keeps each band's
-    # bucket table contiguous for the shuffle read
-    _banded(sig, num_hashes, bands).write.mode("overwrite").partitionBy(
-        "band"
-    ).parquet(f"{path}/bands")
-
-    _hashed_sets(corpus_df, text_col, id_col, n, "id", "sset").write.mode(
-        "overwrite"
-    ).parquet(f"{path}/sets")
+    _write_index_tables(
+        corpus_df, path, "overwrite", text_col, id_col, n, num_hashes, bands, base_hash
+    )
 
     spark.createDataFrame(
         [(n, float(threshold), int(num_hashes), int(bands), base_hash)],
         list(_INDEX_META_COLS),
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def _write_index_tables(
+    df: DataFrame,
+    path: str,
+    mode: str,
+    text_col: str,
+    id_col: str,
+    n: int,
+    num_hashes: int,
+    bands: int,
+    base_hash: str,
+) -> None:
+    digest = F.md5(normalized_text(F.col(text_col)))
+    df.select(digest.alias("digest")).distinct().write.mode(mode).parquet(
+        f"{path}/digests"
+    )
+
+    sig = minhash_signatures(df, text_col, id_col, n, num_hashes, base_hash)
+    # partitioned by band: the batch probe joins on (band, band_hash),
+    # so partition pruning would let a band-sliced probe read 1/bands
+    # of the table; more importantly the layout keeps each band's
+    # bucket table contiguous for the shuffle read
+    _banded(sig, num_hashes, bands).write.mode(mode).partitionBy("band").parquet(
+        f"{path}/bands"
+    )
+
+    _hashed_sets(df, text_col, id_col, n, "id", "sset").write.mode(mode).parquet(
+        f"{path}/sets"
+    )
+
+
+def append_dedup_index(
+    batch_df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Append a (deduplicated) batch's three index projections to an
+    existing index — the "plain ETL step" the build docstring promises.
+    LSH parameters come from the index's meta table so the appended
+    signatures use the SAME hash family the stored ones do; the meta
+    table itself never changes. Re-appending the same batch (e.g. a
+    replayed foreachBatch) degrades only space, not answers: the
+    consumers anti-join digests and ``distinct()`` both the candidate
+    pairs and the loser set, so duplicate index rows cannot change the
+    survivor set."""
+    spark = batch_df.sparkSession
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    _write_index_tables(
+        batch_df,
+        path,
+        "append",
+        text_col,
+        id_col,
+        int(meta["n"]),
+        int(meta["num_hashes"]),
+        int(meta["bands"]),
+        meta["base_hash"],
+    )
 
 
 def incremental_dedup_indexed(

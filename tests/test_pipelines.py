@@ -1225,30 +1225,15 @@ def test_incremental_dedup_indexed_equivalent(spark, tmp_path):
     # the meta table pins the LSH family; the stored params round-trip
     meta = spark.read.parquet(f"{idx}/meta").collect()[0]
     assert (meta["n"], meta["base_hash"]) == (3, "md5")
-    # appending the surviving batch = appending the same projections
-    # (documented contract): after the append, re-running the batch
-    # drops everything — the index now contains it
+    # appending the surviving batch through the API (the "plain ETL
+    # step" the build docstring promises): after the append, re-running
+    # the batch drops everything — the index now contains it
     from gapless_deribit_clickhouse_spark.pipelines.text_dedup import (
-        _banded,
-        _hashed_sets,
-        minhash_signatures,
-        normalized_text,
+        append_dedup_index,
     )
-    from pyspark.sql import functions as SF
 
     kept_df = spark.createDataFrame(via_index, "doc_id long, text string")
-    kept_df.select(
-        SF.md5(normalized_text(SF.col("text"))).alias("digest")
-    ).distinct().write.mode("append").parquet(f"{idx}/digests")
-    sig = minhash_signatures(
-        kept_df, "text", "doc_id", 3, int(meta["num_hashes"]), "md5"
-    )
-    _banded(sig, int(meta["num_hashes"]), int(meta["bands"])).write.mode(
-        "append"
-    ).partitionBy("band").parquet(f"{idx}/bands")
-    _hashed_sets(kept_df, "text", "doc_id", 3, "id", "sset").write.mode(
-        "append"
-    ).parquet(f"{idx}/sets")
+    append_dedup_index(kept_df, idx)
     rerun = incremental_dedup_indexed(batch, idx).toPandas()
     assert len(rerun) == 0
 

@@ -33,6 +33,7 @@ REQUIRED_PYTHON = {
     "diverse_sample",  # k-means assign below the group tournament
     "training_set",  # composed flagship: FFD packing crossing
     "training_set_chunks",  # same flagship, pack columns projected out
+    "frequent_tokens",  # bounded-memory Misra-Gries candidate pass
 }
 # dup_clusters consumes the LSH stage too, but its connected-components
 # local tier executes during construction on small graphs, so the
@@ -64,6 +65,7 @@ ALLOWED_NLJ = {
     "lm_score",
     "quality_gate",
     "scan_keyset",
+    "frequent_tokens",  # 1-row total-count scalar broadcast
 }
 
 
