@@ -65,7 +65,9 @@ def _mg_partition(m: int, key: str):
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counts: dict = {}
+        n_rows = 0
         for pdf in batches:
+            n_rows += len(pdf)
             vc = pdf[key].value_counts()
             for k, c in vc.items():
                 counts[k] = counts.get(k, 0) + int(c)
@@ -73,7 +75,12 @@ def _mg_partition(m: int, key: str):
                 # (m+1)-th largest; subtracting it keeps <= m positive
                 thresh = sorted(counts.values(), reverse=True)[m]
                 counts = {k: c - thresh for k, c in counts.items() if c > thresh}
-        yield pd.DataFrame({key: pd.Series(list(counts.keys()), dtype="object")})
+        # candidate rows (_cnt null) + one partition-total row (key
+        # null): the total rides the same corpus pass instead of
+        # costing a second scan
+        keys = pd.Series(list(counts.keys()) + [None], dtype="object")
+        cnt = pd.Series([None] * len(counts) + [n_rows], dtype="Int64")
+        yield pd.DataFrame({key: keys, "_cnt": cnt})
 
     return run
 
@@ -98,12 +105,15 @@ def frequent_keys_exact(
         # 4x margin over the den/num floor that makes the MG guarantee
         # cover the support threshold (m + 1 >= den/num)
         counters = 4 * math.ceil(support_den / support_num)
-    cands = (
-        df.select(key_col)
-        .mapInPandas(_mg_partition(counters, key_col), schema=f"{key_col} string")
-        .distinct()
-    )
-    total = df.agg(F.count(F.lit(1)).alias("_total"))
+    # one corpus pass yields BOTH the candidates and the total row
+    # count (per-partition total rows with a null key); the lazy
+    # localCheckpoint is the barrier that stops the candidate/total
+    # diamond from re-running the scan per consumer
+    summary = df.select(key_col).mapInPandas(
+        _mg_partition(counters, key_col), schema=f"{key_col} string, _cnt long"
+    ).localCheckpoint(eager=False)
+    cands = summary.filter(F.col("_cnt").isNull()).select(key_col).distinct()
+    total = summary.agg(F.sum("_cnt").alias("_total"))
     return (
         df.join(F.broadcast(cands), key_col)
         .groupBy(key_col)
