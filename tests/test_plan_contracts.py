@@ -33,12 +33,14 @@ REQUIRED_PYTHON = {
     "diverse_sample",  # k-means assign below the group tournament
     "training_set",  # composed flagship: FFD packing crossing
     "training_set_chunks",  # same flagship, pack columns projected out
-    "frequent_tokens",  # bounded-memory Misra-Gries candidate pass
 }
 # dup_clusters consumes the LSH stage too, but its connected-components
 # local tier executes during construction on small graphs, so the
-# returned plan may be a LocalTableScan with no visible crossing
-ALLOWED_PYTHON = REQUIRED_PYTHON | {"dup_clusters"}
+# returned plan may be a LocalTableScan with no visible crossing.
+# frequent_tokens' Misra-Gries mapInPandas pass sits behind its lazy
+# localCheckpoint barrier, so the visible plan shows the checkpoint's
+# RDD scan instead of the crossing (PLANS.md "+2ckpt" scans column).
+ALLOWED_PYTHON = REQUIRED_PYTHON | {"dup_clusters", "frequent_tokens"}
 
 # BroadcastNestedLoopJoin is allowed ONLY where the build side is
 # bounded by construction:
