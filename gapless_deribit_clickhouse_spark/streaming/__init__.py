@@ -6,10 +6,16 @@ from gapless_deribit_clickhouse_spark.streaming.ingest import (
     streaming_ohlc,
     write_stream_idempotent,
 )
+from gapless_deribit_clickhouse_spark.streaming.materialized import (
+    read_rollup_state,
+    streaming_mergeable_rollup,
+)
 
 __all__ = [
     "dedup_stream",
+    "read_rollup_state",
     "stream_dedup_ingest",
+    "streaming_mergeable_rollup",
     "streaming_ohlc",
     "write_stream_idempotent",
 ]

@@ -406,3 +406,75 @@ def test_stream_dedup_ingest_cross_batch(spark, tmp_path):
         else []
     )
     assert len(survivors2) == 0
+
+
+def test_streaming_mergeable_rollup_state_versions(spark, tmp_path):
+    """Materialized-view loop: per-batch partial rollup merged into a
+    versioned state table. The newest finalized version must equal the
+    one-pass batch recompute, and replaying an epoch's sink call must
+    reproduce (not double-count) its version — the exactly-once
+    contract versioned state buys on plain parquet."""
+    import numpy as np
+
+    from gapless_deribit_clickhouse_spark.operators.merge_rollup import (
+        finalize_rollup,
+        partial_rollup,
+    )
+    from gapless_deribit_clickhouse_spark.streaming.materialized import (
+        read_rollup_state,
+        rollup_state_sink,
+        streaming_mergeable_rollup,
+    )
+
+    rng = np.random.RandomState(7)
+    mk = lambda n, seed_off: [  # noqa: E731
+        (["a", "b", "c"][i % 3], float(rng.uniform(0, 100)) + seed_off)
+        for i in range(n)
+    ]
+    ddl = "k string, v double"
+    src = str(tmp_path / "mv_src")
+    rows1, rows2 = mk(60, 0.0), mk(45, 5.0)
+    spark.createDataFrame(rows1, ddl).coalesce(1).write.parquet(src + "/f1")
+    spark.createDataFrame(rows2, ddl).coalesce(1).write.parquet(src + "/f2")
+
+    state = str(tmp_path / "mv_state")
+    stream = (
+        spark.readStream.schema(ddl).option("maxFilesPerTrigger", 1).parquet(src + "/*")
+    )
+    q = streaming_mergeable_rollup(
+        stream, ["k"], "v", state, str(tmp_path / "mv_ckpt")
+    )
+    q.awaitTermination(120)
+
+    # two state versions landed; the newest equals the batch recompute
+    versions = sorted(
+        spark.read.parquet(state).select("batch_id").distinct().toPandas().batch_id
+    )
+    assert versions == [0, 1]
+    got = (
+        read_rollup_state(spark, state, ["k"])
+        .toPandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    whole = spark.createDataFrame(rows1 + rows2, ddl)
+    want = (
+        finalize_rollup(partial_rollup(whole, ["k"], "v"), ["k"])
+        .toPandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+    # replay epoch 1: the sink re-reads version 0 (not its own output)
+    # and overwrites version 1 with identical content
+    rollup_state_sink(["k"], "v", state)(
+        spark.createDataFrame(rows2, ddl), 1
+    )
+    again = (
+        read_rollup_state(spark, state, ["k"])
+        .toPandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(again, want)
