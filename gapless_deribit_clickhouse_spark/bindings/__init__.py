@@ -15,6 +15,7 @@ from gapless_deribit_clickhouse_spark.bindings import (
     features_ops,
     llm_ops,
     olap_ops,
+    series_ops,
     sketch_ops,
     tpch_ops,
 )
@@ -28,6 +29,7 @@ _MODULES = (
     tpch_ops,
     olap_ops,
     sketch_ops,
+    series_ops,
 )
 ALL_BINDINGS = []
 for _mod in _MODULES:

@@ -165,3 +165,40 @@ def compact_table(
         "removed": rows_before - rows_after,
         "partitions": swapped,
     }
+
+
+def collapse_by_sign(
+    df: DataFrame,
+    keys: Sequence[str],
+    sign_col: str,
+    version_cols: Sequence[str],
+) -> DataFrame:
+    """(Versioned)CollapsingMergeTree read parity: each key's rows are
+    a ledger of state rows (+1) and cancel rows (-1); a fully merged
+    read keeps one row per key whose net sign is positive — the
+    latest-version state row — and drops keys whose inserts and
+    cancels annihilate (ClickHouse ``CollapsingMergeTree(sign)`` /
+    ``VersionedCollapsingMergeTree(sign, version)``; sibling of the
+    ReplacingMergeTree parity in :func:`dedup_latest`).
+
+    One shuffle on ``keys``: the net sign is an unordered window sum
+    and the winning row a row_number over the version order, both over
+    the same partitioning — Spark plans a single exchange. Output: the
+    latest row's full columns plus ``net`` (the surviving multiplicity,
+    ClickHouse's "keep the last ``sum(sign)`` rows" generalized to the
+    common keep-one case).
+    """
+    wp = Window.partitionBy(*keys)
+    order = [F.col(c).desc_nulls_last() for c in version_cols]
+    rest = [
+        c
+        for c in df.columns
+        if c not in set(keys) | set(version_cols) | {sign_col}
+    ]
+    order += [F.col(c).desc_nulls_last() for c in rest]
+    return (
+        df.withColumn("net", F.sum(sign_col).over(wp))
+        .withColumn("__rn", F.row_number().over(wp.orderBy(*order)))
+        .filter((F.col("__rn") == 1) & (F.col("net") > 0))
+        .drop("__rn", sign_col)
+    )

@@ -297,3 +297,76 @@ def weighted_sample_per_group(
         [F.col("priority").asc(), F.col(key_col).asc()],
         n,
     )
+
+
+def temperature_thresholds(
+    counts: dict[str, int],
+    target_total: int,
+    buckets: int = BUCKETS,
+) -> dict[str, int]:
+    """Per-domain integer thresholds for temperature-2 (alpha = 1/2)
+    domain rebalancing: sampling weight q_d proportional to
+    sqrt(count_d) — the standard multilingual-pretraining smoothing
+    that upweights small domains relative to proportional sampling.
+
+    All arithmetic is exact integers (``math.isqrt``, bigint
+    products), mirrored 1:1 by the DuckDB oracle's
+    ``floor(sqrt(c))``-based HUGEINT formula — no float ever decides a
+    row's membership. Per-domain expected draws = target_total *
+    isqrt(c_d) / sum_d isqrt(c_d), capped at rate 1 (a domain smaller
+    than its temperature share is taken whole, not oversampled).
+    """
+    import math
+
+    isq = {d: math.isqrt(c) for d, c in counts.items() if c > 0}
+    s = sum(isq.values())
+    if s == 0:
+        return {d: 0 for d in counts}
+    return {
+        d: min(buckets, target_total * buckets * isq[d] // (s * counts[d]))
+        if d in isq
+        else 0
+        for d in counts
+    }
+
+
+def temperature_sample(
+    df: DataFrame,
+    key_col: str,
+    domain_col: str,
+    target_fraction_num: int = 1,
+    target_fraction_den: int = 2,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministically rebalance domains by temperature-2 sampling:
+    keep ~``target_fraction`` of the corpus with per-domain rates
+    proportional to 1/sqrt(count_d) relative to the domain's natural
+    share (small domains keep more of themselves, large domains less).
+
+    Same two-phase shape as :func:`mixture_sample`: a metadata-scale
+    domain count (one groupBy on a low-cardinality column, collected),
+    then one md5-bucket map filter that pushes below any downstream
+    shuffle. ``target_fraction`` is an exact rational so the
+    target-total derivation (``total * num // den``) is bit-identical
+    in the oracle.
+    """
+    counts = {
+        r["d"]: r["c"]
+        for r in df.groupBy(F.col(domain_col).alias("d"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    target = sum(counts.values()) * target_fraction_num // target_fraction_den
+    thresholds = temperature_thresholds(counts, target)
+    threshold_col = None
+    for value, t in thresholds.items():
+        cond = F.col(domain_col) == value
+        threshold_col = (
+            F.when(cond, F.lit(t))
+            if threshold_col is None
+            else threshold_col.when(cond, F.lit(t))
+        )
+    threshold_col = (
+        F.lit(0) if threshold_col is None else threshold_col.otherwise(F.lit(0))
+    )
+    return df.filter(hash_bucket(F.col(key_col), salt) < threshold_col)

@@ -821,3 +821,76 @@ def incremental_dedup_indexed(
         .distinct()
     )
     return batch.join(losers, id_col, "left_anti")
+
+
+def substring_dup_fraction(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+) -> DataFrame:
+    """Per-document fraction of token POSITIONS covered by a
+    ``window``-token substring that also appears verbatim in at least
+    one OTHER document — the exact-substring duplication metric of
+    dedup pipelines that REMOVE duplicated spans rather than whole
+    near-duplicate docs (complement of the doc-level MinHash tier:
+    catches boilerplate shared across otherwise-distinct documents).
+
+    Positional, not set-based: unlike :func:`ngram_jaccard_pairs`'s
+    distinct-shingle Jaccard, the unit here is a token position, and a
+    position counts once no matter how many windows cover it — the
+    union-of-intervals coverage a span-removal pass would cut.
+
+    Scale shape: tokens -> positioned windows (posexplode; ~n_tokens
+    rows per doc) -> window-content groupBy keeping contents seen in
+    >= 2 distinct docs -> equi-join back -> per-position distinct ->
+    per-doc count. Never all-pairs; the join key is a 64-bit hash of
+    the window content, so shuffle rows are (id, pos, int64), and the
+    duplicated-window side is typically a small fraction of the corpus
+    (AQE broadcasts it when it is). Documents shorter than ``window``
+    tokens contribute their whole text as one window, mirroring
+    :func:`gram_array`.
+    """
+    toks = F.split(normalized_text(F.col(text_col)), " ")
+    base = ensure_parallelism(df).select(
+        F.col(id_col).alias("id"),
+        F.size(toks).alias("n_tokens"),
+        F.posexplode(F.transform(gram_array(toks, window), lambda g: F.xxhash64(g)))
+        .alias("pos", "h"),
+    )
+    dup_h = (
+        base.groupBy("h")
+        .agg(F.count_distinct("id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    covered = (
+        base.join(dup_h, "h")
+        .select(
+            "id",
+            F.explode(
+                F.sequence(
+                    F.col("pos"),
+                    F.least(F.col("pos") + window - 1, F.col("n_tokens") - 1),
+                )
+            ).alias("p"),
+        )
+        .distinct()
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_dup_positions"))
+    )
+    per_doc = df.select(
+        F.col(id_col).alias("id"), F.size(toks).alias("n_tokens")
+    )
+    return (
+        per_doc.join(covered, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_tokens",
+            F.coalesce("n_dup_positions", F.lit(0)).alias("n_dup_positions"),
+            (
+                F.coalesce("n_dup_positions", F.lit(0))
+                / F.col("n_tokens")
+            ).alias("dup_fraction"),
+        )
+    )
