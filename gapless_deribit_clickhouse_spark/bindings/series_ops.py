@@ -29,7 +29,10 @@ from gapless_deribit_clickhouse_spark.features.timeseries import (
     realized_vol,
 )
 from gapless_deribit_clickhouse_spark.operators.dedup import collapse_by_sign
-from gapless_deribit_clickhouse_spark.operators.scd import scd2_history
+from gapless_deribit_clickhouse_spark.operators.scd import (
+    point_in_time_join,
+    scd2_history,
+)
 from gapless_deribit_clickhouse_spark.pipelines.sampling import temperature_sample
 from gapless_deribit_clickhouse_spark.pipelines.text_dedup import (
     substring_dup_fraction,
@@ -156,6 +159,50 @@ FROM r WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+# --- point-in-time enrichment against the SCD2 history ---
+def pit_enrich_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    hist = scd2_history(
+        ev.select(
+            "user_id",
+            F.from_json(F.col("props"), "k INT")["k"].alias("k"),
+            "ts",
+            "event_id",
+        ),
+        ["user_id"],
+        ["ts", "event_id"],
+        ["k"],
+        ts_col="ts",
+    )
+    facts = ev.select("event_id", "user_id", "ts", "value")
+    return point_in_time_join(facts, hist, "ts", ["user_id"]).select(
+        "event_id", "user_id", "ts", "value", "k", "version"
+    )
+
+
+PIT_ENRICH_SQL = """
+WITH s AS (
+  SELECT user_id, CAST(json_extract(props, '$.k') AS INT) AS k, ts, event_id
+  FROM events),
+m AS (
+  SELECT *, CASE WHEN row_number() OVER w = 1
+                   OR NOT (k IS NOT DISTINCT FROM lag(k) OVER w)
+              THEN 1 ELSE 0 END AS chg
+  FROM s WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+r AS (SELECT * FROM m WHERE chg = 1),
+hist AS (
+  SELECT user_id, k, ts AS valid_from,
+         lead(ts) OVER w2 AS valid_to,
+         CAST(row_number() OVER w2 AS INT) AS version
+  FROM r WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT e.event_id, e.user_id, e.ts, e.value, h.k, h.version
+FROM events e JOIN hist h
+  ON e.user_id = h.user_id
+ AND h.valid_from <= e.ts
+ AND (h.valid_to IS NULL OR e.ts < h.valid_to)
+"""
+
+
 # --- temperature-2 domain rebalancing over documents ---
 def temperature_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -211,6 +258,7 @@ LATE_BINDINGS = [
     ("ewma_by_user", ewma_q, EWMA_SQL),
     ("collapsing_merge", collapsing_merge_q, COLLAPSING_MERGE_SQL),
     ("scd2_history", scd2_q, SCD2_SQL),
+    ("pit_enrich", pit_enrich_q, PIT_ENRICH_SQL),
     ("temperature_sample", temperature_sample_q, TEMPERATURE_SAMPLE_SQL),
     ("substring_dup_fraction", substring_dup_q, SUBSTRING_DUP_SQL),
 ]

@@ -55,3 +55,52 @@ def scd2_history(
         F.row_number().over(w2).alias("version"),
         F.lead(ts_col).over(w2).isNull().alias("is_current"),
     )
+
+
+def point_in_time_join(
+    facts: DataFrame,
+    history: DataFrame,
+    ts_col: str,
+    keys: Sequence[str],
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    bucket_seconds: int = 86400,
+    how: str = "inner",
+) -> DataFrame:
+    """Leakage-free fact enrichment against an SCD2 history: each fact
+    joins the dimension version valid AT its event time — half-open
+    ``[valid_from, valid_to)`` semantics, so a fact stamped exactly at
+    a change instant sees the NEW version, and zero-duration versions
+    are never observable.
+
+    Open (current) intervals are closed at the facts' max timestamp —
+    a 1-row scalar broadcast (the bounded-NLJ shape PLANS.md
+    allowlists), so no unbounded interval ever reaches the bucketed
+    :func:`~gapless_deribit_clickhouse_spark.operators.range_join.interval_join`
+    this delegates to. Cost: one metadata-scale aggregate + the range
+    join's one shuffle per side; no fact-fact pairing.
+    """
+    from gapless_deribit_clickhouse_spark.operators.range_join import interval_join
+
+    horizon = facts.agg(F.max(ts_col).alias("__horizon"))
+    closed = (
+        history.join(F.broadcast(horizon))
+        .withColumn(
+            "__end",
+            F.coalesce(
+                F.col(valid_to) - F.expr("INTERVAL 1 MICROSECOND"),
+                F.col("__horizon"),
+            ),
+        )
+        .drop("__horizon")
+    )
+    return interval_join(
+        facts,
+        closed,
+        ts_col,
+        valid_from,
+        "__end",
+        on=list(keys),
+        bucket_seconds=bucket_seconds,
+        how=how,
+    ).drop("__end")

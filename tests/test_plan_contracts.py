@@ -68,6 +68,9 @@ ALLOWED_NLJ = {
     "quality_gate",
     "scan_keyset",
     "frequent_tokens",  # 1-row total-count scalar broadcast
+    "pit_enrich",  # 1-row horizon (max fact ts) scalar broadcast that
+    # closes the SCD2 history's open intervals before the bucketed
+    # interval join (operators/scd.py point_in_time_join)
 }
 
 

@@ -19,7 +19,10 @@ from gapless_deribit_clickhouse_spark.features.timeseries import (
     realized_vol,
 )
 from gapless_deribit_clickhouse_spark.operators.dedup import collapse_by_sign
-from gapless_deribit_clickhouse_spark.operators.scd import scd2_history
+from gapless_deribit_clickhouse_spark.operators.scd import (
+    point_in_time_join,
+    scd2_history,
+)
 from gapless_deribit_clickhouse_spark.pipelines.sampling import (
     temperature_sample,
     temperature_thresholds,
@@ -141,6 +144,35 @@ def test_scd2_null_attr_is_a_state(spark):
     df = spark.createDataFrame(rows, "key string, ts timestamp, seq long, attr string")
     out = scd2_history(df, ["key"], ["ts", "seq"], ["attr"]).collect()
     assert [r["attr"] for r in sorted(out, key=lambda r: r["version"])] == [None, "A"]
+
+
+def test_point_in_time_join_half_open(spark):
+    changes = [("u", _ts(0), 0, "A"), ("u", _ts(10), 1, "B")]
+    hist = scd2_history(
+        spark.createDataFrame(
+            changes, "key string, ts timestamp, seq long, attr string"
+        ),
+        ["key"],
+        ["ts", "seq"],
+        ["attr"],
+    )
+    facts = spark.createDataFrame(
+        [
+            (0, "u", _ts(0)),  # exactly at first valid_from -> A
+            (1, "u", _ts(5)),  # inside v1 -> A
+            (2, "u", _ts(10)),  # exactly at the change instant -> NEW (B)
+            (3, "u", _ts(99)),  # open interval reaches the horizon -> B
+            (4, "w", _ts(5)),  # unknown key -> dropped (inner)
+        ],
+        "fact_id long, key string, ts timestamp",
+    )
+    out = {
+        r["fact_id"]: r["attr"]
+        for r in point_in_time_join(facts, hist, "ts", ["key"]).collect()
+    }
+    assert out == {0: "A", 1: "A", 2: "B", 3: "B"}
+    # each fact matches exactly one version — no interval overlap
+    assert point_in_time_join(facts, hist, "ts", ["key"]).count() == 4
 
 
 def test_temperature_thresholds_integer_math():
