@@ -53,11 +53,15 @@ def drawdown_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DRAWDOWN_SQL = """
-WITH dd AS (
+WITH p AS (
   SELECT user_id, value,
-         value / max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1.0 AS d
-  FROM events)
+         max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+  FROM events),
+dd AS (
+  SELECT user_id, value,
+         CASE WHEN peak > 0 THEN value / peak - 1.0 END AS d
+  FROM p)
 SELECT user_id, count(*) AS n_events, max(value) AS peak_value,
        min(d) AS max_drawdown
 FROM dd GROUP BY user_id
@@ -73,11 +77,15 @@ def realized_vol_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 REALIZED_VOL_SQL = """
-WITH r AS (
-  SELECT user_id, date_trunc('day', ts) AS day,
-         ln(value / lag(value) OVER (PARTITION BY user_id, date_trunc('day', ts)
-                                     ORDER BY ts, event_id)) AS lr
-  FROM events)
+WITH l AS (
+  SELECT user_id, date_trunc('day', ts) AS day, value,
+         lag(value) OVER (PARTITION BY user_id, date_trunc('day', ts)
+                          ORDER BY ts, event_id) AS prev
+  FROM events),
+r AS (
+  SELECT user_id, day,
+         CASE WHEN value > 0 AND prev > 0 THEN ln(value / prev) END AS lr
+  FROM l)
 SELECT user_id, day, count(lr) AS n_returns,
        sqrt(sum(lr * lr)) AS realized_vol
 FROM r GROUP BY user_id, day

@@ -53,13 +53,19 @@ def drawdown_stats(
     drawdown_t = value_t / max(value_{<=t}) - 1 (always <= 0); the
     output keeps the worst (minimum) drawdown, the peak value, and the
     series length per key.
+
+    Drawdown is only defined once a POSITIVE peak exists: rows before
+    the first positive observation carry no drawdown (a zero-valued
+    series head would otherwise divide by zero — an ANSI-mode error,
+    not a NULL, on real ledgers that open at 0).
     """
     w = (
         Window.partitionBy(*key_cols)
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    dd = F.col(value_col) / F.max(value_col).over(w) - F.lit(1.0)
+    peak = F.max(value_col).over(w)
+    dd = F.when(peak > 0, F.col(value_col) / peak - F.lit(1.0))
     return (
         df.withColumn("__dd", dd)
         .groupBy(*key_cols)
@@ -86,10 +92,16 @@ def realized_vol(
     The first observation of each bucket has no predecessor and
     contributes no return; single-observation buckets yield NULL
     volatility (0 returns), which the output keeps — absence of an
-    estimate, not a zero estimate.
+    estimate, not a zero estimate. Log returns exist only between
+    POSITIVE prices: an observation pair touching a zero/negative
+    value contributes no return (ln(0) / division-by-zero are
+    ANSI-mode errors, and the estimator is undefined there anyway).
     """
     w = Window.partitionBy(*key_cols, bucket_col).orderBy(*order_cols)
-    r = F.log(F.col(value_col) / F.lag(value_col).over(w))
+    prev = F.lag(value_col).over(w)
+    r = F.when(
+        (F.col(value_col) > 0) & (prev > 0), F.log(F.col(value_col) / prev)
+    )
     return (
         df.withColumn("__r", r)
         .groupBy(*key_cols, bucket_col)

@@ -62,6 +62,20 @@ def test_drawdown_is_running_not_global(spark):
     assert row["max_drawdown"] == 0.0
 
 
+def test_drawdown_zero_head_is_guarded(spark):
+    # a series that OPENS at 0 must not divide by zero (ANSI mode);
+    # drawdown starts existing at the first positive peak
+    row = drawdown_stats(
+        _series(spark, [0.0, 100.0, 50.0]), ["key"], ["ts", "seq"], "value"
+    ).collect()[0]
+    assert row["max_drawdown"] == pytest.approx(-0.5)
+    # all-zero series: no positive peak -> no drawdown at all
+    row = drawdown_stats(
+        _series(spark, [0.0, 0.0]), ["key"], ["ts", "seq"], "value"
+    ).collect()[0]
+    assert row["max_drawdown"] is None and row["n_events"] == 2
+
+
 def test_realized_vol(spark):
     df = _series(spark, [100.0, 110.0, 99.0]).withColumn(
         "day", F.date_trunc("day", "ts")
@@ -76,6 +90,16 @@ def test_realized_vol(spark):
 
 def test_realized_vol_single_obs_bucket_is_null(spark):
     df = _series(spark, [100.0]).withColumn("day", F.date_trunc("day", "ts"))
+    row = realized_vol(df, ["key"], "day", ["ts", "seq"], "value").collect()[0]
+    assert row["n_returns"] == 0 and row["realized_vol"] is None
+
+
+def test_realized_vol_zero_price_contributes_no_return(spark):
+    # 100 -> 0 -> 110: both pairs touch a zero, so no return exists —
+    # not an ANSI division/ln(0) error, not a fake infinite return
+    df = _series(spark, [100.0, 0.0, 110.0]).withColumn(
+        "day", F.date_trunc("day", "ts")
+    )
     row = realized_vol(df, ["key"], "day", ["ts", "seq"], "value").collect()[0]
     assert row["n_returns"] == 0 and row["realized_vol"] is None
 
