@@ -1436,6 +1436,68 @@ ORDER BY doc_id
 """
 
 
+# --- Okapi BM25 top-k lexical retrieval ---
+# One source of truth for the bench queries: the Spark binding and the
+# generated VALUES clause both read this dict, so engine and oracle
+# cannot desync on query text or tokenization.
+_BM25_QUERIES = {
+    "q_exec": "hash join scan",
+    "q_retail": "customer order filter",
+    "q_stream": "stream window batch",
+}
+
+
+def bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gapless_deribit_clickhouse_spark.pipelines.retrieval import bm25_topk
+
+    return bm25_topk(_docs(spark, sf_dir), _BM25_QUERIES, k=10)
+
+
+def _bm25_sql(k: int = 10, k1: float = 1.2, b: float = 0.75) -> str:
+    from gapless_deribit_clickhouse_spark.pipelines.retrieval import tokenize_query
+
+    values = ", ".join(
+        f"('{qid}', '{tok}')"
+        for qid, qtext in sorted(_BM25_QUERIES.items())
+        for tok in tokenize_query(qtext)
+    )
+    # spell every float the way Python computed it so both engines
+    # subtract/multiply the SAME doubles in the SAME order
+    dl = f"CASE WHEN length({_NORM}) = 0 THEN 0 ELSE len(string_split({_NORM}, ' ')) END"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {dl} AS dl, unnest(string_split({_NORM}, ' ')) AS token
+  FROM documents),
+tok2 AS (SELECT * FROM toks WHERE len(token) > 0),
+tf AS (
+  SELECT doc_id, token, count(*) AS tf, max(dl) AS dl
+  FROM tok2 GROUP BY doc_id, token),
+q(query_id, token) AS (VALUES {values}),
+s AS (SELECT count(*) AS n_docs, avg({dl}) AS avgdl FROM documents),
+m AS (
+  SELECT q.query_id, tf.doc_id, tf.token, tf.tf, tf.dl,
+         count(*) OVER (PARTITION BY q.query_id, tf.token) AS df
+  FROM tf JOIN q USING (token)),
+sc AS (
+  SELECT query_id, doc_id,
+         CAST(count(*) AS BIGINT) AS n_terms,
+         round(sum(ln(1.0 + ((n_docs - df) + 0.5) / (df + 0.5))
+           * ((CAST(tf AS DOUBLE) * {k1 + 1.0!r})
+              / (CAST(tf AS DOUBLE) + {k1!r}
+                 * ({1.0 - b!r} + {b!r} * (CAST(dl AS DOUBLE) / avgdl))))), 6)
+           AS score
+  FROM m CROSS JOIN s GROUP BY query_id, doc_id),
+r AS (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY query_id ORDER BY score DESC, doc_id) AS INT) AS rank
+  FROM sc)
+SELECT query_id, doc_id, n_terms, score, rank FROM r WHERE rank <= {k}
+"""
+
+
+BM25_TOPK_SQL = _bm25_sql()
+
+
 LATE_BINDINGS = [
     ("split_assign", split_assign_q, SPLIT_ASSIGN_SQL),
     ("interdoc_repetition", interdoc_repetition_q, INTERDOC_REPETITION_SQL),
@@ -1444,4 +1506,5 @@ LATE_BINDINGS = [
     ("lm_score", lm_score_q, LM_SCORE_SQL),
     ("weighted_sample", weighted_sample_q, WEIGHTED_SAMPLE_SQL),
     ("quality_gate", quality_gate_q, QUALITY_GATE_SQL),
+    ("bm25_topk", bm25_topk_q, BM25_TOPK_SQL),
 ]

@@ -1,0 +1,118 @@
+"""Full-text retrieval: distributed Okapi BM25 top-k.
+
+The LLM-data loop needs lexical retrieval in three places the
+embedding tier can't cover alone: eval-set decontamination sweeps
+("which training docs score high against this benchmark question"),
+targeted quality audits ("pull the top matches for this boilerplate
+phrase"), and hybrid rerank candidates. BM25 is the standard lexical
+scorer, and it reduces entirely to column algebra over one
+tokenize+explode pass — no UDFs, no driver-side index object, fully
+oracle-checkable (reference analogue: the corpus keyword scans the
+reference runs as ClickHouse full-scan SQL; here the score is the
+classic Robertson/Sparck-Jones formulation).
+
+score(q, d) = sum over query terms t of
+    idf(t) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+with idf(t) = ln(1 + (N - df + 0.5) / (df + 0.5))  (Lucene's
+non-negative variant), tf the term count in d, dl the token length of
+d, avgdl the corpus mean, N the corpus size, df the number of docs
+containing t.
+
+Scale design (the 100 TB story):
+
+- ONE corpus scan: tokenize + explode feeds the (doc, token) term
+  table; doc length rides along and is reduced with ``max`` inside
+  the same groupBy, so no second scan or doc-length join exists.
+- The query-term table is tiny (a handful of literals) and broadcast;
+  the per-term document frequency is a window count over the ALREADY
+  FILTERED term table, so the full-vocabulary df table is never
+  materialized — at 100 TB only postings for query terms move.
+- (N, avgdl) is a 1-row scalar broadcast (the bounded-NLJ shape the
+  plan contract allowlists).
+- Top-k per query is a rank-limit window: Spark's WindowGroupLimit
+  caps per-map-task output at k rows per query BELOW the exchange, so
+  the final shuffle carries tasks*k rows, not every matching doc.
+- Scores are rounded to 6 dp BEFORE ranking in both engines: the
+  cross-term float sum is order-sensitive at ulp scale, and rounding
+  first makes the (score, doc_id) rank deterministic under shuffle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from gapless_deribit_clickhouse_spark.pipelines.text_dedup import normalized_text
+from gapless_deribit_clickhouse_spark.pipelines.text_stats import token_count
+
+
+def tokenize_query(text: str) -> list[str]:
+    """The Python twin of ``normalized_text`` + split: lowercase,
+    collapse whitespace, distinct tokens in first-seen order."""
+    toks = text.lower().split()
+    return sorted(set(toks), key=toks.index)
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: Mapping[str, str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` documents per query by Okapi BM25.
+
+    ``queries`` maps query_id -> query text (tokenized with the same
+    normalization as the corpus; duplicate query terms count once, the
+    common bag-of-words simplification). Returns
+    (query_id, ``id_col``, n_terms, score, rank) — only documents
+    matching at least one query term appear, so a query with no
+    corpus hits contributes zero rows.
+    """
+    spark = docs.sparkSession
+    qrows = [
+        (qid, tok) for qid, qtext in sorted(queries.items())
+        for tok in tokenize_query(qtext)
+    ]
+    qterms = spark.createDataFrame(qrows, "query_id string, token string")
+
+    t = normalized_text(F.col(text_col))
+    dl = token_count(F.col(text_col))
+    toks = docs.select(
+        F.col(id_col), dl.alias("dl"), F.explode(F.split(t, " ")).alias("token")
+    ).filter(F.length("token") > 0)
+    # term frequencies; dl is constant per doc so max() carries it
+    # through the same exchange — no doc-length join
+    tf = toks.groupBy(id_col, "token").agg(
+        F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl")
+    )
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg(dl).alias("avgdl")
+    )
+
+    matched = tf.join(F.broadcast(qterms), "token")
+    dfreq = F.count(F.lit(1)).over(Window.partitionBy("query_id", "token"))
+    scored = matched.withColumn("df", dfreq).join(F.broadcast(stats))
+
+    tfd = F.col("tf").cast("double")
+    idf = F.log(
+        F.lit(1.0)
+        + ((F.col("n_docs") - F.col("df")) + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    norm = tfd + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * (F.col("dl").cast("double") / F.col("avgdl"))
+    )
+    term_score = idf * ((tfd * F.lit(k1 + 1.0)) / norm)
+
+    per_doc = scored.groupBy("query_id", id_col).agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.round(F.sum(term_score), 6).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.col(id_col))
+    return per_doc.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

@@ -71,6 +71,7 @@ ALLOWED_NLJ = {
     "pit_enrich",  # 1-row horizon (max fact ts) scalar broadcast that
     # closes the SCD2 history's open intervals before the bucketed
     # interval join (operators/scd.py point_in_time_join)
+    "bm25_topk",  # 1-row (n_docs, avgdl) scalar broadcast
 }
 
 
