@@ -44,6 +44,7 @@ from collections.abc import Mapping
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from gapless_deribit_clickhouse_spark.core.partitioning import ensure_parallelism
 from gapless_deribit_clickhouse_spark.pipelines.text_dedup import normalized_text
 from gapless_deribit_clickhouse_spark.pipelines.text_stats import token_count
 
@@ -80,11 +81,24 @@ def bm25_topk(
     ]
     qterms = spark.createDataFrame(qrows, "query_id string, token string")
 
+    # the tokenize pass is regex-heavy: spread a few-file scan across
+    # the cluster before it (the text_stats convention)
+    docs = ensure_parallelism(docs)
     t = normalized_text(F.col(text_col))
     dl = token_count(F.col(text_col))
-    toks = docs.select(
-        F.col(id_col), dl.alias("dl"), F.explode(F.split(t, " ")).alias("token")
-    ).filter(F.length("token") > 0)
+    # project the token array ONCE, then size/explode the projected
+    # attribute — referencing the raw expression in both places would
+    # re-run the normalization regex per use (the chunk_documents
+    # pattern; CollapseProject can't merge across the Generate)
+    toks = (
+        docs.select(F.col(id_col), F.split(t, " ").alias("__arr"))
+        .select(
+            F.col(id_col),
+            F.size("__arr").alias("dl"),
+            F.explode("__arr").alias("token"),
+        )
+        .filter(F.length("token") > 0)
+    )
     # term frequencies; dl is constant per doc so max() carries it
     # through the same exchange — no doc-length join
     tf = toks.groupBy(id_col, "token").agg(

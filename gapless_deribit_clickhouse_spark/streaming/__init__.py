@@ -6,6 +6,9 @@ from gapless_deribit_clickhouse_spark.streaming.ingest import (
     streaming_ohlc,
     write_stream_idempotent,
 )
+from gapless_deribit_clickhouse_spark.streaming.joins import (
+    stream_stream_enrich,
+)
 from gapless_deribit_clickhouse_spark.streaming.materialized import (
     read_rollup_state,
     streaming_mergeable_rollup,
@@ -15,6 +18,7 @@ __all__ = [
     "dedup_stream",
     "read_rollup_state",
     "stream_dedup_ingest",
+    "stream_stream_enrich",
     "streaming_mergeable_rollup",
     "streaming_ohlc",
     "write_stream_idempotent",
