@@ -79,19 +79,33 @@ def bm25_topk(
         (qid, tok) for qid, qtext in sorted(queries.items())
         for tok in tokenize_query(qtext)
     ]
-    qterms = spark.createDataFrame(qrows, "query_id string, token string")
+    if not qrows:
+        raise ValueError("queries must contain at least one non-empty query")
+    # plan literals (Range -> inline), not createDataFrame: an RDD-backed
+    # local table would read as an opaque non-JVM scan in plan audits
+    qterms = spark.range(1).select(
+        F.inline(
+            F.array(*[
+                F.struct(
+                    F.lit(qid).alias("query_id"), F.lit(tok).alias("token")
+                )
+                for qid, tok in qrows
+            ])
+        )
+    )
 
-    # the tokenize pass is regex-heavy: spread a few-file scan across
-    # the cluster before it (the text_stats convention)
-    docs = ensure_parallelism(docs)
     t = normalized_text(F.col(text_col))
     dl = token_count(F.col(text_col))
     # project the token array ONCE, then size/explode the projected
     # attribute — referencing the raw expression in both places would
     # re-run the normalization regex per use (the chunk_documents
-    # pattern; CollapseProject can't merge across the Generate)
+    # pattern; CollapseProject can't merge across the Generate).
+    # ensure_parallelism spreads a few-file scan before the
+    # regex-heavy pass (text_stats convention); it wraps only THIS
+    # branch — the (N, avgdl) scalar agg below stays on the raw scan,
+    # where map-side partials need no repartition
     toks = (
-        docs.select(F.col(id_col), F.split(t, " ").alias("__arr"))
+        ensure_parallelism(docs).select(F.col(id_col), F.split(t, " ").alias("__arr"))
         .select(
             F.col(id_col),
             F.size("__arr").alias("dl"),
