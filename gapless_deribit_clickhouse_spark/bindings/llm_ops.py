@@ -1498,6 +1498,42 @@ SELECT query_id, doc_id, n_terms, score, rank FROM r WHERE rank <= {k}
 BM25_TOPK_SQL = _bm25_sql()
 
 
+# --- hybrid retrieval: RRF fusion of exact cosine + LSH-IVF ANN ---
+def hybrid_rrf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of the exact brute-force ranking and the
+    SRP-LSH IVF ranking over the same 5 queries — the retriever
+    ensemble shape (each system's oracle is already hash-proven; this
+    value-checks the FUSION on top of both)."""
+    from gapless_deribit_clickhouse_spark.pipelines.embeddings import ivf_topk
+    from gapless_deribit_clickhouse_spark.pipelines.retrieval import rrf_fuse
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = cosine_topk(emb, queries, k=10)
+    ann = ivf_topk(emb, queries, k=10)
+    return rrf_fuse([exact, ann], on=("query_id", "vec_id"), k=10)
+
+
+HYBRID_RRF_SQL = f"""
+WITH a AS ({COSINE_TOPK_SQL}),
+b AS ({IVF_TOPK_SQL}),
+f AS (
+  SELECT query_id, vec_id,
+         (CASE WHEN a.rank IS NOT NULL THEN 1 ELSE 0 END
+          + CASE WHEN b.rank IS NOT NULL THEN 1 ELSE 0 END) AS n_systems,
+         coalesce(1.0 / (60.0 + a.rank), 0.0)
+           + coalesce(1.0 / (60.0 + b.rank), 0.0) AS rrf_score
+  FROM a FULL JOIN b USING (query_id, vec_id)),
+r AS (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY query_id ORDER BY rrf_score DESC, vec_id) AS INT) AS rank
+  FROM f)
+SELECT query_id, vec_id, n_systems, rrf_score, rank FROM r WHERE rank <= 10
+"""
+
+
 LATE_BINDINGS = [
     ("split_assign", split_assign_q, SPLIT_ASSIGN_SQL),
     ("interdoc_repetition", interdoc_repetition_q, INTERDOC_REPETITION_SQL),
@@ -1507,4 +1543,5 @@ LATE_BINDINGS = [
     ("weighted_sample", weighted_sample_q, WEIGHTED_SAMPLE_SQL),
     ("quality_gate", quality_gate_q, QUALITY_GATE_SQL),
     ("bm25_topk", bm25_topk_q, BM25_TOPK_SQL),
+    ("hybrid_rrf", hybrid_rrf_q, HYBRID_RRF_SQL),
 ]

@@ -1,4 +1,4 @@
-"""Full-text retrieval: distributed Okapi BM25 top-k.
+"""Retrieval: distributed Okapi BM25 top-k + reciprocal-rank fusion.
 
 The LLM-data loop needs lexical retrieval in three places the
 embedding tier can't cover alone: eval-set decontamination sweeps
@@ -47,6 +47,53 @@ from pyspark.sql import functions as F
 from gapless_deribit_clickhouse_spark.core.partitioning import ensure_parallelism
 from gapless_deribit_clickhouse_spark.pipelines.text_dedup import normalized_text
 from gapless_deribit_clickhouse_spark.pipelines.text_stats import token_count
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    on: tuple[str, ...] = ("query_id", "vec_id"),
+    rank_col: str = "rank",
+    c: int = 60,
+    k: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion of N retrieval rankings (the standard
+    hybrid-retrieval combiner): rrf_score = sum over systems of
+    1 / (c + rank), items missing from a system contribute 0.
+
+    Rank lists are top-k-per-query sized — metadata scale next to the
+    corpus — so the full-outer joins between them are cheap at any SF;
+    the expression tree fixes the summation order (left to right), so
+    the fused score is bit-identical across engines, no rounding
+    needed before the (score desc, id) rank. Output: the ``on`` keys,
+    ``n_systems`` (how many rankings contained the item),
+    ``rrf_score``, ``rank``.
+    """
+    if not rankings:
+        raise ValueError("need at least one ranking")
+    keys = list(on)
+    sides = [
+        r.select(
+            *keys,
+            (F.lit(1.0) / (F.lit(float(c)) + F.col(rank_col))).alias(f"__c{i}"),
+        )
+        for i, r in enumerate(rankings)
+    ]
+    fused = sides[0]
+    for s in sides[1:]:
+        fused = fused.join(s, keys, "full")
+    contribs = [F.col(f"__c{i}") for i in range(len(sides))]
+    n_systems = sum(
+        (c.isNotNull().cast("int") for c in contribs), F.lit(0)
+    ).alias("n_systems")
+    score = contribs[0] if len(contribs) == 1 else F.coalesce(contribs[0], F.lit(0.0))
+    for c_ in contribs[1:]:
+        score = score + F.coalesce(c_, F.lit(0.0))
+    w = Window.partitionBy(keys[0]).orderBy(F.desc("rrf_score"), *keys[1:])
+    return (
+        fused.select(*keys, n_systems, score.alias("rrf_score"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
 
 
 def tokenize_query(text: str) -> list[str]:

@@ -30,6 +30,7 @@ REQUIRED_PYTHON = {
     "semantic_dedup",  # k-means assign + per-cluster greedy prune
     "sequence_packing",  # per-shard first-fit-decreasing
     "ivf_kmeans_topk",  # k-means assign stage keeps raw vectors
+    "hybrid_rrf",  # fuses ivf_topk, inheriting its SRP crossings
     "diverse_sample",  # k-means assign below the group tournament
     "training_set",  # composed flagship: FFD packing crossing
     "training_set_chunks",  # same flagship, pack columns projected out
@@ -72,6 +73,7 @@ ALLOWED_NLJ = {
     # closes the SCD2 history's open intervals before the bucketed
     # interval join (operators/scd.py point_in_time_join)
     "bm25_topk",  # 1-row (n_docs, avgdl) scalar broadcast
+    "hybrid_rrf",  # inherits cosine_topk's broadcast-queries crossJoin
 }
 
 

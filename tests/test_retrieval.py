@@ -10,6 +10,7 @@ import pytest
 
 from gapless_deribit_clickhouse_spark.pipelines.retrieval import (
     bm25_topk,
+    rrf_fuse,
     tokenize_query,
 )
 
@@ -80,3 +81,20 @@ def test_bm25_k_caps_per_query(spark):
 
 def test_tokenize_query_dedupes_and_normalizes():
     assert tokenize_query("Join  JOIN hash") == ["join", "hash"]
+
+
+def test_rrf_fuse(spark):
+    schema = "query_id string, vec_id long, rank int"
+    a = spark.createDataFrame([("q", 1, 1), ("q", 2, 2)], schema)
+    b = spark.createDataFrame([("q", 2, 1), ("q", 3, 2)], schema)
+    out = sorted(
+        rrf_fuse([a, b], on=("query_id", "vec_id"), c=60, k=10).collect(),
+        key=lambda r: r["rank"],
+    )
+    # doc 2 appears in both systems (ranks 2 and 1) and must win
+    assert [r["vec_id"] for r in out] == [2, 1, 3]
+    assert [r["n_systems"] for r in out] == [2, 1, 1]
+    assert out[0]["rrf_score"] == pytest.approx(1 / 62 + 1 / 61)
+    assert out[1]["rrf_score"] == pytest.approx(1 / 61)
+    # k caps the fused list
+    assert len(rrf_fuse([a, b], on=("query_id", "vec_id"), k=2).collect()) == 2
