@@ -1498,6 +1498,70 @@ SELECT query_id, doc_id, n_terms, score, rank FROM r WHERE rank <= {k}
 BM25_TOPK_SQL = _bm25_sql()
 
 
+# --- int8 embedding quantization (4x shuffle/storage compression) ---
+def embedding_quantize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector symmetric int8 quantization digest: the full qvec
+    arrays stay in pytest pins (array columns stringify differently
+    across engines); here every coordinate is pinned through EXACT
+    integer digests — L1 mass, position-weighted checksum (catches
+    any misplaced element), min/max — plus the float scale and the
+    bounded reconstruction error."""
+    from gapless_deribit_clickhouse_spark.pipelines.embeddings import (
+        quantize_embeddings,
+    )
+
+    out = quantize_embeddings(_emb(spark, sf_dir))
+    q = F.col("qvec")
+    return out.select(
+        "vec_id",
+        "scale",
+        "n_dims",
+        "max_abs_err",
+        F.aggregate(
+            q, F.lit(0).cast("long"), lambda a, x: a + F.abs(x).cast("long")
+        ).alias("q_l1"),
+        F.aggregate(
+            F.zip_with(
+                q,
+                F.sequence(F.lit(1).cast("long"), F.size(q).cast("long")),
+                lambda x, i: x.cast("long") * i,
+            ),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).alias("q_checksum"),
+        F.array_min(q).cast("int").alias("q_min"),
+        F.array_max(q).cast("int").alias("q_max"),
+    )
+
+
+EMBEDDING_QUANTIZE_SQL = """
+WITH b AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+a AS (
+  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS amax FROM b),
+s AS (
+  SELECT vec_id, v, CASE WHEN amax > 0 THEN amax / 127.0 END AS scale FROM a),
+q AS (
+  SELECT vec_id, v, scale,
+         CASE WHEN scale IS NOT NULL THEN
+           list_transform(v, x -> CAST(round(x / scale) AS TINYINT)) END AS qv
+  FROM s)
+SELECT vec_id, scale, len(v) AS n_dims,
+       CASE WHEN scale IS NOT NULL THEN
+         list_max(list_transform(range(1, len(v) + 1),
+                  i -> abs(v[i] - CAST(qv[i] AS DOUBLE) * scale))) END
+         AS max_abs_err,
+       CAST(list_sum(list_transform(qv, x -> abs(CAST(x AS BIGINT)))) AS BIGINT)
+         AS q_l1,
+       CAST(list_sum(list_transform(range(1, len(qv) + 1),
+                     i -> CAST(qv[i] AS BIGINT) * i)) AS BIGINT) AS q_checksum,
+       CAST(list_min(qv) AS INT) AS q_min,
+       CAST(list_max(qv) AS INT) AS q_max
+FROM q
+"""
+
+
 # --- hybrid retrieval: RRF fusion of exact cosine + LSH-IVF ANN ---
 def hybrid_rrf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reciprocal-rank fusion of the exact brute-force ranking and the
@@ -1544,4 +1608,5 @@ LATE_BINDINGS = [
     ("quality_gate", quality_gate_q, QUALITY_GATE_SQL),
     ("bm25_topk", bm25_topk_q, BM25_TOPK_SQL),
     ("hybrid_rrf", hybrid_rrf_q, HYBRID_RRF_SQL),
+    ("embedding_quantize", embedding_quantize_q, EMBEDDING_QUANTIZE_SQL),
 ]

@@ -1377,3 +1377,30 @@ def test_weighted_sample_per_group_properties(spark):
     assert {(r["lang"], r["rn"], r["doc_id"]) for r in out2} == {
         (r["lang"], r["rn"], r["doc_id"]) for r in out
     }
+
+
+def test_quantize_embeddings_exact(spark):
+    from gapless_deribit_clickhouse_spark.pipelines.embeddings import (
+        quantize_embeddings,
+    )
+
+    rows = [
+        (0, [1.27, -1.27, 0.635, 0.0]),   # amax 1.27 -> scale 0.01
+        (1, [0.0, 0.0]),                  # zero vector: no scale
+        (2, None),                        # null vector: all null
+        (3, [-2.0]),                      # single negative: q = -127
+    ]
+    out = {
+        r["vec_id"]: r
+        for r in quantize_embeddings(
+            spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        ).collect()
+    }
+    r0 = out[0]
+    assert r0["scale"] == pytest.approx(0.01)
+    assert list(r0["qvec"]) == [127, -127, 64, 0]  # 63.5 rounds HALF_UP
+    assert r0["n_dims"] == 4
+    assert r0["max_abs_err"] <= r0["scale"] / 2 + 1e-12
+    assert out[1]["scale"] is None and out[1]["qvec"] is None
+    assert out[2]["qvec"] is None and out[2]["n_dims"] is None
+    assert list(out[3]["qvec"]) == [-127] and out[3]["max_abs_err"] == 0.0
