@@ -1562,6 +1562,54 @@ FROM q
 """
 
 
+# --- brute-force top-k over the int8-quantized index ---
+def quantized_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gapless_deribit_clickhouse_spark.pipelines.embeddings import (
+        quantized_cosine_topk,
+    )
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return quantized_cosine_topk(emb, queries, k=10)
+
+
+QUANTIZED_TOPK_SQL = """
+WITH b AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+a AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS amax FROM b),
+s AS (SELECT vec_id, v, amax / 127.0 AS scale FROM a WHERE amax > 0),
+q AS (
+  SELECT vec_id,
+         list_transform(v, x -> CAST(round(x / scale) AS TINYINT)) AS qv
+  FROM s),
+n AS (
+  SELECT vec_id, qv,
+         CAST(list_sum(list_transform(qv, x -> CAST(x AS BIGINT) * CAST(x AS BIGINT)))
+              AS BIGINT) AS n2
+  FROM q),
+pairs AS (
+  SELECT qq.vec_id AS query_id, cc.vec_id,
+         CAST(list_sum(list_transform(range(1, len(cc.qv) + 1),
+              i -> CAST(cc.qv[i] AS BIGINT) * CAST(qq.qv[i] AS BIGINT))) AS BIGINT)
+           AS idot,
+         cc.n2 AS cn2, qq.n2 AS qn2
+  FROM n cc CROSS JOIN n qq WHERE qq.vec_id < 5),
+r AS (
+  SELECT query_id, vec_id,
+         CAST(idot AS DOUBLE)
+           / (sqrt(CAST(cn2 AS DOUBLE)) * sqrt(CAST(qn2 AS DOUBLE))) AS qcos_sim,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY
+              CAST(idot AS DOUBLE)
+                / (sqrt(CAST(cn2 AS DOUBLE)) * sqrt(CAST(qn2 AS DOUBLE))) DESC,
+              vec_id) AS INT) AS rank
+  FROM pairs)
+SELECT query_id, vec_id, rank, qcos_sim FROM r WHERE rank <= 10
+"""
+
+
 # --- hybrid retrieval: RRF fusion of exact cosine + LSH-IVF ANN ---
 def hybrid_rrf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reciprocal-rank fusion of the exact brute-force ranking and the
@@ -1609,4 +1657,5 @@ LATE_BINDINGS = [
     ("bm25_topk", bm25_topk_q, BM25_TOPK_SQL),
     ("hybrid_rrf", hybrid_rrf_q, HYBRID_RRF_SQL),
     ("embedding_quantize", embedding_quantize_q, EMBEDDING_QUANTIZE_SQL),
+    ("quantized_topk", quantized_topk_q, QUANTIZED_TOPK_SQL),
 ]

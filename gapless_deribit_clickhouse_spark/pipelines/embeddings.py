@@ -758,3 +758,79 @@ def quantize_embeddings(
             ),
         ).alias("max_abs_err"),
     )
+
+
+def quantized_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Brute-force top-k over the INT8-QUANTIZED vectors — the
+    memory-bandwidth-bound scale path: per-vector scales cancel inside
+    cosine (cos(s_a*qa, s_b*qb) = cos(qa, qb)), so scoring is pure
+    integer dot products and integer norms with ONE final division —
+    exact and engine-portable, no float accumulation order anywhere.
+
+    Vectors that cannot be quantized (NULL/zero/empty — NULL scale
+    from :func:`quantize_embeddings`) are excluded from both sides; a
+    quantizable vector always has a +/-127 coordinate, so norms are
+    never zero and every pair scores. Output: query_id, vec_id, rank,
+    qcos_sim. Recall vs the float ranking is pinned in pytest; at 100
+    TB the int8 corpus moves 4x fewer bytes through the scan and
+    broadcast than float32 (8x vs float64).
+    """
+    qs = quantize_embeddings(
+        queries, id_col=query_id_col, vec_col=query_vec_col
+    ).filter(F.col("scale").isNotNull())
+    cs = quantize_embeddings(corpus, id_col=id_col, vec_col=vec_col).filter(
+        F.col("scale").isNotNull()
+    )
+
+    def _norm2(q: Column) -> Column:
+        return F.aggregate(
+            F.transform(q, lambda x: x.cast("long") * x.cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    q = F.broadcast(
+        qs.select(
+            query_id_col,
+            F.col("qvec").alias("__qq"),
+            _norm2(F.col("qvec")).alias("__qn2"),
+        )
+    )
+    idot = F.aggregate(
+        F.zip_with(
+            F.col("__cq"), F.col("__qq"), lambda a, b: a.cast("long") * b.cast("long")
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        cs.select(
+            id_col, F.col("qvec").alias("__cq"), _norm2(F.col("qvec")).alias("__cn2")
+        )
+        .crossJoin(q)
+        .select(
+            query_id_col,
+            id_col,
+            (
+                idot.cast("double")
+                / (
+                    F.sqrt(F.col("__cn2").cast("double"))
+                    * F.sqrt(F.col("__qn2").cast("double"))
+                )
+            ).alias("qcos_sim"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("qcos_sim"), F.col(id_col)
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

@@ -1404,3 +1404,38 @@ def test_quantize_embeddings_exact(spark):
     assert out[1]["scale"] is None and out[1]["qvec"] is None
     assert out[2]["qvec"] is None and out[2]["n_dims"] is None
     assert list(out[3]["qvec"]) == [-127] and out[3]["max_abs_err"] == 0.0
+
+
+def test_quantized_topk_recall_vs_exact(spark):
+    import random
+
+    from gapless_deribit_clickhouse_spark.pipelines.embeddings import (
+        cosine_topk,
+        quantized_cosine_topk,
+    )
+
+    rng = random.Random(7)
+    corpus = [
+        (i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(200)
+    ]
+    emb = spark.createDataFrame(corpus, "vec_id long, embedding array<double>")
+    queries = emb.filter("vec_id < 3").selectExpr(
+        "vec_id AS query_id", "embedding AS query_vec"
+    )
+    exact = cosine_topk(emb, queries, k=10).collect()
+    quant = quantized_cosine_topk(emb, queries, k=10).collect()
+    by_q_exact: dict = {}
+    for r in exact:
+        by_q_exact.setdefault(r["query_id"], set()).add(r["vec_id"])
+    by_q_quant: dict = {}
+    top1 = {}
+    for r in quant:
+        by_q_quant.setdefault(r["query_id"], set()).add(r["vec_id"])
+        if r["rank"] == 1:
+            top1[r["query_id"]] = r["vec_id"]
+    for qid, ex in by_q_exact.items():
+        recall = len(ex & by_q_quant[qid]) / len(ex)
+        # int8 keeps ~2 decimal digits of cosine resolution: the top
+        # set is essentially unchanged
+        assert recall >= 0.8, (qid, recall)
+        assert top1[qid] == qid  # self-similarity survives quantization

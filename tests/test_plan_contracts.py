@@ -74,6 +74,7 @@ ALLOWED_NLJ = {
     # interval join (operators/scd.py point_in_time_join)
     "bm25_topk",  # 1-row (n_docs, avgdl) scalar broadcast
     "hybrid_rrf",  # inherits cosine_topk's broadcast-queries crossJoin
+    "quantized_topk",  # broadcast-queries crossJoin over the int8 index
 }
 
 
