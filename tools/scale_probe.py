@@ -79,6 +79,16 @@ PROBES = [
     # here would mean the pairs->counts joins are exploding)
     "lm_score",
     "quality_gate",  # composed heuristics x LM gate over the same scan
+    # round-6 retrieval/quantization tier. Token salting makes the
+    # bm25 query terms match NOTHING in amplified copies — which is
+    # the honest probe anyway: the cost is the corpus tokenize+tf
+    # pass, and the matched-postings side is query-bounded.
+    "bm25_topk",
+    "frequent_tokens",  # Misra-Gries pass; salted vocab grows ~linearly
+    "substring_dup_fraction",
+    "temperature_sample",
+    "embedding_quantize",
+    "quantized_topk",
 ]
 
 # analytics-tier probes (VERDICT r4 #3): the union-window as-of join,
@@ -100,6 +110,18 @@ PROBES_ANALYTICS = [
     "twap_vwap",
     "mergeable_rollup",
     "limit_by_topn",
+    # round-6 series/history tier (time-disjoint copies keep every
+    # windowed answer linear; scan_keyset must stay ~FLAT — constant
+    # cost per page is the point of keyset pagination)
+    "drawdown_stats",
+    "realized_vol_daily",
+    "ewma_by_user",
+    "collapsing_merge",
+    "scd2_history",
+    "pit_enrich",
+    "approx_distinct_rollup",
+    "quantile_sketch_rollup",
+    "scan_keyset",
 ]
 
 
