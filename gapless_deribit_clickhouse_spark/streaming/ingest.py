@@ -53,14 +53,21 @@ def streaming_ohlc(
     amount_col: str = "amount",
     keys: tuple[str, ...] = (),
     window: str = "15 minutes",
-    watermark_delay: str = "10 minutes",
+    watermark_delay: str | None = "10 minutes",
 ) -> DataFrame:
     """Streaming 15-min bars: watermarked tumbling-window aggregation
-    (append mode emits a bar once the watermark passes its end)."""
+    (append mode emits a bar once the watermark passes its end).
+
+    Pass ``watermark_delay=None`` when the input is already
+    watermarked (e.g. the output of :func:`dedup_stream`) — Spark
+    forbids redefining a watermark between chained stateful
+    operators, so the upstream's delay carries through.
+    """
     v = F.col(value_col)
+    if watermark_delay is not None:
+        stream = stream.withWatermark(ts_col, watermark_delay)
     return (
-        stream.withWatermark(ts_col, watermark_delay)
-        .groupBy(F.window(F.col(ts_col), window).alias("w"), *keys)
+        stream.groupBy(F.window(F.col(ts_col), window).alias("w"), *keys)
         .agg(
             F.max(v).alias("high"),
             F.min(v).alias("low"),

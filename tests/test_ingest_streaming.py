@@ -478,3 +478,31 @@ def test_streaming_mergeable_rollup_state_versions(spark, tmp_path):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(again, want)
+
+
+def test_streaming_dedup_then_ohlc_chained(spark, tmp_path):
+    """TWO stateful operators in ONE streaming query — watermarked
+    dedup feeding the watermarked tumbling-window OHLC — the chained
+    shape a production pipeline runs (dedup at ingest, bars on the
+    deduped feed) instead of landing an intermediate table. The
+    duplicate rows must NOT inflate n_obs or volume in any bar."""
+    src_path = str(tmp_path / "chain_src")
+    _write_pages(spark, src_path, with_dup=True)
+    schema = spark.read.parquet(src_path).schema
+    stream = read_trade_stream(spark, src_path, schema)
+    deduped = dedup_stream(stream, watermark_delay="30 minutes")
+    bars = streaming_ohlc(deduped, window="15 minutes", watermark_delay=None)
+    q = (
+        bars.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("chain_bars")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM chain_bars").toPandas()
+    # 240 unique obs over 2h at 30s cadence -> closed 15-min bars
+    # carry exactly 30 obs each despite the 10 duplicated trade_ids
+    assert len(got) >= 4
+    assert (got.n_obs == 30).all()
+    assert (got.volume == 30.0).all()
