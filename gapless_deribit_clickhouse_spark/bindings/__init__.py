@@ -14,6 +14,7 @@ from gapless_deribit_clickhouse_spark.bindings import (
     extra_ops,
     features_ops,
     llm_ops,
+    mining_ops,
     olap_ops,
     series_ops,
     sketch_ops,
@@ -30,6 +31,7 @@ _MODULES = (
     olap_ops,
     sketch_ops,
     series_ops,
+    mining_ops,
 )
 ALL_BINDINGS = []
 for _mod in _MODULES:

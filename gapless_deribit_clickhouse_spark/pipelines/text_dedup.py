@@ -894,3 +894,86 @@ def substring_dup_fraction(
             ).alias("dup_fraction"),
         )
     )
+
+
+def segment_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seg_tokens: int = 10,
+) -> DataFrame:
+    """Corpus-wide duplicated-segment REMOVAL — the transform
+    counterpart of :func:`substring_dup_fraction`'s metric, and the
+    fixed-span analogue of C4's duplicate-line drop (the corpus here
+    has no newlines, so the segmentation unit is ``seg_tokens``
+    consecutive normalized tokens instead of a line).
+
+    Every document is split into consecutive ``seg_tokens``-token
+    segments (the tail keeps whatever remains). A segment survives
+    only at its canonical first occurrence — lowest ``(doc_id,
+    seg_idx)`` across the whole corpus — so repeated boilerplate is
+    kept exactly once and cut everywhere else, including repeats
+    within one document. Surviving segments are reassembled in
+    original order.
+
+    Scale shape: ONE scan — tokens -> segments (posexplode over a
+    PROJECTED token array, so the split runs once per doc, not once
+    per segment) -> one shuffle on the segment text for the
+    canonical-occurrence window (uniform key: segment content) -> one
+    shuffle on the doc id where a single conditional aggregation
+    yields totals, survivor count, and the reassembled text together
+    (no totals-vs-kept diamond, no join). At 100 TB both shuffles
+    carry one row per segment, a ``seg_tokens``-fold reduction over
+    token-level keys.
+
+    Reference parity: the reference dedups whole rows at read time
+    (ReplacingMergeTree FINAL); span-level curation is the LLM-tier
+    extension the task brief asks for (C4 §2.3-style line dedup).
+    """
+    from pyspark.sql import Window
+
+    segs = (
+        ensure_parallelism(df)
+        .select(
+            F.col(id_col).alias("id"),
+            F.split(normalized_text(F.col(text_col)), " ").alias("toks"),
+        )
+        .select("id", "toks", F.size("toks").alias("n_tokens"))
+        .select(
+            "id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        F.floor((F.col("n_tokens") - 1) / seg_tokens).cast(
+                            "int"
+                        ),
+                    ),
+                    lambda i: F.array_join(
+                        F.slice(F.col("toks"), i * seg_tokens + 1, seg_tokens),
+                        " ",
+                    ),
+                )
+            ).alias("seg_idx", "seg"),
+        )
+    )
+    first = Window.partitionBy("seg").orderBy("id", "seg_idx")
+    keep = F.row_number().over(first) == 1
+    return (
+        segs.withColumn("kept_seg", F.when(keep, F.struct("seg_idx", "seg")))
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_segments"),
+            F.count("kept_seg").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("kept_seg")),
+                    lambda s: s["seg"],
+                ),
+                " ",
+            ).alias("dedup_text"),
+        )
+        .select(
+            F.col("id").alias(id_col), "n_segments", "n_kept", "dedup_text"
+        )
+    )

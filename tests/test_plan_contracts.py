@@ -75,6 +75,9 @@ ALLOWED_NLJ = {
     "bm25_topk",  # 1-row (n_docs, avgdl) scalar broadcast
     "hybrid_rrf",  # inherits cosine_topk's broadcast-queries crossJoin
     "quantized_topk",  # broadcast-queries crossJoin over the int8 index
+    "event_cooccurrence",  # 1-row total-group-count scalar broadcast
+    # (the lift denominator; the pair join itself is an equi-join on
+    # the group id)
 }
 
 
