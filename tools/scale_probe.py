@@ -86,6 +86,8 @@ PROBES = [
     "bm25_topk",
     "frequent_tokens",  # Misra-Gries pass; salted vocab grows ~linearly
     "substring_dup_fraction",
+    "segment_dedup",  # token salting keeps cross-copy segments
+    # disjoint, so segment groups (and survivors) grow linearly
     "temperature_sample",
     "embedding_quantize",
     "quantized_topk",
@@ -122,6 +124,10 @@ PROBES_ANALYTICS = [
     "approx_distinct_rollup",
     "quantile_sketch_rollup",
     "scan_keyset",
+    "event_cooccurrence",  # user/type keys are SHARED across copies:
+    # the distinct (group, item) projection stays constant-size while
+    # raw events grow f x — cost is the one event-scale distinct,
+    # which should grow ~linearly
 ]
 
 
