@@ -569,7 +569,31 @@ def _streaming_bench(
                 .start()
             )
 
+        def make_ewma():
+            from gapless_deribit_clickhouse_spark.streaming.ingest import (
+                streaming_ewma,
+            )
+
+            return (
+                streaming_ewma(
+                    rate_trades().select(
+                        F.col("timestamp").alias("ts"),
+                        (F.col("trade_id") % 4).alias("user_id"),
+                        F.col("iv").alias("value"),
+                    ),
+                    watermark_delay="10 seconds",
+                )
+                .writeStream.format("noop")
+                .option("checkpointLocation", _ckpt())
+                .outputMode("update")
+                .start()
+            )
+
         out["streaming_ohlc_rows_per_sec"], _ = measure(make_ohlc)
+        # the custom stateful operator (applyInPandasWithState) pays
+        # one Arrow crossing per key-batch; its rate is the honest
+        # cost of the Python-state tier vs the JVM-native ones above
+        out["streaming_ewma_rows_per_sec"], _ = measure(make_ewma)
         # merging session windows carry the most state machinery; by
         # now the streaming runtime is warm, so the window measures
         # sustained micro-batch throughput, not cold-start

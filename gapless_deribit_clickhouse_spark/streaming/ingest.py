@@ -161,6 +161,96 @@ def streaming_gap_monitor(
     )
 
 
+def streaming_ewma(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    decay: float = 0.9,
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Streaming RiskMetrics EWMA — the live sibling of the batch
+    :func:`features.timeseries.ewma_by_key` fold, as a custom stateful
+    operator (``applyInPandasWithState``): per key, the state carries
+    ``(ewma, n, last_ts_us)`` across micro-batches; each batch folds
+    its rows in ``(ts)`` order on top of the stored accumulator and
+    emits ONE updated row per key.
+
+    Semantics match the batch fold exactly: the first observation ever
+    seen seeds the accumulator, then ``s = s * decay + x * (1 -
+    decay)`` left-to-right — so a streaming run over N batches equals
+    one batch run over the concatenation (pinned in pytest).
+
+    State is three scalars per key — O(cardinality(key)), not O(rows).
+    The watermark drops late rows before they reach the fold: an
+    out-of-order observation older than the stored high-water mark
+    would silently reorder the sequential recurrence, so rows at or
+    behind ``last_ts_us`` are skipped and counted in ``n_late`` for
+    the batch (the streaming analogue of the batch tier's explicit
+    ordering columns).
+    """
+    import pandas as pd
+
+    out_schema = T.StructType(
+        [
+            T.StructField(key_col, T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("n_late", T.LongType()),
+            T.StructField("ewma_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("ewma", T.DoubleType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("last_ts_us", T.LongType()),
+        ]
+    )
+    alpha = 1.0 - decay
+
+    def fold(key, pdf_iter, state):
+        ewma, n, last_us = state.get if state.exists else (None, 0, None)
+        pdf = pd.concat(list(pdf_iter), ignore_index=True)
+        if pdf.empty:
+            return
+        pdf = pdf.sort_values(ts_col, kind="mergesort")
+        ts_us = (
+            pdf[ts_col].astype("datetime64[us]").astype("int64").to_numpy()
+        )
+        vals = pdf[value_col].astype("float64").to_numpy()
+        n_late = 0
+        for t_us, x in zip(ts_us, vals):
+            if last_us is not None and t_us <= last_us:
+                n_late += 1
+                continue
+            ewma = x if ewma is None else ewma * decay + x * alpha
+            n += 1
+            last_us = int(t_us)
+        state.update((ewma, n, last_us if last_us is not None else -1))
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]],
+                "n_events": [n],
+                "n_late": [n_late],
+                "ewma_value": [ewma],
+            }
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        stream.withWatermark(ts_col, watermark_delay)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            fold,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def write_stream_idempotent(
     stream: DataFrame,
     output_path: str,

@@ -506,3 +506,53 @@ def test_streaming_dedup_then_ohlc_chained(spark, tmp_path):
     assert len(got) >= 4
     assert (got.n_obs == 30).all()
     assert (got.volume == 30.0).all()
+
+
+def test_streaming_ewma_state_carries_across_batches(spark, tmp_path):
+    """Streaming EWMA == batch fold over the concatenated series: the
+    first batch seeds and folds, the second folds ON TOP of the stored
+    state, and an out-of-order row at/behind the high-water mark is
+    counted late and excluded from the recurrence."""
+    import datetime as dtm
+
+    from gapless_deribit_clickhouse_spark.streaming.ingest import streaming_ewma
+
+    def ts(s):
+        return dtm.datetime(2024, 1, 1, 12, 0, 0) + dtm.timedelta(seconds=s)
+
+    schema = "user_id long, ts timestamp, value double"
+    src = str(tmp_path / "ewma_src")
+    b1 = [(1, ts(0), 10.0), (1, ts(30), 20.0), (2, ts(0), 5.0)]
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        streaming_ewma(stream, decay=0.9)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("ewma_live")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: one new obs per user + one LATE duplicate timestamp
+        b2 = [(1, ts(60), 30.0), (1, ts(30), 999.0), (2, ts(45), 7.0)]
+        spark.createDataFrame(b2, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()
+        got = spark.sql(
+            "SELECT * FROM ewma_live"
+        ).toPandas()
+    finally:
+        q.stop()
+
+    # last update per user is the final state
+    last = got.groupby("user_id").last()
+    # user 1: seed 10 -> 10*.9+20*.1 = 11 -> 11*.9+30*.1 = 12.9
+    assert last.loc[1, "ewma_value"] == pytest.approx(12.9)
+    assert last.loc[1, "n_events"] == 3
+    assert last.loc[1, "n_late"] == 1  # the ts(30) replay
+    # user 2: seed 5 -> 5*.9 + 7*.1 = 5.2
+    assert last.loc[2, "ewma_value"] == pytest.approx(5.2)
+    assert last.loc[2, "n_events"] == 2
