@@ -24,6 +24,7 @@ from gapless_deribit_clickhouse_spark.bindings.llm_ops import _md5_bucket_sql
 from gapless_deribit_clickhouse_spark.core.partitioning import ensure_parallelism
 from gapless_deribit_clickhouse_spark.core.tables import load_table
 from gapless_deribit_clickhouse_spark.features.timeseries import (
+    autocorr_by_key,
     drawdown_stats,
     ewma_by_key,
     realized_vol,
@@ -258,6 +259,26 @@ FROM tt LEFT JOIN cnt USING (doc_id)
 """
 
 
+# --- lag-1 autocorrelation per user series ---
+def autocorr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return autocorr_by_key(
+        _events(spark, sf_dir), ["user_id"], ["ts", "event_id"], "value"
+    )
+
+
+# corr is the sample Pearson coefficient in both engines; Spark's
+# zero-variance NaN is normalized to NULL engine-side, matching
+# DuckDB's NULL.
+AUTOCORR_SQL = """
+WITH l AS (
+  SELECT user_id, value,
+         lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events)
+SELECT user_id, count(*) AS n_pairs, corr(value, prev) AS autocorr
+FROM l WHERE prev IS NOT NULL GROUP BY user_id
+"""
+
+
 BINDINGS: list = []
 
 LATE_BINDINGS = [
@@ -269,4 +290,5 @@ LATE_BINDINGS = [
     ("pit_enrich", pit_enrich_q, PIT_ENRICH_SQL),
     ("temperature_sample", temperature_sample_q, TEMPERATURE_SAMPLE_SQL),
     ("substring_dup_fraction", substring_dup_q, SUBSTRING_DUP_SQL),
+    ("value_autocorr", autocorr_q, AUTOCORR_SQL),
 ]

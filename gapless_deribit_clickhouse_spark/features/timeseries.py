@@ -142,3 +142,38 @@ def ewma_by_key(
         F.count(F.lit(1)).alias("n_events"),
         ewma.alias("ewma_value"),
     )
+
+
+def autocorr_by_key(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    value_col: str,
+    lag: int = 1,
+) -> DataFrame:
+    """Lag-``lag`` sample autocorrelation of the per-key ordered value
+    series — the serial-dependence screen a volatility desk runs
+    before fitting anything autoregressive (the EGARCH tier's input
+    diagnostic; reference `features/egarch.py` consumes exactly this
+    kind of per-instrument return series).
+
+    One shuffle on the key: the lag window and the per-key aggregate
+    share the partitioning, so the plan carries a single exchange.
+    Pearson r is assembled from explicit sample moments
+    (``covar_samp / (stddev * stddev)``) rather than ``F.corr``: a
+    zero-variance series makes ``corr`` raise a divide-by-zero under
+    ANSI mode, while the guarded form returns NULL — matching
+    DuckDB's ``corr`` (autocorrelation undefined). The n-factors
+    cancel, so sample moments give the identical coefficient.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    pairs = df.withColumn("__prev", F.lag(value_col, lag).over(w)).filter(
+        F.col("__prev").isNotNull()
+    )
+    cov = F.covar_samp(value_col, "__prev")
+    s1 = F.stddev_samp(value_col)
+    s2 = F.stddev_samp("__prev")
+    return pairs.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.when((s1 > 0) & (s2 > 0), cov / (s1 * s2)).alias("autocorr"),
+    )

@@ -245,3 +245,35 @@ def test_substring_dup_short_docs_whole_text(spark):
     out = {r["doc_id"]: r for r in substring_dup_fraction(df, window=8).collect()}
     assert out[0]["dup_fraction"] == 1.0 and out[1]["dup_fraction"] == 1.0
     assert out[2]["dup_fraction"] == 0.0
+
+
+def test_autocorr_planted_series(spark):
+    import datetime as dtm
+
+    from gapless_deribit_clickhouse_spark.features.timeseries import (
+        autocorr_by_key,
+    )
+
+    def ts(s):
+        return dtm.datetime(2024, 1, 1) + dtm.timedelta(seconds=s)
+
+    rows = []
+    # user 1: linear ramp -> lag-1 pairs are perfectly correlated
+    for i, v in enumerate([1.0, 2.0, 3.0, 4.0, 5.0]):
+        rows.append((1, ts(i), i, v))
+    # user 2: constant series -> zero variance -> NULL (not NaN)
+    for i in range(4):
+        rows.append((2, ts(i), i, 7.0))
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, value double"
+    )
+    got = {
+        r["user_id"]: r
+        for r in autocorr_by_key(
+            df, ["user_id"], ["ts", "event_id"], "value"
+        ).collect()
+    }
+    assert got[1]["n_pairs"] == 4
+    assert got[1]["autocorr"] == pytest.approx(1.0)
+    assert got[2]["n_pairs"] == 3
+    assert got[2]["autocorr"] is None
