@@ -89,9 +89,47 @@ CROSS JOIN t
 """
 
 
+def attribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gapless_deribit_clickhouse_spark.operators.attribution import (
+        attribution_last_touch,
+    )
+
+    return attribution_last_touch(
+        ensure_parallelism(load_table(spark, sf_dir, "events")),
+        lookback_s=3600.0,
+    )
+
+
+# Verbatim transliteration: same ROWS frame, same ignore-nulls carry
+# columns (null on exactly the same rows, so all three resolve to the
+# same touch row), same epoch-seconds age arithmetic.
+ATTRIBUTION_SQL = """
+WITH c AS (
+  SELECT event_id, user_id, ts, event_type,
+         last_value(CASE WHEN event_type IN ('view', 'click')
+                    THEN ts END IGNORE NULLS) OVER w AS t_ts,
+         last_value(CASE WHEN event_type IN ('view', 'click')
+                    THEN event_id END IGNORE NULLS) OVER w AS t_id,
+         last_value(CASE WHEN event_type IN ('view', 'click')
+                    THEN event_type END IGNORE NULLS) OVER w AS t_ty
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+a AS (
+  SELECT *, epoch(ts) - epoch(t_ts) AS age FROM c
+  WHERE event_type = 'purchase')
+SELECT event_id, user_id, ts,
+       CASE WHEN age <= 3600.0 THEN t_id END AS touch_event_id,
+       CASE WHEN age <= 3600.0 THEN t_ty END AS touch_type,
+       CASE WHEN age <= 3600.0 THEN age END AS touch_age_s
+FROM a
+"""
+
+
 BINDINGS: list = []
 
 LATE_BINDINGS = [
     ("segment_dedup", segment_dedup_q, SEGMENT_DEDUP_SQL),
     ("event_cooccurrence", event_cooccurrence_q, EVENT_COOCCURRENCE_SQL),
+    ("attribution_last_touch", attribution_q, ATTRIBUTION_SQL),
 ]

@@ -152,3 +152,45 @@ def test_sequence_count_equal_time_pair_counts(spark):
         df, first=F.col("event_type") == "a", then=F.col("event_type") == "b"
     ).collect()
     assert out[0]["sequence_count"] == 1
+
+
+def test_attribution_last_touch_planted(spark):
+    """Last-touch credit: most recent preceding touch within the
+    lookback wins; later touches never attribute backwards; out-of-
+    window and touchless conversions stay NULL but present."""
+    import datetime as dtm
+
+    from gapless_deribit_clickhouse_spark.operators.attribution import (
+        attribution_last_touch,
+    )
+
+    def ts(s):
+        return dtm.datetime(2024, 1, 1) + dtm.timedelta(seconds=s)
+
+    rows = [
+        # user 1: view -> click -> purchase (click is last touch)
+        (10, 1, ts(0), "view"),
+        (11, 1, ts(100), "click"),
+        (12, 1, ts(200), "purchase"),
+        # a touch AFTER the purchase must not attribute backwards
+        (13, 1, ts(300), "view"),
+        # user 2: touch far outside the 1h lookback
+        (20, 2, ts(0), "view"),
+        (21, 2, ts(5000), "purchase"),
+        # user 3: no touch at all (error events don't count)
+        (30, 3, ts(0), "error"),
+        (31, 3, ts(10), "purchase"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    got = {
+        r["event_id"]: r
+        for r in attribution_last_touch(ev, lookback_s=3600.0).collect()
+    }
+    assert set(got) == {12, 21, 31}  # every purchase appears
+    assert got[12]["touch_event_id"] == 11
+    assert got[12]["touch_type"] == "click"
+    assert got[12]["touch_age_s"] == 100.0
+    assert got[21]["touch_event_id"] is None  # outside lookback
+    assert got[31]["touch_event_id"] is None  # never touched
