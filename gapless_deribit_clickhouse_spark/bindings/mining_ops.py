@@ -126,10 +126,47 @@ FROM a
 """
 
 
+def attribution_first_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gapless_deribit_clickhouse_spark.operators.attribution import (
+        attribution_first_touch,
+    )
+
+    return attribution_first_touch(
+        ensure_parallelism(load_table(spark, sf_dir, "events"))
+    )
+
+
+ATTRIBUTION_FIRST_SQL = """
+WITH s AS (
+  SELECT event_id, user_id, ts, event_type,
+         coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           0) AS ep
+  FROM events),
+c AS (
+  SELECT *,
+         first_value(CASE WHEN event_type IN ('view', 'click')
+                     THEN ts END IGNORE NULLS) OVER we AS f_ts,
+         first_value(CASE WHEN event_type IN ('view', 'click')
+                     THEN event_id END IGNORE NULLS) OVER we AS f_id,
+         first_value(CASE WHEN event_type IN ('view', 'click')
+                     THEN event_type END IGNORE NULLS) OVER we AS f_ty
+  FROM s
+  WINDOW we AS (PARTITION BY user_id, ep ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT event_id, user_id, ts, f_id AS touch_event_id,
+       f_ty AS touch_type,
+       epoch(ts) - epoch(f_ts) AS touch_age_s
+FROM c WHERE event_type = 'purchase'
+"""
+
+
 BINDINGS: list = []
 
 LATE_BINDINGS = [
     ("segment_dedup", segment_dedup_q, SEGMENT_DEDUP_SQL),
     ("event_cooccurrence", event_cooccurrence_q, EVENT_COOCCURRENCE_SQL),
     ("attribution_last_touch", attribution_q, ATTRIBUTION_SQL),
+    ("attribution_first_touch", attribution_first_q, ATTRIBUTION_FIRST_SQL),
 ]

@@ -72,3 +72,61 @@ def attribution_last_touch(
             F.when(within, age).alias("touch_age_s"),
         )
     )
+
+
+def attribution_first_touch(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_cols: Sequence[str] = ("ts", "event_id"),
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    convert_type: str = "purchase",
+    touch_types: Sequence[str] = ("view", "click"),
+) -> DataFrame:
+    """First-touch credit with EPISODE RESET: each user's stream is
+    segmented into episodes ending at a conversion (a running count of
+    PRIOR conversions is the episode id), and the conversion is
+    attributed to the episode's FIRST touch — so credit never leaks
+    across a previous purchase the way a global first-touch would.
+
+    Costs one more exchange than last-touch: the episode id comes from
+    the user-partitioned running count, then the episode-first carry
+    re-partitions on (user, episode) — a strictly finer, therefore
+    better-balanced, key. Both stages are running ROWS frames (no
+    frame buffering); the running conversion count ends at 1 PRECEDING
+    (the conversion row itself belongs to the episode it closes).
+    """
+    w = Window.partitionBy(user_col).orderBy(*order_cols)
+    prior_conv = F.coalesce(
+        F.sum((F.col(type_col) == convert_type).cast("long")).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    seg = df.withColumn("__ep", prior_conv)
+    we = (
+        Window.partitionBy(user_col, "__ep")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_touch = F.col(type_col).isin(*touch_types)
+    f_ts = F.first(F.when(is_touch, F.col(ts_col)), ignorenulls=True).over(we)
+    f_id = F.first(F.when(is_touch, F.col(id_col)), ignorenulls=True).over(we)
+    f_ty = F.first(F.when(is_touch, F.col(type_col)), ignorenulls=True).over(we)
+    return (
+        seg.withColumn("__f_ts", f_ts)
+        .withColumn("__f_id", f_id)
+        .withColumn("__f_ty", f_ty)
+        .filter(F.col(type_col) == convert_type)
+        .select(
+            F.col(id_col),
+            F.col(user_col),
+            F.col(ts_col),
+            F.col("__f_id").alias("touch_event_id"),
+            F.col("__f_ty").alias("touch_type"),
+            (
+                F.col(ts_col).cast("double") - F.col("__f_ts").cast("double")
+            ).alias("touch_age_s"),
+        )
+    )

@@ -194,3 +194,39 @@ def test_attribution_last_touch_planted(spark):
     assert got[12]["touch_age_s"] == 100.0
     assert got[21]["touch_event_id"] is None  # outside lookback
     assert got[31]["touch_event_id"] is None  # never touched
+
+
+def test_attribution_first_touch_episode_reset(spark):
+    """First-touch credit resets at each conversion: the second
+    purchase is attributed to the first touch AFTER the first
+    purchase, never to the global first touch."""
+    import datetime as dtm
+
+    from gapless_deribit_clickhouse_spark.operators.attribution import (
+        attribution_first_touch,
+    )
+
+    def ts(s):
+        return dtm.datetime(2024, 1, 1) + dtm.timedelta(seconds=s)
+
+    rows = [
+        (10, 1, ts(0), "view"),       # episode 0 first touch
+        (11, 1, ts(50), "click"),
+        (12, 1, ts(100), "purchase"),  # -> credited to 10
+        (13, 1, ts(200), "click"),     # episode 1 first touch
+        (14, 1, ts(250), "view"),
+        (15, 1, ts(300), "purchase"),  # -> credited to 13, NOT 10
+        (16, 1, ts(400), "purchase"),  # episode 2: no touch -> NULL
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    got = {
+        r["event_id"]: r for r in attribution_first_touch(ev).collect()
+    }
+    assert got[12]["touch_event_id"] == 10
+    assert got[12]["touch_age_s"] == 100.0
+    assert got[15]["touch_event_id"] == 13
+    assert got[15]["touch_type"] == "click"
+    assert got[15]["touch_age_s"] == 100.0
+    assert got[16]["touch_event_id"] is None
