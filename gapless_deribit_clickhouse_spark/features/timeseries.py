@@ -167,8 +167,13 @@ def autocorr_by_key(
     cancel, so sample moments give the identical coefficient.
     """
     w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    # BOTH ends of the pair must be non-null (ADVICE r6: with only the
+    # __prev filter, stddev_samp(value) / stddev_samp(prev) /
+    # covar_samp would each see different row subsets when value_col
+    # contains NULLs, diverging from the oracle corr's pairwise
+    # deletion — all three moments must see the same pairs)
     pairs = df.withColumn("__prev", F.lag(value_col, lag).over(w)).filter(
-        F.col("__prev").isNotNull()
+        F.col("__prev").isNotNull() & F.col(value_col).isNotNull()
     )
     cov = F.covar_samp(value_col, "__prev")
     s1 = F.stddev_samp(value_col)

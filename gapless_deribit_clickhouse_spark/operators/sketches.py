@@ -105,13 +105,28 @@ def frequent_keys_exact(
         # 4x margin over the den/num floor that makes the MG guarantee
         # cover the support threshold (m + 1 >= den/num)
         counters = 4 * math.ceil(support_den / support_num)
+    # null keys are excluded from BOTH the summary pass and the total
+    # N (ADVICE r6: value_counts drops nulls while len(pdf) counted
+    # them, inflating the support denominator when the key column is
+    # nullable — keys at the threshold could be wrongly excluded; and
+    # a null key can never survive the equi-join verify anyway, so
+    # "frequency >= support * N" is defined over non-null rows). The
+    # mapInPandas output schema carries the INPUT key type, not a
+    # hardcoded string.
+    key_type = df.schema[key_col].dataType.simpleString()
     # one corpus pass yields BOTH the candidates and the total row
     # count (per-partition total rows with a null key); the lazy
     # localCheckpoint is the barrier that stops the candidate/total
     # diamond from re-running the scan per consumer
-    summary = df.select(key_col).mapInPandas(
-        _mg_partition(counters, key_col), schema=f"{key_col} string, _cnt long"
-    ).localCheckpoint(eager=False)
+    summary = (
+        df.select(key_col)
+        .filter(F.col(key_col).isNotNull())
+        .mapInPandas(
+            _mg_partition(counters, key_col),
+            schema=f"{key_col} {key_type}, _cnt long",
+        )
+        .localCheckpoint(eager=False)
+    )
     cands = summary.filter(F.col("_cnt").isNull()).select(key_col).distinct()
     total = summary.agg(F.sum("_cnt").alias("_total"))
     return (

@@ -708,11 +708,15 @@ def _write_index_tables(
     bands: int,
     base_hash: str,
 ) -> None:
-    digest = F.md5(normalized_text(F.col(text_col)))
-    df.select(digest.alias("digest")).distinct().write.mode(mode).parquet(
-        f"{path}/digests"
-    )
-
+    # Write order is a crash-recovery contract (ADVICE r6): digests go
+    # LAST. The digests table is what a replayed batch anti-joins
+    # itself away against — if a crash landed digests but not
+    # bands/sets, the replay would skip the batch and its LSH rows
+    # would be missing FOREVER (future near-duplicates escape). With
+    # digests last, a partial append leaves the batch still visible to
+    # the replay: it re-appends bands/sets (duplicate rows degrade
+    # space, not answers — consumers distinct() candidates and losers)
+    # and only then commits the digests marker.
     sig = minhash_signatures(df, text_col, id_col, n, num_hashes, base_hash)
     # partitioned by band: the batch probe joins on (band, band_hash),
     # so partition pruning would let a band-sliced probe read 1/bands
@@ -724,6 +728,11 @@ def _write_index_tables(
 
     _hashed_sets(df, text_col, id_col, n, "id", "sset").write.mode(mode).parquet(
         f"{path}/sets"
+    )
+
+    digest = F.md5(normalized_text(F.col(text_col)))
+    df.select(digest.alias("digest")).distinct().write.mode(mode).parquet(
+        f"{path}/digests"
     )
 
 

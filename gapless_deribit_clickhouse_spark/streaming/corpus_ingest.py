@@ -20,7 +20,11 @@ landing overwrites itself (exactly-once), while the index append may
 duplicate rows — which ``append_dedup_index`` documents as
 space-not-answers: consumers anti-join digests and ``distinct()`` the
 candidate and loser sets, so duplicated index rows cannot change any
-survivor set.
+survivor set. The space-not-answers claim requires the index tables
+to land in a fixed order (ADVICE r6): ``_write_index_tables`` writes
+the digests projection LAST, so a crash mid-append leaves the batch
+still visible to its replay (which re-appends bands/sets) instead of
+anti-joined away with its LSH rows permanently missing.
 """
 
 from __future__ import annotations

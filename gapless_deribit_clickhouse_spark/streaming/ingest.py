@@ -191,9 +191,12 @@ def streaming_ewma(
     """
     import pandas as pd
 
+    # key passes through verbatim, so its output type is the INPUT
+    # type (ADVICE r6: hardcoding LongType broke string/symbol keys
+    # while the batch sibling ewma_by_key is type-generic)
     out_schema = T.StructType(
         [
-            T.StructField(key_col, T.LongType()),
+            T.StructField(key_col, stream.schema[key_col].dataType),
             T.StructField("n_events", T.LongType()),
             T.StructField("n_late", T.LongType()),
             T.StructField("ewma_value", T.DoubleType()),

@@ -35,14 +35,30 @@ from gapless_deribit_clickhouse_spark.operators.merge_rollup import (
 )
 
 
+def _is_missing_path(exc: Exception) -> bool:
+    """True only for the path-does-not-exist AnalysisException."""
+    cls = getattr(exc, "getErrorClass", lambda: None)() or ""
+    return "PATH_NOT_FOUND" in cls or "Path does not exist" in str(exc)
+
+
 def _latest_version_before(spark, state_path: str, batch_id: int):
     """State rows of the newest version strictly older than
     ``batch_id`` (strict: a replayed epoch must not read its own
     half-written output), or None when no such version exists. The
     1-row max() collect is metadata-scale."""
+    from pyspark.errors import AnalysisException
+
     try:
         allv = spark.read.parquet(state_path)
-    except Exception:  # first batch: no state directory yet
+    except AnalysisException as exc:
+        # ONLY the missing-state-directory case means "first batch"
+        # (ADVICE r6: a bare except treated transient read failures /
+        # corrupt state as first-batch, so the sink would write a new
+        # version built from the current batch alone and readers would
+        # silently serve truncated aggregate history). Any other error
+        # fails the micro-batch so the engine retries it.
+        if not _is_missing_path(exc):
+            raise
         return None
     prev = allv.filter(F.col("batch_id") < batch_id)
     row = prev.agg(F.max("batch_id").alias("m")).collect()[0]

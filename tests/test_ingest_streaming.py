@@ -556,3 +556,88 @@ def test_streaming_ewma_state_carries_across_batches(spark, tmp_path):
     # user 2: seed 5 -> 5*.9 + 7*.1 = 5.2
     assert last.loc[2, "ewma_value"] == pytest.approx(5.2)
     assert last.loc[2, "n_events"] == 2
+
+
+def test_streaming_ewma_key_type_follows_input(spark, tmp_path):
+    """ADVICE r6: the output key field carries the INPUT key type (the
+    old code hardcoded LongType, breaking string/symbol keys). Plan
+    construction only — no query start needed to check the schema."""
+    from pyspark.sql import types as T
+
+    from gapless_deribit_clickhouse_spark.streaming.ingest import streaming_ewma
+
+    schema = "user_id string, ts timestamp, value double"
+    src = str(tmp_path / "ewma_str_src")
+    spark.createDataFrame(
+        [("BTC", dt.datetime(2024, 1, 1), 1.0)], schema
+    ).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = streaming_ewma(stream)
+    assert out.schema["user_id"].dataType == T.StringType()
+
+
+def test_streaming_ewma_string_key_end_to_end(spark, tmp_path):
+    """The string-key fold actually runs (the old hardcoded schema
+    produced nulls/Arrow errors at runtime for non-long keys)."""
+    from gapless_deribit_clickhouse_spark.streaming.ingest import streaming_ewma
+
+    schema = "user_id string, ts timestamp, value double"
+    src = str(tmp_path / "ewma_str_e2e")
+    rows = [
+        ("BTC", dt.datetime(2024, 1, 1, 12, 0, 0), 10.0),
+        ("BTC", dt.datetime(2024, 1, 1, 12, 0, 30), 20.0),
+        ("ETH", dt.datetime(2024, 1, 1, 12, 0, 0), 5.0),
+    ]
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        streaming_ewma(stream, decay=0.9)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("ewma_str_live")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r["user_id"]: r
+            for r in spark.sql("SELECT * FROM ewma_str_live").collect()
+        }
+    finally:
+        q.stop()
+    assert got["BTC"]["ewma_value"] == pytest.approx(10.0 * 0.9 + 20.0 * 0.1)
+    assert got["ETH"]["ewma_value"] == pytest.approx(5.0)
+
+
+def test_rollup_state_corrupt_state_fails_not_truncates(spark, tmp_path):
+    """ADVICE r6: only a MISSING state directory means 'first batch'.
+    Any other read error must raise (fail the micro-batch for retry),
+    never silently rebuild state from the current batch alone."""
+    from pyspark.errors import AnalysisException
+
+    from gapless_deribit_clickhouse_spark.streaming.materialized import (
+        _latest_version_before,
+    )
+
+    missing = str(tmp_path / "nope")
+    assert _latest_version_before(spark, missing, batch_id=3) is None
+
+    # a directory that EXISTS but holds no readable parquet -> the
+    # reader raises (a JVM RuntimeException here, AnalysisException
+    # for schema-inference failures elsewhere) and the sink must let
+    # it propagate rather than return None ("first batch")
+    corrupt = tmp_path / "corrupt_state"
+    corrupt.mkdir()
+    (corrupt / "garbage.txt").write_text("not parquet")
+    with pytest.raises(Exception) as exc_info:
+        _latest_version_before(spark, str(corrupt), batch_id=3)
+    assert exc_info.value is not None
+
+    # the classifier itself: only missing-path AnalysisExceptions are
+    # treated as first-batch
+    from gapless_deribit_clickhouse_spark.streaming.materialized import (
+        _is_missing_path,
+    )
+
+    assert _is_missing_path(AnalysisException("[PATH_NOT_FOUND] Path does not exist: /x"))
+    assert not _is_missing_path(AnalysisException("[UNABLE_TO_INFER_SCHEMA] bad"))

@@ -1439,3 +1439,40 @@ def test_quantized_topk_recall_vs_exact(spark):
         # set is essentially unchanged
         assert recall >= 0.8, (qid, recall)
         assert top1[qid] == qid  # self-similarity survives quantization
+
+
+def test_dedup_index_digests_written_last(spark, tmp_path, monkeypatch):
+    """ADVICE r6 crash-recovery contract: the digests projection — the
+    table a replayed batch anti-joins itself away against — must be
+    the LAST index table written, so a crash mid-append leaves the
+    batch visible to its replay instead of permanently missing its
+    bands/sets rows."""
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    from gapless_deribit_clickhouse_spark.pipelines.text_dedup import (
+        append_dedup_index,
+        build_dedup_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "pack my box with five dozen liquor jugs")],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "order_idx")
+    build_dedup_index(docs, idx, threshold=0.8)
+
+    batch = spark.createDataFrame(
+        [(3, "sphinx of black quartz judge my vow")], "doc_id long, text string"
+    )
+    order: list[str] = []
+    real_parquet = DataFrameWriter.parquet
+
+    def recording_parquet(self, path, *a, **kw):
+        order.append(path.rsplit("/", 1)[-1])
+        return real_parquet(self, path, *a, **kw)
+
+    monkeypatch.setattr(DataFrameWriter, "parquet", recording_parquet)
+    append_dedup_index(batch, idx)
+    assert set(order) == {"bands", "sets", "digests"}
+    assert order[-1] == "digests"

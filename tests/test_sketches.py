@@ -106,3 +106,24 @@ def test_sketch_bindings_flags_hold(spark):
         assert row["hllpp_ok"] and row["merge_ok"], row
     for row in quantile_sketch_rollup(spark, SF_DIR).collect():
         assert row["sketch_p50_ok"] and row["sketch_p90_ok"], row
+
+
+def test_frequent_keys_null_keys_excluded_from_total(spark):
+    """ADVICE r6: null keys must not inflate the support denominator.
+    'a' has 5 of the 20 NON-null occurrences — exactly at support 1/4.
+    With the old bug (N counted 16 null rows too, N=36), 5*4 < 36
+    would wrongly exclude it."""
+    rows = [("a",)] * 5 + [("b",)] * 12 + [("c",)] * 3 + [(None,)] * 16
+    df = spark.createDataFrame(rows, "key string").repartition(5)
+    got = [(r["key"], r["freq"]) for r in frequent_keys_exact(df, "key", 1, 4).collect()]
+    assert got == [("b", 12), ("a", 5)]
+
+
+def test_frequent_keys_non_string_key_type(spark):
+    """ADVICE r6: the mapInPandas output schema carries the input key
+    type instead of a hardcoded string."""
+    rows = [(7,)] * 6 + [(42,)] * 3 + [(9,)] * 1
+    df = spark.createDataFrame(rows, "key long").repartition(3)
+    out = frequent_keys_exact(df, "key", 1, 5)
+    assert out.schema["key"].dataType.simpleString() == "bigint"
+    assert [(r["key"], r["freq"]) for r in out.collect()] == [(7, 6), (42, 3)]

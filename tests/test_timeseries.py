@@ -277,3 +277,41 @@ def test_autocorr_planted_series(spark):
     assert got[1]["autocorr"] == pytest.approx(1.0)
     assert got[2]["n_pairs"] == 3
     assert got[2]["autocorr"] is None
+
+
+def test_autocorr_null_values_pairwise_deletion(spark):
+    """ADVICE r6: with NULLs in value_col, all three moments (cov, s1,
+    s2) must see the SAME pairs — pairwise deletion, matching the
+    oracle corr's semantics — not per-column null handling."""
+    import datetime as dtm
+
+    import numpy as np
+
+    from gapless_deribit_clickhouse_spark.features.timeseries import (
+        autocorr_by_key,
+    )
+
+    def ts(s):
+        return dtm.datetime(2024, 1, 1) + dtm.timedelta(seconds=s)
+
+    vals = [1.0, 3.0, None, 2.0, 8.0, 5.0, None, 9.0, 4.0, 6.0]
+    rows = [(1, ts(i), i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, value double"
+    )
+    got = autocorr_by_key(df, ["user_id"], ["ts", "event_id"], "value").collect()
+    assert len(got) == 1
+
+    # pairwise reference: (prev, cur) pairs where BOTH are non-null,
+    # prev taken positionally (lag over the full ordered series,
+    # including null slots) — exactly what the engine computes
+    pairs = [
+        (p, c)
+        for p, c in zip(vals, vals[1:])
+        if p is not None and c is not None
+    ]
+    prev = np.array([p for p, _ in pairs])
+    cur = np.array([c for _, c in pairs])
+    expect = float(np.corrcoef(cur, prev)[0, 1])
+    assert got[0]["n_pairs"] == len(pairs)
+    assert got[0]["autocorr"] == pytest.approx(expect, rel=1e-9)
