@@ -86,18 +86,32 @@ _DEMOTED = (
     # stable-sampling core; mixture adds the in-plan recipe->threshold
     # derivation); CI value-oracle
     "doc_fingerprint",  # siblings: dedup_exact (same normalized-text
-    # digest core) + token_counts (same normalized tokenization
+    # digest core) + tfidf_top_terms (same normalized tokenization
     # algebra over documents); CI value-oracle
+    # --- round-7 rotation (VERDICT r6 #7): two near-duplicates out,
+    # two operator families the window never exercised in ---
+    "repetition_stats",  # siblings: interdoc_repetition (CI — same
+    # intra/inter n-gram repetition algebra) + corpus_profile (same
+    # per-doc ratio aggregation shape over documents)
+    "token_counts",  # siblings: tfidf_top_terms + text_quality (same
+    # normalized tokenization algebra over documents)
 )
 
 # Promoted INTO the checked window at rotation (placed in the last
 # window slots so the untouched entries keep their positions and
 # CORRECTNESS diffs stay line-stable across rounds):
-# - ohlc_gapless_interp: gapfill + linear interpolation (WITH FILL
-#   INTERPOLATE) — an operator family the window never exercised
-# - q21_waiting_supplier: decorrelated EXISTS / NOT EXISTS over a
-#   per-order aggregate — the hardest TPC-H join shape
-_PROMOTED = ("ohlc_gapless_interp", "q21_waiting_supplier")
+# - r6: ohlc_gapless_interp (gapfill + linear interpolation — WITH
+#   FILL INTERPOLATE) and q21_waiting_supplier (decorrelated EXISTS /
+#   NOT EXISTS over a per-order aggregate — the hardest TPC-H shape)
+# - r7: bm25_topk (distributed Okapi BM25 — the retrieval family the
+#   window never exercised) and attribution_first_touch (episode-reset
+#   window carry); both carried CI value-oracles before promotion
+_PROMOTED = (
+    "ohlc_gapless_interp",
+    "q21_waiting_supplier",
+    "bm25_topk",
+    "attribution_first_touch",
+)
 
 _dem = [b for b in ALL_BINDINGS if b[0] in _DEMOTED]
 _prom = [b for b in ALL_BINDINGS if b[0] in _PROMOTED]

@@ -37,13 +37,22 @@ SIBLINGS = {
     "q19_discounted_revenue": ["q3_shipping_priority", "q10_returned_revenue"],
     # round-6 rotation (VERDICT r5 #7)
     "sample_per_group": ["mixture_sample"],
-    "doc_fingerprint": ["dedup_exact", "token_counts"],
+    "doc_fingerprint": ["dedup_exact", "tfidf_top_terms"],
+    # round-7 rotation (VERDICT r6 #7)
+    "repetition_stats": ["corpus_profile"],
+    "token_counts": ["tfidf_top_terms", "text_quality"],
 }
 
-# rotated INTO the window in round 6 — operator families the window
-# never exercised (gapfill+interpolation; decorrelated EXISTS/NOT
-# EXISTS); both carried CI value-oracles before promotion
-PROMOTED = ("ohlc_gapless_interp", "q21_waiting_supplier")
+# rotated INTO the window — operator families the window never
+# exercised (r6: gapfill+interpolation, decorrelated EXISTS/NOT
+# EXISTS; r7: distributed BM25 retrieval, episode-reset first-touch
+# attribution); every promotion carried a CI value-oracle beforehand
+PROMOTED = (
+    "ohlc_gapless_interp",
+    "q21_waiting_supplier",
+    "bm25_topk",
+    "attribution_first_touch",
+)
 
 
 def test_promoted_bindings_occupy_checked_slots():
