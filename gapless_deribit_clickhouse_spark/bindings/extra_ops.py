@@ -754,9 +754,63 @@ FROM events GROUP BY user_id
 """
 
 
+# --- EGARCH forecast recursion: the deterministic-fold half of the
+# forecast (VERDICT r6 #5) ---
+_FC_OMEGA, _FC_BETA, _FC_HORIZON = -0.1, 0.92, 12
+
+
+def egarch_forecast_path_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """h-step analytic variance-forecast path per event_type: seeds
+    ``ln h_t = ln(var_samp(r100))`` from the oracle-checked EGARCH
+    input series, then folds ``omega + beta * prev`` for 12 steps with
+    fitted params as literals (features/egarch.py:forecast_path — the
+    recursion of reference egarch.py:211-244). With this bound, the
+    Nelder-Mead optimizer is the only unoracled arithmetic in the
+    EGARCH tier: inputs (egarch_inputs) and forecast recursion both
+    carry full cross-engine value checks."""
+    from gapless_deribit_clickhouse_spark.features.egarch import forecast_path
+
+    inputs = egarch_inputs_q(spark, sf_dir)
+    seeds = inputs.groupBy("event_type").agg(
+        F.log(F.var_samp("r100")).alias("lh0")
+    )
+    return forecast_path(
+        seeds,
+        ["event_type"],
+        "lh0",
+        omega=_FC_OMEGA,
+        beta=_FC_BETA,
+        horizon=_FC_HORIZON,
+    ).orderBy("event_type", "step")
+
+
+EGARCH_FORECAST_PATH_SQL = f"""
+WITH RECURSIVE series AS (
+  SELECT event_type, {bucket_sql('ts', 3600)} AS bts,
+         CAST(count(*) + 1 AS DOUBLE) AS v
+  FROM events GROUP BY event_type, {bucket_sql('ts', 3600)}),
+lagged AS (
+  SELECT event_type,
+         100.0 * (ln(v) - ln(lag(v) OVER (PARTITION BY event_type ORDER BY bts))) AS r100
+  FROM series),
+seeds AS (
+  SELECT event_type, ln(var_samp(r100)) AS lh0
+  FROM lagged WHERE r100 IS NOT NULL GROUP BY event_type),
+path(event_type, step, ln_h) AS (
+  SELECT event_type, 1, ({_FC_OMEGA}) + ({_FC_BETA}) * lh0 FROM seeds
+  UNION ALL
+  SELECT event_type, step + 1, ({_FC_OMEGA}) + ({_FC_BETA}) * ln_h
+  FROM path WHERE step < {_FC_HORIZON})
+SELECT event_type, CAST(step AS INT) AS step, ln_h,
+       exp(0.5 * ln_h) AS sigma
+FROM path ORDER BY event_type, step
+"""
+
+
 # behavioral-analytics additions (round 5), past the stable window
 LATE_BINDINGS = [
     ("egarch_inputs", egarch_inputs_q, EGARCH_INPUTS_SQL),
+    ("egarch_forecast_path", egarch_forecast_path_q, EGARCH_FORECAST_PATH_SQL),
     ("window_funnel", window_funnel_q, WINDOW_FUNNEL_SQL),
     ("sequence_count", sequence_count_q, SEQUENCE_COUNT_SQL),
     ("retention", retention_q, RETENTION_SQL),

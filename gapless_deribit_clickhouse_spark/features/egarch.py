@@ -282,6 +282,62 @@ def forecast_volatility(result: EgarchResult, horizon: int = 10) -> np.ndarray:
     return np.exp(0.5 * np.array(out)) / result.scale_factor
 
 
+def forecast_path(
+    seeds,
+    key_cols,
+    lh0_col: str,
+    omega: float,
+    beta: float,
+    horizon: int,
+):
+    """Distributed analytic EGARCH(1,·) variance-forecast path — the
+    h-step recursion of :func:`forecast_volatility` (reference
+    egarch.py:211-244 'analytic': ``E[ln h_{t+k}] = omega + beta *
+    E[ln h_{t+k-1}]``, shock expectations zero under normality) as a
+    JVM-side ``F.aggregate`` fold over per-key seed rows.
+
+    ``seeds`` carries one row per key with ``lh0_col`` = the seed
+    log-variance ``ln h_t``; ``omega``/``beta`` are fitted parameters
+    supplied as literals. Output: one row per (key, step in
+    1..horizon) with ``ln_h`` and ``sigma = exp(0.5 * ln_h)``
+    (scale_factor 1 — rescaling is the caller's concern, as in
+    :func:`forecast_volatility` where it divides out at the end).
+
+    This is the same deterministic-fold shape ``ewma_by_key`` uses,
+    so it carries a full cross-engine oracle (DuckDB ``WITH
+    RECURSIVE`` computes the identical ``omega + beta * prev`` per
+    step) — leaving the Nelder-Mead optimizer as the only unoracled
+    arithmetic in the EGARCH tier. No shuffle at all: the fold is a
+    per-row projection over the (tiny) per-key seed table; only the
+    seed aggregation upstream exchanges.
+    """
+    from pyspark.sql import functions as F
+
+    if horizon < 1:
+        raise ConfigurationError("horizon must be >= 1")
+    # fold: acc is the ln-h path array seeded with [lh0]; each step
+    # appends omega + beta * last(acc). acc/lit refs only — no outer
+    # column expressions inside the lambda (HOF re-evaluation trap).
+    path = F.aggregate(
+        F.sequence(F.lit(1), F.lit(int(horizon))),
+        F.array(F.col(lh0_col)),
+        lambda acc, _: F.concat(
+            acc,
+            F.array(F.lit(omega) + F.lit(beta) * F.element_at(acc, F.lit(-1))),
+        ),
+    )
+    exploded = seeds.select(
+        *key_cols,
+        F.posexplode(F.slice(path, 2, int(horizon))).alias("pos", "ln_h"),
+    )
+    return exploded.select(
+        *key_cols,
+        (F.col("pos") + 1).cast("int").alias("step"),
+        "ln_h",
+        F.exp(0.5 * F.col("ln_h")).alias("sigma"),
+    )
+
+
 def iv_model_spread(iv: pd.Series, result: EgarchResult) -> pd.Series:
     """Observed IV minus model conditional vol, inner-aligned on the
     trailing window (reference egarch.py:282-310)."""
