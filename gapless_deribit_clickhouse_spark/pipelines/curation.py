@@ -155,6 +155,10 @@ def build_training_set(
         near_dedup_corpus,
     )
 
+    # the curated subset is consumed TWICE inside near_dedup_corpus
+    # (the exact-tier scan and the semi-join base) — without the lazy
+    # localCheckpoint barrier the whole quality gauntlet (two text
+    # scans + score joins) executes once per consumer (VERDICT r6 #3)
     survivors = df.join(
         curate_corpus(
             df, text_col=text_col, id_col=id_col,
@@ -162,7 +166,7 @@ def build_training_set(
         ).select(id_col),
         id_col,
         "semi",
-    )
+    ).localCheckpoint(eager=False)
     deduped = near_dedup_corpus(
         survivors, text_col=text_col, id_col=id_col, threshold=dedup_threshold
     )
