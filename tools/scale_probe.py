@@ -370,6 +370,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factors", default="1,4,16")
     ap.add_argument("--skip-recall", action="store_true")
+    ap.add_argument("--skip-append-curve", action="store_true")
     args = ap.parse_args()
     factors = [int(x) for x in args.factors.split(",")]
 
@@ -387,9 +388,12 @@ def main() -> None:
         load1 = None
 
     results: dict[str, dict[int, float]] = {}
+    curve = None
     try:
         _probe(qs, spark, dirs, factors, results)
         _probe_indexed_dedup(spark, dirs, factors, results, scratch)
+        if not args.skip_append_curve:
+            curve = _probe_append_curve(spark, scratch, dirs[max(factors)])
     finally:  # a failed probe must not leak 16x corpora in /tmp
         shutil.rmtree(scratch, ignore_errors=True)
 
@@ -397,7 +401,72 @@ def main() -> None:
 
     lo, hi = factors[0], factors[-1]
     amp = hi / lo
-    _report(factors, results, lo, hi, amp, load1, recall)
+    _report(factors, results, lo, hi, amp, load1, recall, curve)
+
+
+def _probe_append_curve(spark, scratch, sf_dir) -> dict:
+    """Steady-state evidence for the persisted dedup index (VERDICT r6
+    #8): build ONCE on a 50% corpus, then feed four successive 10%
+    batches, timing each batch under two regimes — (a) indexed:
+    ``incremental_dedup_indexed`` against the parquet index plus the
+    ``append_dedup_index`` maintenance write that folds the batch's
+    survivors in, and (b) recompute: ``incremental_dedup`` against the
+    GROWING corpus-so-far (corpus + previously accepted batches),
+    re-shingling/hashing it every time. The recompute cost grows with
+    the corpus; the indexed per-batch cost must not — that difference
+    is the index's whole reason to exist."""
+    from gapless_deribit_clickhouse_spark.bindings.llm_ops import (
+        _DEDUP_THRESHOLD,
+        _docs,
+    )
+    from gapless_deribit_clickhouse_spark.pipelines.text_dedup import (
+        append_dedup_index,
+        build_dedup_index,
+        incremental_dedup,
+        incremental_dedup_indexed,
+    )
+
+    # run on the LARGEST amplified corpus: at bare sf0.1 the corpus
+    # is ~2.5k docs and the recompute regime's corpus-side re-hash is
+    # too cheap to separate from the indexed regime; the curve's
+    # point is the regime gap as the corpus outgrows the batch
+    docs = _docs(spark, sf_dir)
+    # the starting corpus is deliberately SMALL relative to the total
+    # ingested (20% + 4 x 10% => corpus triples over the run): the
+    # recompute regime's corpus-side re-hash must visibly grow for
+    # the curve to separate the regimes
+    corpus = docs.filter(F.col("doc_id") % 10 < 2)
+    batches = [docs.filter(F.col("doc_id") % 10 == 2 + i) for i in range(4)]
+    idx = os.path.join(scratch, "append_curve_idx")
+
+    def _noop(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
+    # one warm-up pass so first-use codegen/scan costs don't land on
+    # the indexed path only (it runs first)
+    _noop(incremental_dedup(batches[0].limit(50), corpus.limit(200),
+                            threshold=_DEDUP_THRESHOLD))
+
+    out: dict[str, object] = {"indexed_query": [], "append": [], "recompute": []}
+    t0 = time.perf_counter()
+    build_dedup_index(corpus, idx, threshold=_DEDUP_THRESHOLD)
+    out["build_s"] = round(time.perf_counter() - t0, 2)
+    for b in batches:
+        t0 = time.perf_counter()
+        kept = incremental_dedup_indexed(b, idx).localCheckpoint(eager=True)
+        _noop(kept)
+        out["indexed_query"].append(round(time.perf_counter() - t0, 2))
+        t0 = time.perf_counter()
+        append_dedup_index(kept, idx)
+        out["append"].append(round(time.perf_counter() - t0, 2))
+    for i, b in enumerate(batches):
+        # the recompute regime's corpus grows with every ingested batch
+        prior = docs.filter(F.col("doc_id") % 10 < 2 + i)
+        t0 = time.perf_counter()
+        _noop(incremental_dedup(b, prior, threshold=_DEDUP_THRESHOLD))
+        out["recompute"].append(round(time.perf_counter() - t0, 2))
+    print(f"done append curve: {out}", file=sys.stderr)
+    return out
 
 
 def _probe(qs, spark, dirs, factors, results) -> None:
@@ -471,7 +540,7 @@ def _probe_indexed_dedup(spark, dirs, factors, results, scratch) -> None:
     )
 
 
-def _report(factors, results, lo, hi, amp, load1, recall=None) -> None:
+def _report(factors, results, lo, hi, amp, load1, recall=None, curve=None) -> None:
     print("# SCALING — operator wall-clock vs corpus amplification")
     print()
     print(
@@ -506,6 +575,35 @@ def _report(factors, results, lo, hi, amp, load1, recall=None) -> None:
         "answer grows linearly — the analytics analogue of token\n"
         "salting."
     )
+    if curve is not None:
+        print()
+        print("## Persisted-index append curve (sf0.1, 4 successive batches)")
+        print()
+        print(
+            "Steady-state evidence for the dedup index (VERDICT r6 #8):\n"
+            "build ONCE on a 50% corpus, then ingest four 10% batches.\n"
+            "`indexed` = incremental_dedup_indexed against the parquet\n"
+            "index + the append_dedup_index maintenance write folding the\n"
+            "batch's survivors in; `recompute` = incremental_dedup against\n"
+            "the GROWING corpus-so-far, re-shingling/hashing it per batch.\n"
+            "Recompute cost grows with the corpus; indexed per-batch cost\n"
+            "must stay ~flat — cumulative includes the one-time build."
+        )
+        print()
+        print(f"one-time index build: {curve['build_s']} s")
+        print()
+        print(
+            "| batch | indexed query s | append s | recompute s"
+            " | indexed cum | recompute cum |"
+        )
+        print("|---|---|---|---|---|---|")
+        ic = curve["build_s"]
+        rc = 0.0
+        rows_iter = zip(curve["indexed_query"], curve["append"], curve["recompute"])
+        for i, (a, ap, b) in enumerate(rows_iter, 1):
+            ic += a + ap
+            rc += b
+            print(f"| {i} | {a:.2f} | {ap:.2f} | {b:.2f} | {ic:.2f} | {rc:.2f} |")
     if recall is not None:
         print()
         print("## Auto-sizing recall at 1e5 rows (planted near-dups)")
