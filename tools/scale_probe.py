@@ -393,7 +393,7 @@ def main() -> None:
         _probe(qs, spark, dirs, factors, results)
         _probe_indexed_dedup(spark, dirs, factors, results, scratch)
         if not args.skip_append_curve:
-            curve = _probe_append_curve(spark, scratch, dirs[max(factors)])
+            curve = _probe_append_curve(spark, scratch)
     finally:  # a failed probe must not leak 16x corpora in /tmp
         shutil.rmtree(scratch, ignore_errors=True)
 
@@ -404,7 +404,7 @@ def main() -> None:
     _report(factors, results, lo, hi, amp, load1, recall, curve)
 
 
-def _probe_append_curve(spark, scratch, sf_dir) -> dict:
+def _probe_append_curve(spark, scratch) -> dict:
     """Steady-state evidence for the persisted dedup index (VERDICT r6
     #8): build ONCE on a 50% corpus, then feed four successive 10%
     batches, timing each batch under two regimes — (a) indexed:
@@ -426,17 +426,18 @@ def _probe_append_curve(spark, scratch, sf_dir) -> dict:
         incremental_dedup_indexed,
     )
 
-    # run on the LARGEST amplified corpus: at bare sf0.1 the corpus
-    # is ~2.5k docs and the recompute regime's corpus-side re-hash is
-    # too cheap to separate from the indexed regime; the curve's
-    # point is the regime gap as the corpus outgrows the batch
-    docs = _docs(spark, sf_dir)
-    # the starting corpus is deliberately SMALL relative to the total
-    # ingested (20% + 4 x 10% => corpus triples over the run): the
-    # recompute regime's corpus-side re-hash must visibly grow for
-    # the curve to separate the regimes
-    corpus = docs.filter(F.col("doc_id") % 10 < 2)
-    batches = [docs.filter(F.col("doc_id") % 10 == 2 + i) for i in range(4)]
+    # run on a 64x-amplified corpus (beyond the factor table's 16x):
+    # at small corpora the recompute regime's corpus-side re-hash is
+    # too cheap to separate from the indexed regime — the curve's
+    # point is the regime gap once the corpus dwarfs the batch
+    docs = _docs(spark, amplify(spark, 64, scratch))
+    # steady-state ratio: a LARGE corpus (80%) against SMALL batches
+    # (5% each) — the regime the index exists for. Within-batch
+    # near-dedup cost is then minor and the regimes differ by their
+    # corpus-side term: a flat parquet index read vs re-shingling/
+    # re-hashing the whole growing corpus every batch
+    corpus = docs.filter(F.col("doc_id") % 20 < 16)
+    batches = [docs.filter(F.col("doc_id") % 20 == 16 + i) for i in range(4)]
     idx = os.path.join(scratch, "append_curve_idx")
 
     def _noop(df) -> None:
@@ -461,7 +462,7 @@ def _probe_append_curve(spark, scratch, sf_dir) -> dict:
         out["append"].append(round(time.perf_counter() - t0, 2))
     for i, b in enumerate(batches):
         # the recompute regime's corpus grows with every ingested batch
-        prior = docs.filter(F.col("doc_id") % 10 < 2 + i)
+        prior = docs.filter(F.col("doc_id") % 20 < 16 + i)
         t0 = time.perf_counter()
         _noop(incremental_dedup(b, prior, threshold=_DEDUP_THRESHOLD))
         out["recompute"].append(round(time.perf_counter() - t0, 2))
@@ -577,11 +578,12 @@ def _report(factors, results, lo, hi, amp, load1, recall=None, curve=None) -> No
     )
     if curve is not None:
         print()
-        print("## Persisted-index append curve (sf0.1, 4 successive batches)")
+        print("## Persisted-index append curve (64x corpus, 4 successive batches)")
         print()
         print(
-            "Steady-state evidence for the dedup index (VERDICT r6 #8):\n"
-            "build ONCE on a 50% corpus, then ingest four 10% batches.\n"
+            "Steady-state evidence for the dedup index (VERDICT r6 #8),\n"
+            "run on a 64x-amplified corpus (320k docs): build ONCE on its\n"
+            "80% slice, then ingest four successive 5% batches.\n"
             "`indexed` = incremental_dedup_indexed against the parquet\n"
             "index + the append_dedup_index maintenance write folding the\n"
             "batch's survivors in; `recompute` = incremental_dedup against\n"
