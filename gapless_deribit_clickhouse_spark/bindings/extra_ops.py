@@ -815,3 +815,90 @@ LATE_BINDINGS = [
     ("sequence_count", sequence_count_q, SEQUENCE_COUNT_SQL),
     ("retention", retention_q, RETENTION_SQL),
 ]
+
+
+# --- as-of join, forward and nearest directions (merge_asof parity) ---
+def asof_forward_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: each trade takes the EARLIEST spot quote at or
+    after its timestamp — the same single-shuffle bucketed-union plan
+    as the backward binding run on mirrored time
+    (operators/asof.py:asof_join direction="forward"); the DuckDB
+    oracle flips the ASOF inequality."""
+    from gapless_deribit_clickhouse_spark.operators.asof import asof_join
+
+    t = trades_view(spark, sf_dir).withColumn(
+        "sym", F.concat(F.col("underlying"), F.lit("USDT"))
+    ).select("trade_id", "sym", "timestamp", "price")
+    s = spot_view(spark, sf_dir)
+    out = asof_join(
+        t,
+        s.withColumnRenamed("symbol", "sym"),
+        on=["sym"],
+        left_ts="timestamp",
+        right_ts="timestamp",
+        value_cols=["close"],
+        direction="forward",
+    )
+    return out.select("trade_id", "sym", "timestamp", "price", "close_asof")
+
+
+ASOF_FORWARD_SQL = f"""
+WITH trades AS ({TRADES_CTE}),
+spot AS ({SPOT_CTE}),
+t AS (SELECT trade_id, underlying || 'USDT' AS sym, "timestamp", price FROM trades)
+SELECT t.trade_id, t.sym, t."timestamp", t.price, s.close AS close_asof
+FROM t ASOF LEFT JOIN spot s
+  ON t.sym = s.symbol AND t."timestamp" <= s."timestamp"
+"""
+
+
+def asof_nearest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of: the closer of the backward/forward candidates
+    per trade, ties backward (operators/asof.py:_asof_nearest — a
+    backward pass composed with a forward pass over its output). The
+    oracle reproduces the pick from two DuckDB ASOF joins and the
+    same tie rule."""
+    from gapless_deribit_clickhouse_spark.operators.asof import asof_join
+
+    t = trades_view(spark, sf_dir).withColumn(
+        "sym", F.concat(F.col("underlying"), F.lit("USDT"))
+    ).select("trade_id", "sym", "timestamp", "price")
+    s = spot_view(spark, sf_dir)
+    out = asof_join(
+        t,
+        s.withColumnRenamed("symbol", "sym"),
+        on=["sym"],
+        left_ts="timestamp",
+        right_ts="timestamp",
+        value_cols=["close"],
+        direction="nearest",
+    )
+    return out.select("trade_id", "sym", "timestamp", "price", "close_asof")
+
+
+ASOF_NEAREST_SQL = f"""
+WITH trades AS ({TRADES_CTE}),
+spot AS ({SPOT_CTE}),
+t AS (SELECT trade_id, underlying || 'USDT' AS sym, "timestamp", price FROM trades),
+b AS (
+  SELECT t.trade_id, s.close AS c, s."timestamp" AS rts
+  FROM t ASOF LEFT JOIN spot s
+    ON t.sym = s.symbol AND t."timestamp" >= s."timestamp"),
+f AS (
+  SELECT t.trade_id, s.close AS c, s."timestamp" AS rts
+  FROM t ASOF LEFT JOIN spot s
+    ON t.sym = s.symbol AND t."timestamp" <= s."timestamp")
+SELECT t.trade_id, t.sym, t."timestamp", t.price,
+       CASE WHEN f.rts IS NULL
+              OR (b.rts IS NOT NULL
+                  AND epoch(t."timestamp") - epoch(b.rts)
+                      <= epoch(f.rts) - epoch(t."timestamp"))
+            THEN b.c ELSE f.c END AS close_asof
+FROM t JOIN b USING (trade_id) JOIN f USING (trade_id)
+"""
+
+
+LATE_BINDINGS += [
+    ("asof_join_forward", asof_forward_q, ASOF_FORWARD_SQL),
+    ("asof_join_nearest", asof_nearest_q, ASOF_NEAREST_SQL),
+]

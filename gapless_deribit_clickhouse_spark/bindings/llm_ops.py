@@ -1659,3 +1659,31 @@ LATE_BINDINGS = [
     ("embedding_quantize", embedding_quantize_q, EMBEDDING_QUANTIZE_SQL),
     ("quantized_topk", quantized_topk_q, QUANTIZED_TOPK_SQL),
 ]
+
+
+# --- deterministic epoch shuffle (exact distributed global rank) ---
+def epoch_shuffle_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-1 training order of the documents table: every doc's
+    exact global position under the md5 permutation
+    (``pipelines/sampling.py:epoch_shuffle``). The rank is computed
+    with NO global window — order-preserving 32-bit-prefix shards +
+    per-shard row_number + broadcast cumulative offsets — and the
+    DuckDB oracle is the naive single-sort
+    ``row_number() OVER (ORDER BY md5(...), doc_id)``, so the compare
+    proves the sharded derivation IS the global sort."""
+    from gapless_deribit_clickhouse_spark.pipelines.sampling import epoch_shuffle
+
+    return epoch_shuffle(
+        _docs(spark, sf_dir), "doc_id", epoch=1, salt="shuffle", shards=64
+    ).select("doc_id", "epoch_rank")
+
+
+EPOCH_SHUFFLE_SQL = """
+SELECT doc_id,
+       CAST(row_number() OVER (
+           ORDER BY md5('shuffle:1:' || CAST(doc_id AS VARCHAR)), doc_id
+       ) - 1 AS BIGINT) AS epoch_rank
+FROM documents
+"""
+
+LATE_BINDINGS.append(("epoch_shuffle", epoch_shuffle_q, EPOCH_SHUFFLE_SQL))

@@ -55,11 +55,23 @@ def asof_join(
     suffix: str = "_asof",
     bucket_seconds: float = 86400.0,
     single_pass: bool = True,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join (pandas ``merge_asof`` / DuckDB ``ASOF JOIN``
+    """As-of join (pandas ``merge_asof`` / DuckDB ``ASOF JOIN``
     semantics): every left row, plus ``value_cols`` from the latest
     right row with ``right_ts <= left_ts`` on the same key (NULLs when
     none exists or it is older than ``tolerance_seconds``).
+
+    ``direction`` completes the ``merge_asof`` surface:
+    ``"backward"`` (default) matches the latest right row at or before
+    the left timestamp; ``"forward"`` the earliest right row at or
+    after it — the SAME single-shuffle plan run on mirrored time (the
+    ordering value is negated; buckets, windows, and the staleness age
+    all follow the one sign, so both directions share every code
+    path); ``"nearest"`` the closer of the two (ties go backward,
+    tolerance bounds the absolute distance) — composed as a backward
+    pass then a forward pass over its output, i.e. twice the cost,
+    which is inherent: nearest needs both candidates.
 
     ``bucket_seconds`` sets the parallelism grain: the heavy window
     partitions by (keys, floor(ts/bucket_seconds)). Any width is
@@ -79,15 +91,27 @@ def asof_join(
     for pure-lineage plans (e.g. under speculative re-execution where
     executor-local checkpoint blocks aren't acceptable).
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}"
+        )
     if value_cols is None:
         value_cols = [
             c for c in right.columns if c not in on and c != right_ts
         ]
+    if direction == "nearest":
+        return _asof_nearest(
+            left, right, on, left_ts, right_ts, value_cols,
+            tolerance_seconds, suffix, bucket_seconds, single_pass,
+        )
     out_names = [f"{c}{suffix}" for c in value_cols]
     step = float(bucket_seconds)
+    # forward is backward on mirrored time: ordering value, buckets,
+    # and the staleness age all carry this one sign
+    sign = 1.0 if direction == "backward" else -1.0
 
     def bucket_of(ts_col: str):
-        return F.floor(F.col(ts_col).cast("double") / step).cast("long")
+        return F.floor(F.col(ts_col).cast("double") * sign / step).cast("long")
 
     # The right row travels as ONE struct (__payload): the in-bucket
     # fill must carry the latest right ROW atomically — per-column
@@ -120,9 +144,10 @@ def asof_join(
     # last(__payload) resolves every left row from right rows at or
     # before it in the same bucket (row-atomic: the whole latest right
     # ROW, nulls and all).
+    ord_val = F.col("__ts").cast("double") * F.lit(sign)
     w = (
         Window.partitionBy(*on, "__bucket")
-        .orderBy(F.col("__ts"), F.col("__side"))
+        .orderBy(ord_val, F.col("__side"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = l_tag.unionByName(r_tag).withColumn(
@@ -141,7 +166,13 @@ def asof_join(
     # grouping keys match the window's partitioning, so the
     # aggregation itself adds no event-scale shuffle.
     kb = filled.groupBy(*on, "__bucket").agg(
-        F.max_by("__pf", F.struct(F.col("__ts"), F.col("__side"))).alias("__p")
+        F.max_by(
+            "__pf",
+            F.struct(
+                (F.col("__ts").cast("double") * F.lit(sign)).alias("__o"),
+                F.col("__side"),
+            ),
+        ).alias("__p")
     )
     # Per-key running last over buckets, frame excluding the current
     # row: bucket b's carry-in is the last right payload of any bucket
@@ -171,7 +202,9 @@ def asof_join(
     pf = F.coalesce(F.col("__pf"), F.col("__carry"))
     rts_f = pf.getField("__rts")
     if tolerance_seconds is not None:
-        within = (F.col("__ts").cast("double") - rts_f) <= float(tolerance_seconds)
+        within = (
+            (F.col("__ts").cast("double") - rts_f) * F.lit(sign)
+        ) <= float(tolerance_seconds)
         matched = matched.select(
             "__row",
             *[
@@ -187,3 +220,42 @@ def asof_join(
     return matched.select(
         *[F.col(f"__row.{c}").alias(c) for c in left.columns], *out_names
     )
+
+
+def _asof_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    tolerance_seconds: float | None,
+    suffix: str,
+    bucket_seconds: float,
+    single_pass: bool,
+) -> DataFrame:
+    """merge_asof ``direction="nearest"``: the closer of the backward
+    and forward candidates per left row (ties go backward; tolerance
+    bounds the absolute distance on each side before the pick). Two
+    passes by construction — the left columns ride through both, so
+    the forward pass simply runs on the backward pass's output."""
+    rts = "__nearest_rts"
+    right2 = right.withColumn(rts, F.col(right_ts))
+    vcols = list(value_cols) + [rts]
+    both = left
+    for d, sfx in (("backward", "__b"), ("forward", "__f")):
+        both = asof_join(
+            both, right2, on, left_ts, right_ts, vcols,
+            tolerance_seconds, sfx, bucket_seconds, single_pass, direction=d,
+        )
+    lts = F.col(left_ts).cast("double")
+    age_b = lts - F.col(f"{rts}__b").cast("double")
+    age_f = F.col(f"{rts}__f").cast("double") - lts
+    use_b = age_f.isNull() | (age_b.isNotNull() & (age_b <= age_f))
+    picked = [
+        F.when(use_b, F.col(f"{c}__b")).otherwise(F.col(f"{c}__f")).alias(
+            f"{c}{suffix}"
+        )
+        for c in value_cols
+    ]
+    return both.select(*[F.col(c) for c in left.columns], *picked)

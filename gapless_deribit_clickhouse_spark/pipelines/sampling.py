@@ -370,3 +370,69 @@ def temperature_sample(
         F.lit(0) if threshold_col is None else threshold_col.otherwise(F.lit(0))
     )
     return df.filter(hash_bucket(F.col(key_col), salt) < threshold_col)
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    key_col: str,
+    epoch: int = 0,
+    salt: str = "shuffle",
+    shards: int = 256,
+    rank_col: str = "epoch_rank",
+) -> DataFrame:
+    """Deterministic global training order for one epoch: every row
+    gets its exact 0-based position in the corpus ordered by
+    ``md5("{salt}:{epoch}:" || key)`` (ties broken by the key), the
+    standard reproducible-shuffle contract — the SAME permutation on
+    every rerun, engine, and partitioning, and a fresh independent
+    permutation per epoch (the hash prefix changes). ``df.orderBy
+    (rand())`` gives none of that, and the naive deterministic
+    alternative — ``row_number() OVER (ORDER BY hash)`` — funnels
+    100 TB through ONE partition for the global sort.
+
+    Scale design — exact global rank with no global window: the
+    32-bit hash prefix splits rows into ``shards`` ORDER-PRESERVING
+    ranges (shard = hash_u32 * shards >> 32, monotone in the hash, so
+    every row of shard s sorts before every row of shard s+1 —
+    hex md5 string order IS the numeric order of the hash). Rank =
+    per-shard ``row_number`` (a partitioned window, never global)
+    plus the shard's offset — cumulative counts over a ``shards``-row
+    aggregate, broadcast back. Cost: one map-side-combined count
+    aggregate + one data shuffle on the shard id. ``rank_col`` is
+    independent of ``shards``, which only tunes parallelism.
+
+    Writing the epoch in order is then
+    ``.repartitionByRange("epoch_rank").sortWithinPartitions
+    ("epoch_rank")`` — contiguous, globally ordered shards.
+
+    NULL keys hash as the empty string (kept, deterministic) — but a
+    non-unique key makes positions within a tie bucket arbitrary;
+    use a unique id.
+    """
+    from pyspark.sql import Window
+
+    prefix = f"{salt}:{epoch}:"
+    key_str = F.coalesce(F.col(key_col).cast("string"), F.lit(""))
+    full_hash = F.md5(F.concat(F.lit(prefix), key_str))
+    shard = (
+        (hash_u32(key_str, prefix) * F.lit(int(shards))) / F.lit(2**32)
+    ).cast("int")
+    d = df.withColumn("__h", full_hash).withColumn("__s", shard)
+
+    # offsets: a `shards`-row aggregate; the running sum's single-
+    # partition window sorts `shards` rows, metadata-scale
+    w = Window.orderBy("__s").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        d.groupBy("__s")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .withColumn("__off", F.coalesce(F.sum("__c").over(w), F.lit(0)))
+        .drop("__c")
+    )
+    rank_in_shard = F.row_number().over(
+        Window.partitionBy("__s").orderBy("__h", key_col)
+    )
+    return (
+        d.join(F.broadcast(offsets), "__s")
+        .withColumn(rank_col, (F.col("__off") + rank_in_shard - 1).cast("long"))
+        .drop("__h", "__s", "__off")
+    )

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pandas as pd
+import pytest
 from pyspark.sql import functions as F
 
 from gapless_deribit_clickhouse_spark.operators.asof import asof_join
@@ -385,3 +386,61 @@ def test_interval_join_ml_long_interval_matches_once_and_explodes_O1(spark):
     # the only nested loop is the <=31-row broadcast level probe
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "HashJoin" in plan or "SortMergeJoin" in plan or "AdaptiveSparkPlan" in plan
+
+
+def test_asof_forward_and_nearest_match_pandas(spark, spot_pdf):
+    """direction='forward'/'nearest' against pandas merge_asof on the
+    same frames the backward parity test uses."""
+    import pandas as pd
+
+    _, _, left, right = _frames(spark, spot_pdf)
+    lp = left.toPandas().sort_values("timestamp")
+    rp = right.toPandas().sort_values("timestamp")
+    for direction in ("forward", "nearest"):
+        got = (
+            asof_join(
+                left, right, on=["symbol"], value_cols=["close"],
+                direction=direction,
+            )
+            .orderBy("trade_id")
+            .toPandas()
+        )
+        want = pd.merge_asof(
+            lp, rp, on="timestamp", by="symbol", direction=direction,
+            suffixes=("", "_r"),
+        ).sort_values("trade_id")
+        got_vals = got.close_asof.tolist()
+        want_col = "close_r" if "close_r" in want.columns else "close"
+        want_vals = want[want_col].tolist()
+        assert len(got_vals) == len(want_vals)
+        for g, w in zip(got_vals, want_vals):
+            same = (g is None and pd.isna(w)) or (
+                g is not None and not pd.isna(w) and abs(g - w) < 1e-9
+            )
+            assert same, (direction, g, w)
+
+
+def test_asof_forward_tolerance_and_tie(spark):
+    """Forward tolerance bounds rts - lts; nearest ties go backward."""
+    left = spark.createDataFrame([("K", 10.0)], "k string, ts double")
+    right = spark.createDataFrame(
+        [("K", 7.0, 1.0), ("K", 13.0, 2.0)], "k string, ts double, v double"
+    )
+    fwd = asof_join(
+        left, right, on=["k"], left_ts="ts", right_ts="ts",
+        value_cols=["v"], direction="forward", bucket_seconds=10.0,
+    ).collect()[0]
+    assert fwd.v_asof == 2.0
+    fwd_tol = asof_join(
+        left, right, on=["k"], left_ts="ts", right_ts="ts",
+        value_cols=["v"], direction="forward", tolerance_seconds=2.5,
+        bucket_seconds=10.0,
+    ).collect()[0]
+    assert fwd_tol.v_asof is None  # 13 - 10 = 3 > 2.5
+    near_tie = asof_join(
+        left, right, on=["k"], left_ts="ts", right_ts="ts",
+        value_cols=["v"], direction="nearest", bucket_seconds=10.0,
+    ).collect()[0]
+    assert near_tie.v_asof == 1.0  # equal distance 3: backward wins
+    with pytest.raises(ValueError):
+        asof_join(left, right, on=["k"], direction="sideways")

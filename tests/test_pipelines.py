@@ -1476,3 +1476,43 @@ def test_dedup_index_digests_written_last(spark, tmp_path, monkeypatch):
     append_dedup_index(batch, idx)
     assert set(order) == {"bands", "sets", "digests"}
     assert order[-1] == "digests"
+
+
+def test_epoch_shuffle_exact_rank_and_epoch_independence(docs):
+    from gapless_deribit_clickhouse_spark.pipelines.sampling import epoch_shuffle
+
+    n = docs.count()
+    out = epoch_shuffle(docs, "doc_id", epoch=0).select(
+        "doc_id", "epoch_rank"
+    ).toPandas()
+    # a permutation: every position 0..n-1 exactly once
+    assert sorted(out.epoch_rank) == list(range(n))
+    # shard count is parallelism only — the rank is shard-invariant
+    for shards in (1, 7, 512):
+        again = epoch_shuffle(docs, "doc_id", epoch=0, shards=shards).select(
+            "doc_id", "epoch_rank"
+        ).toPandas()
+        m = out.merge(again, on="doc_id", suffixes=("", "_s"))
+        assert (m.epoch_rank == m.epoch_rank_s).all(), shards
+    # a different epoch is a genuinely different permutation
+    e1 = epoch_shuffle(docs, "doc_id", epoch=1).select(
+        "doc_id", "epoch_rank"
+    ).toPandas()
+    m = out.merge(e1, on="doc_id", suffixes=("", "_e1"))
+    assert (m.epoch_rank != m.epoch_rank_e1).any()
+    # and matches the naive global sort (the oracle's formulation)
+    import pyspark.sql.functions as F
+
+    naive = (
+        docs.select(
+            "doc_id",
+            F.md5(F.concat(F.lit("shuffle:0:"), F.col("doc_id").cast("string"))).alias(
+                "h"
+            ),
+        )
+        .orderBy("h", "doc_id")
+        .toPandas()
+    )
+    naive["rank"] = range(n)
+    m = out.merge(naive[["doc_id", "rank"]], on="doc_id")
+    assert (m.epoch_rank == m["rank"]).all()
