@@ -684,8 +684,20 @@ def _streaming_bench(
             ("streaming_ewma_sustained_30s", make_ewma),
             ("mergeable_rollup_sustained_30s", make_rollup),
         ):
-            rate, extras = measure(maker, window=30.0)
-            out[key] = {"rows_per_sec": rate, **extras}
+            # each sustained entry is isolated and retried once: after
+            # ~10 start/stop cycles the py4j callback plumbing can
+            # throw a transient Connection refused on the next
+            # foreachBatch start (seen once on the rollup, the last
+            # entry) — one flaky start must cost one retry, not the
+            # remaining entries
+            for attempt in (1, 2):
+                try:
+                    rate, extras = measure(maker, window=30.0)
+                    out[key] = {"rows_per_sec": rate, **extras}
+                    break
+                except Exception as exc:  # noqa: BLE001
+                    out[key] = {"error": str(exc)[:200]}
+                    time.sleep(5.0)
     except Exception as exc:  # noqa: BLE001 — never fail the batch bench
         out["error"] = str(exc)[:200]
     return out
