@@ -902,3 +902,76 @@ LATE_BINDINGS += [
     ("asof_join_forward", asof_forward_q, ASOF_FORWARD_SQL),
     ("asof_join_nearest", asof_nearest_q, ASOF_NEAREST_SQL),
 ]
+
+
+# --- interval-interval overlap join: sessions x hot hours ---
+def overlap_hot_hours_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every (user session, hot hour) overlap pair: sessions from the
+    30-min-gap sessionizer, hot hours = clock hours whose event count
+    exceeds 1.2x the hourly average (a 1-row scalar broadcast, the q22
+    pattern). Runs operators/range_join.py:overlap_join — both sides
+    bucket onto the hour grid, one hash equi-join, and each pair is
+    kept only in the bucket containing the overlap's first instant
+    (greatest of the two starts), so no distinct() dedup pass exists
+    anywhere in the plan. The oracle is the plain range-predicate
+    join, feasible at oracle scale."""
+    from gapless_deribit_clickhouse_spark.operators.range_join import overlap_join
+    from gapless_deribit_clickhouse_spark.operators.sessionize import session_stats
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    hours = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour_start")).agg(
+        F.count(F.lit(1)).alias("hour_events")
+    )
+    avg_he = hours.agg(F.avg("hour_events").alias("__avg_he"))
+    hot = (
+        hours.join(F.broadcast(avg_he))
+        .filter(F.col("hour_events") > F.col("__avg_he") * 1.2)
+        .withColumn("hour_end", F.col("hour_start") + F.expr("INTERVAL 3599 SECONDS"))
+        .drop("__avg_he")
+    )
+    sess = session_stats(ev, user_col="user_id", ts_col="ts", gap_seconds=1800)
+    return overlap_join(
+        sess, hot,
+        "session_start", "session_end", "hour_start", "hour_end",
+        on=[], bucket_seconds=3600,
+    ).select(
+        "user_id", "session_seq", "session_start", "session_end",
+        "hour_start", "hour_events",
+    )
+
+
+OVERLAP_HOT_HOURS_SQL = """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS is_new
+  FROM (SELECT user_id, ts FROM events)
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+s AS (
+  SELECT user_id, ts,
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+  FROM marked),
+sess AS (
+  SELECT user_id, session_seq,
+         min(ts) AS session_start, max(ts) AS session_end
+  FROM s GROUP BY user_id, session_seq),
+hours AS (
+  SELECT date_trunc('hour', ts) AS hour_start, count(*) AS hour_events
+  FROM events GROUP BY 1),
+hot AS (
+  SELECT hour_start, hour_events,
+         hour_start + INTERVAL 3599 SECOND AS hour_end
+  FROM hours
+  WHERE hour_events > 1.2 * (SELECT avg(hour_events) FROM hours))
+SELECT sess.user_id, sess.session_seq, sess.session_start,
+       sess.session_end, hot.hour_start, hot.hour_events
+FROM sess JOIN hot
+  ON sess.session_start <= hot.hour_end
+ AND hot.hour_start <= sess.session_end
+"""
+
+LATE_BINDINGS.append(
+    ("overlap_hot_hours", overlap_hot_hours_q, OVERLAP_HOT_HOURS_SQL)
+)

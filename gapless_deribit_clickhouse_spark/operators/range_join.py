@@ -221,3 +221,66 @@ def _interval_join_ml(
     # above, NULL-extending them via unionByName.
     unmatched = left.join(matched.select("__lid"), on="__lid", how="left_anti")
     return matched.unionByName(unmatched, allowMissingColumns=True).drop("__lid")
+
+
+def overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    on: list[str] | None = None,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Interval-INTERVAL overlap join: every (left, right) pair with
+    equal ``on`` keys whose closed intervals intersect
+    (``l.start <= r.end AND r.start <= l.end``) — the primitive behind
+    session-overlap, concurrent-validity, and availability-window
+    questions, where both sides are ranges (the existing
+    :func:`interval_join` is point-in-interval).
+
+    Scale design: both sides explode onto the same fixed-width bucket
+    grid (one hash equi-join on ``(keys, bucket)``, one shuffle per
+    side, never a nested loop). An overlapping pair shares every
+    bucket its intersection covers, so a dedup guard is needed — and
+    an aggregation-free one exists: the pair is KEPT only in the
+    bucket containing ``greatest(l.start, r.start)``, the
+    intersection's first instant, which both sides' ranges cover by
+    definition. Each surviving pair therefore appears exactly once,
+    with no distinct() pass over the (potentially large) pair set.
+    Right columns clashing with left names are dropped except the
+    bounds, which keep a ``_right`` suffix when they clash.
+    """
+    on = list(on or [])
+    b = F.lit(int(bucket_seconds))
+    rb, s_name, e_name = _dedup_right(left, right, right_start, right_end, on)
+    lb = left.withColumn(
+        "__b",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp(F.col(left_start)) / b),
+                F.floor(F.unix_timestamp(F.col(left_end)) / b),
+            )
+        ),
+    )
+    rb = rb.withColumn(
+        "__b",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp(F.col(s_name)) / b),
+                F.floor(F.unix_timestamp(F.col(e_name)) / b),
+            )
+        ),
+    )
+    overlaps = (F.col(left_start) <= F.col(e_name)) & (
+        F.col(s_name) <= F.col(left_end)
+    )
+    meet_once = F.col("__b") == F.floor(
+        F.unix_timestamp(F.greatest(F.col(left_start), F.col(s_name))) / b
+    )
+    return (
+        lb.join(rb, on=on + ["__b"], how="inner")
+        .filter(overlaps & meet_once)
+        .drop("__b")
+    )

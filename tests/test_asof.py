@@ -444,3 +444,45 @@ def test_asof_forward_tolerance_and_tie(spark):
     assert near_tie.v_asof == 1.0  # equal distance 3: backward wins
     with pytest.raises(ValueError):
         asof_join(left, right, on=["k"], direction="sideways")
+
+
+def test_overlap_join_matches_bruteforce_and_never_duplicates(spark):
+    """overlap_join vs the O(n*m) cross-join reference on random
+    closed intervals, including pairs whose overlap spans many buckets
+    (the dedup-guard case: kept only in the overlap's first bucket)."""
+    import datetime as dt
+    import random
+
+    from gapless_deribit_clickhouse_spark.operators.range_join import overlap_join
+
+    rng = random.Random(11)
+    base = dt.datetime(2024, 1, 1)
+
+    def mk(n, tag):
+        rows = []
+        for i in range(n):
+            s = base + dt.timedelta(minutes=rng.randint(0, 5000))
+            e = s + dt.timedelta(minutes=rng.choice([1, 30, 90, 600, 3000]))
+            rows.append((rng.randint(1, 3), s, e, f"{tag}{i}"))
+        return rows
+
+    left = spark.createDataFrame(
+        mk(40, "L"), "k long, ls timestamp, le timestamp, lid string"
+    )
+    right = spark.createDataFrame(
+        mk(40, "R"), "k long, rs timestamp, re timestamp, rid string"
+    )
+    got = sorted(
+        (r.lid, r.rid)
+        for r in overlap_join(
+            left, right, "ls", "le", "rs", "re", on=["k"], bucket_seconds=600
+        ).collect()
+    )
+    lp, rp = left.collect(), right.collect()
+    want = sorted(
+        (a.lid, b.rid)
+        for a in lp
+        for b in rp
+        if a.k == b.k and a.ls <= b.re and b.rs <= a.le
+    )
+    assert got == want  # exact pair set, each exactly once
