@@ -600,11 +600,13 @@ def _streaming_bench(
             # the join pairs every trade with every in-tolerance quote
             # for its key, so OUTPUT = trade_rate x quote_density x
             # tolerance — unthrottled feeds make batch 0 emit ~1e10
-            # pairs and outlive any window. Realistic shape: a fast
-            # trade feed against a SLOW quote feed (10 quotes/s/key,
-            # 1 s tolerance => ~10 matches per trade), so the measured
-            # rate prices the symmetric-hash-join state cycle, not an
-            # output explosion of the bench's own making.
+            # pairs and outlive any window, and even 10 quotes/s/key
+            # measured a 10x output amplification instead of the join
+            # (20k rows/s). Realistic trade-enrichment shape: ONE
+            # quote per key per second with a 1 s tolerance => ~1
+            # match per trade, so the measured rate prices the
+            # symmetric-hash-join state cycle itself (~110k rows/s
+            # quiet local[32]).
             def feed(rate, n_parts):
                 return (
                     spark.readStream.format("rate")
@@ -613,12 +615,12 @@ def _streaming_bench(
                     .load()
                 )
 
-            trades = feed(100_000, 8).select(
+            trades = feed(300_000, 8).select(
                 F.col("timestamp").alias("ts"),
                 (F.col("value") % 4).cast("string").alias("underlying"),
                 (F.col("value") % 97).cast("double").alias("iv"),
             )
-            spots = feed(40, 1).select(
+            spots = feed(4, 1).select(
                 F.col("timestamp").alias("spot_ts"),
                 (F.col("value") % 4).cast("string").alias("underlying"),
                 (F.col("value") % 11).cast("double").alias("spot"),
