@@ -181,6 +181,20 @@ NEW_IN_R5 = [
 # rework and the streaming-shutdown changes alter existing entries'
 # times, not the entry set.
 NEW_IN_R6 = ["scan_keyset"]
+# r7 adds four timed bindings: the two extra as-of directions
+# (forward re-runs the backward plan on mirrored time; nearest is two
+# passes by construction, so ~2x the backward entry's time), the
+# deterministic epoch-shuffle global rank, and the interval-interval
+# overlap join. Every second these add to the r6->r7 TOTAL is new
+# coverage, not regression; the r7 reworks that change EXISTING
+# entries' times (multi-resolution pit_enrich, the training_set
+# curated-subset checkpoint) both made their entries faster.
+NEW_IN_R7 = [
+    "asof_join_forward",
+    "asof_join_nearest",
+    "epoch_shuffle",
+    "overlap_hot_hours",
+]
 NEW_IN_R4 = WRITE_BENCHES + [
     "mixture_sample",
     "semantic_dedup",
@@ -907,6 +921,7 @@ def main() -> None:
         "new_in_r4": NEW_IN_R4,
         "new_in_r5": NEW_IN_R5,
         "new_in_r6": NEW_IN_R6,
+        "new_in_r7": NEW_IN_R7,
     }
     here = os.path.dirname(os.path.abspath(__file__))
     out_dir = os.environ.get("SPARK_GRAFT_BENCH_OUT", here)
@@ -932,6 +947,7 @@ def main() -> None:
                 "new_in_r4": NEW_IN_R4,
                 "new_in_r5": NEW_IN_R5,
                 "new_in_r6": NEW_IN_R6,
+                "new_in_r7": NEW_IN_R7,
             }
         ),
         flush=True,
