@@ -78,6 +78,9 @@ ALLOWED_NLJ = {
     "event_cooccurrence",  # 1-row total-group-count scalar broadcast
     # (the lift denominator; the pair join itself is an equi-join on
     # the group id)
+    "overlap_hot_hours",  # 1-row hourly-average scalar broadcast (the
+    # hot-hour threshold, the q22 pattern); the overlap join itself is
+    # the bucketed hash equi-join
 }
 
 
