@@ -194,6 +194,7 @@ NEW_IN_R7 = [
     "asof_join_nearest",
     "epoch_shuffle",
     "overlap_hot_hours",
+    "snapshot_diff",
 ]
 NEW_IN_R4 = WRITE_BENCHES + [
     "mixture_sample",

@@ -495,3 +495,58 @@ LATE_BINDINGS = [
     ("weighted_median", weighted_median, WEIGHTED_MEDIAN_SQL),
     ("full_outer_reconcile", full_outer_reconcile, FULL_OUTER_SQL),
 ]
+
+
+# --- snapshot diff: row-level CDC between two table versions ---
+def snapshot_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level change capture between two deterministic snapshots of
+    orders: 'old' drops every 7th key, 'new' drops every 5th and bumps
+    every 3rd key's total price — so the diff exercises all three
+    change types (insert / delete / update) with NULL-coalesced absent
+    sides (operators/diff.py:snapshot_diff — one FULL OUTER hash
+    equi-join over (keys, fingerprint) slims, unchanged keys filtered
+    before any downstream work)."""
+    from gapless_deribit_clickhouse_spark.operators.diff import snapshot_diff
+
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    old = base.filter(F.col("o_orderkey") % 7 != 0)
+    new = base.filter(F.col("o_orderkey") % 5 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 3 == 0, F.col("o_totalprice") + 10.0
+        ).otherwise(F.col("o_totalprice")),
+    )
+    return snapshot_diff(
+        old, new, keys=["o_orderkey"],
+        compare_cols=["o_totalprice", "o_orderstatus"],
+    )
+
+
+SNAPSHOT_DIFF_SQL = """
+WITH oldv AS (
+  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+  WHERE o_orderkey % 7 <> 0),
+newv AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 10.0
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderstatus
+  FROM orders WHERE o_orderkey % 5 <> 0),
+d AS (
+  SELECT coalesce(oldv.o_orderkey, newv.o_orderkey) AS o_orderkey,
+         CASE WHEN oldv.o_orderkey IS NULL THEN 'insert'
+              WHEN newv.o_orderkey IS NULL THEN 'delete'
+              WHEN oldv.o_totalprice IS DISTINCT FROM newv.o_totalprice
+                OR oldv.o_orderstatus IS DISTINCT FROM newv.o_orderstatus
+              THEN 'update' END AS change_type,
+         oldv.o_totalprice AS old_o_totalprice,
+         oldv.o_orderstatus AS old_o_orderstatus,
+         newv.o_totalprice AS new_o_totalprice,
+         newv.o_orderstatus AS new_o_orderstatus
+  FROM oldv FULL JOIN newv ON oldv.o_orderkey = newv.o_orderkey)
+SELECT * FROM d WHERE change_type IS NOT NULL
+"""
+
+LATE_BINDINGS.append(("snapshot_diff", snapshot_diff_q, SNAPSHOT_DIFF_SQL))

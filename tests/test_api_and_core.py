@@ -340,3 +340,36 @@ def test_weighted_median_matches_bruteforce(spark):
         for r in weighted_median_per_group(df, ["k"], "value", "qty").collect()
     }
     assert got == expected
+
+
+def test_snapshot_diff_change_types_and_null_safety(spark):
+    from gapless_deribit_clickhouse_spark.operators.diff import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, 10.0, "A"), (2, 20.0, None), (3, 30.0, "C"), (4, None, "D")],
+        "k long, price double, status string",
+    )
+    new = spark.createDataFrame(
+        [(2, 20.0, None), (3, 31.0, "C"), (4, None, None), (5, 50.0, "E")],
+        "k long, price double, status string",
+    )
+    out = {
+        r.k: r
+        for r in snapshot_diff(old, new, keys=["k"]).collect()
+    }
+    assert set(out) == {1, 3, 4, 5}  # key 2 unchanged (NULL == NULL)
+    assert out[1].change_type == "delete" and out[1].new_price is None
+    assert out[3].change_type == "update" and out[3].new_price == 31.0
+    # NULL-safe per column: status D -> NULL is a real update
+    assert out[4].change_type == "update"
+    assert out[5].change_type == "insert" and out[5].old_price is None
+    # restricting compare_cols to price makes key 4 unchanged
+    only_price = {
+        r.k: r.change_type
+        for r in snapshot_diff(old, new, keys=["k"], compare_cols=["price"]).collect()
+    }
+    assert set(only_price) == {1, 3, 5}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        snapshot_diff(old, new, keys=["k"], compare_cols=["nope"])
