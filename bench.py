@@ -195,6 +195,7 @@ NEW_IN_R7 = [
     "epoch_shuffle",
     "overlap_hot_hours",
     "snapshot_diff",
+    "cumulative_unique_users",
 ]
 NEW_IN_R4 = WRITE_BENCHES + [
     "mixture_sample",

@@ -550,3 +550,46 @@ SELECT * FROM d WHERE change_type IS NOT NULL
 """
 
 LATE_BINDINGS.append(("snapshot_diff", snapshot_diff_q, SNAPSHOT_DIFF_SQL))
+
+
+# --- cumulative distinct users (growth curve) ---
+def cumulative_unique_users_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly new-user count and the running total of distinct users
+    ever seen — the growth curve ClickHouse serves with
+    runningAccumulate(uniqState(...)). A naive per-bucket
+    COUNT(DISTINCT user WHERE ts <= bucket) rescans the facts once per
+    bucket; this is the scale shape instead: ONE groupBy reduces each
+    user to their first hour (the only event-scale shuffle), an
+    hour-cardinality rollup counts first appearances, and the running
+    sum is a window over ~hours rows (metadata-scale, single partition
+    by construction and by size)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("hour", F.col("ts"))).alias("hour")
+    )
+    hourly = first.groupBy("hour").agg(F.count(F.lit(1)).alias("new_users"))
+    w = Window.orderBy("hour").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        hourly.withColumn("cumulative_users", F.sum("new_users").over(w))
+        .orderBy("hour")
+    )
+
+
+CUMULATIVE_UNIQUE_USERS_SQL = """
+WITH first_seen AS (
+  SELECT user_id, min(date_trunc('hour', ts)) AS hour
+  FROM events GROUP BY user_id),
+hourly AS (
+  SELECT hour, count(*) AS new_users FROM first_seen GROUP BY hour)
+SELECT hour, new_users,
+       CAST(sum(new_users) OVER (ORDER BY hour ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS cumulative_users
+FROM hourly ORDER BY hour
+"""
+
+LATE_BINDINGS.append(
+    ("cumulative_unique_users", cumulative_unique_users_q,
+     CUMULATIVE_UNIQUE_USERS_SQL)
+)
