@@ -181,14 +181,16 @@ NEW_IN_R5 = [
 # rework and the streaming-shutdown changes alter existing entries'
 # times, not the entry set.
 NEW_IN_R6 = ["scan_keyset"]
-# r7 adds four timed bindings: the two extra as-of directions
+# r7 adds seven timed bindings: the two extra as-of directions
 # (forward re-runs the backward plan on mirrored time; nearest is two
 # passes by construction, so ~2x the backward entry's time), the
-# deterministic epoch-shuffle global rank, and the interval-interval
-# overlap join. Every second these add to the r6->r7 TOTAL is new
-# coverage, not regression; the r7 reworks that change EXISTING
-# entries' times (multi-resolution pit_enrich, the training_set
-# curated-subset checkpoint) both made their entries faster.
+# deterministic epoch-shuffle global rank, the interval-interval
+# overlap join, the CDC snapshot diff, the cumulative-unique growth
+# curve, and the oracled EGARCH forecast-path recursion. Every second
+# these add to the r6->r7 TOTAL is new coverage, not regression; the
+# r7 reworks that change EXISTING entries' times (multi-resolution
+# pit_enrich, the training_set curated-subset checkpoint) both made
+# their entries faster.
 NEW_IN_R7 = [
     "asof_join_forward",
     "asof_join_nearest",
@@ -196,6 +198,7 @@ NEW_IN_R7 = [
     "overlap_hot_hours",
     "snapshot_diff",
     "cumulative_unique_users",
+    "egarch_forecast_path",
 ]
 NEW_IN_R4 = WRITE_BENCHES + [
     "mixture_sample",

@@ -54,6 +54,15 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # OpenJDK 17.0.20 on AVX-512 hosts SIGSEGVs in the
+        # jlong_disjoint_arraycopy_avx3 stub under sustained arraycopy
+        # load (two hs_err crashes ~663s into r7 bench runs, one of
+        # which killed mergeable_rollup_sustained_30s telemetry).
+        # Capping the JIT at AVX2 never emits the faulting avx3 stubs;
+        # the cost on this workload is negligible (arraycopy is not the
+        # bottleneck anywhere in PLANS.md).
+        .config("spark.driver.extraJavaOptions", "-XX:UseAVX=2")
+        .config("spark.executor.extraJavaOptions", "-XX:UseAVX=2")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

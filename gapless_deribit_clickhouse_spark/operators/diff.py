@@ -41,6 +41,17 @@ def snapshot_diff(
     ``compare_cols`` defaults to every shared non-key column. Columns
     existing on only one side are ignored (schema evolution is the
     caller's concern — diff what both versions can express).
+
+    Update detection rests on ``xxhash64`` fingerprint equality: a
+    64-bit hash collision between two genuinely different states is
+    classified "unchanged" with probability ~2^-64 per key — the
+    standard CDC fingerprint tradeoff, accepted here because the
+    alternative (N NULL-safe column comparisons in the join output)
+    re-reads every compared column for the 99%+ unchanged majority.
+    NULL is disambiguated from any literal value by hashing a
+    per-column null FLAG alongside the coalesced cast, so NULL vs the
+    string "\\x00null" (or any other sentinel-shaped value) hash
+    differently (ADVICE r7).
     """
     shared = [c for c in old.columns if c in new.columns and c not in keys]
     cols = list(compare_cols) if compare_cols is not None else shared
@@ -49,15 +60,15 @@ def snapshot_diff(
         raise ValueError(f"compare_cols not on both sides: {missing}")
 
     def slim(df: DataFrame, side: str) -> DataFrame:
-        # fingerprint over the compared columns, cast to string so
-        # NULL-vs-value and cross-type representations are explicit;
-        # a NULL column contributes a marker, not a vanishing arg
-        fp = F.xxhash64(
-            *[
-                F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
-                for c in cols
-            ]
-        ) if cols else F.lit(0)
+        # fingerprint over the compared columns: each column
+        # contributes (null-flag, coalesced string cast) so a NULL can
+        # never collide with a literal value equal to the sentinel —
+        # the flag, not the sentinel, is what separates them
+        fp_args: list = []
+        for c in cols:
+            fp_args.append(F.col(c).isNull().cast("int"))
+            fp_args.append(F.coalesce(F.col(c).cast("string"), F.lit("")))
+        fp = F.xxhash64(*fp_args) if cols else F.lit(0)
         return df.select(
             *keys,
             F.lit(True).alias(f"__present_{side}"),

@@ -70,8 +70,11 @@ def _auto_bucket_seconds(
     explodes into <= 2 buckets AND a bucket holds O(1) versions per
     key. The median is a 1-row metadata-scale collect over the
     dimension-side history. Rounded UP to a power of two so small
-    day-to-day data drift cannot flip plan shape, clamped to
-    [60 s, 30 d]."""
+    day-to-day data drift cannot flip plan shape, then clamped to
+    [64 s, 2_097_152 s (~24.3 d)] — the clamp runs LAST so the
+    power-of-two rounding can never push the result past the
+    documented ceiling (ADVICE r7: round-then-clamp, not the
+    reverse)."""
     row = closed_history.agg(
         F.expr(
             f"approx_percentile(unix_timestamp({end_col}) - "
@@ -79,8 +82,8 @@ def _auto_bucket_seconds(
         ).alias("m")
     ).collect()[0]
     med = row["m"] if row["m"] is not None and row["m"] > 0 else 86400
-    clamped = min(max(int(med), 60), 30 * 86400)
-    return 1 << (clamped - 1).bit_length()
+    pow2 = 1 << (max(int(med), 1) - 1).bit_length()
+    return min(max(pow2, 64), 1 << 21)
 
 
 def point_in_time_join(
