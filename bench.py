@@ -182,8 +182,8 @@ NEW_IN_R5 = [
 # times, not the entry set.
 NEW_IN_R6 = ["scan_keyset"]
 # r7 adds seven timed bindings: the two extra as-of directions
-# (forward re-runs the backward plan on mirrored time; nearest is two
-# passes by construction, so ~2x the backward entry's time), the
+# (forward re-runs the backward plan on mirrored time; nearest was two
+# passes in r7, fused to one union shuffle in r8), the
 # deterministic epoch-shuffle global rank, the interval-interval
 # overlap join, the CDC snapshot diff, the cumulative-unique growth
 # curve, and the oracled EGARCH forecast-path recursion. Every second
