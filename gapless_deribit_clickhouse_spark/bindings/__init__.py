@@ -95,6 +95,15 @@ _DEMOTED = (
     # per-doc ratio aggregation shape over documents)
     "token_counts",  # siblings: tfidf_top_terms + text_quality (same
     # normalized tokenization algebra over documents)
+    # --- round-8 rotation (VERDICT r7 #6): two near-duplicates out,
+    # two operator families the window never exercised in ---
+    "rolling_minmax_rank",  # sibling: rolling_percentile (same
+    # rolling-range-frame rank family over one (key, order) exchange;
+    # percentile is the strictly-harder cumulative form)
+    "ngram_jaccard_pairs",  # sibling: minhash_lsh_pairs (its
+    # verification stage computes the SAME exact n-gram Jaccard on
+    # candidate pairs, over the same shingle algebra; dedup_exact
+    # covers the normalization core)
 )
 
 # Promoted INTO the checked window at rotation (placed in the last
@@ -106,11 +115,18 @@ _DEMOTED = (
 # - r7: bm25_topk (distributed Okapi BM25 — the retrieval family the
 #   window never exercised) and attribution_first_touch (episode-reset
 #   window carry); both carried CI value-oracles before promotion
+# - r8: snapshot_diff (CDC full-outer fingerprint diff — the only
+#   full-outer family the window never exercised) and
+#   overlap_hot_hours (interval-interval overlap join with the
+#   exactly-once bucket-grid guard); both carried CI value-oracles
+#   before promotion
 _PROMOTED = (
     "ohlc_gapless_interp",
     "q21_waiting_supplier",
     "bm25_topk",
     "attribution_first_touch",
+    "snapshot_diff",
+    "overlap_hot_hours",
 )
 
 _dem = [b for b in ALL_BINDINGS if b[0] in _DEMOTED]

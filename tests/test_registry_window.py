@@ -41,17 +41,23 @@ SIBLINGS = {
     # round-7 rotation (VERDICT r6 #7)
     "repetition_stats": ["corpus_profile"],
     "token_counts": ["tfidf_top_terms", "text_quality"],
+    # round-8 rotation (VERDICT r7 #6)
+    "rolling_minmax_rank": ["rolling_percentile"],
+    "ngram_jaccard_pairs": ["minhash_lsh_pairs", "dedup_exact"],
 }
 
 # rotated INTO the window — operator families the window never
 # exercised (r6: gapfill+interpolation, decorrelated EXISTS/NOT
 # EXISTS; r7: distributed BM25 retrieval, episode-reset first-touch
-# attribution); every promotion carried a CI value-oracle beforehand
+# attribution; r8: CDC full-outer fingerprint diff, interval-interval
+# overlap join); every promotion carried a CI value-oracle beforehand
 PROMOTED = (
     "ohlc_gapless_interp",
     "q21_waiting_supplier",
     "bm25_topk",
     "attribution_first_touch",
+    "snapshot_diff",
+    "overlap_hot_hours",
 )
 
 
