@@ -254,6 +254,19 @@ def minhash_signatures(
     hex digest + parse, engine-internal only. Near-dup quality is
     equivalent (both are uniform over the shingle set); signatures are
     NOT comparable across the two modes."""
+    harr = _hashed_shingles(df, text_col, id_col, n, base_hash)
+    return _signatures_from_hashed(harr, num_hashes)
+
+
+def _hashed_shingles(
+    df: DataFrame, text_col: str, id_col: str, n: int, base_hash: str
+) -> DataFrame:
+    """(id, __harr): the hashed-shingle array — the ONE
+    tokenize+shingle+hash pass both the signature minima and the
+    exact-Jaccard verification derive from. ``shingles()`` is
+    distinct and the hash is effectively injective at ~2^61, so
+    ``__harr`` doubles as the comparison set (the same collision
+    tolerance the xxhash64 verify sets always had)."""
     arr = ensure_parallelism(df).select(
         F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("__arr")
     )
@@ -267,10 +280,14 @@ def minhash_signatures(
         base = f"pmod(xxhash64(s), {p})"
     else:
         raise ValueError(f"base_hash must be md5|xxhash64, got {base_hash!r}")
-    harr = arr.select(
+    return arr.select(
         "id",
         F.expr(f"transform(__arr, s -> {base})").alias("__harr"),
     )
+
+
+def _signatures_from_hashed(harr: DataFrame, num_hashes: int) -> DataFrame:
+    p = MINHASH_PRIME
     mins = ", ".join(
         f"array_min(transform(__harr, h -> (h * {a}L + {b}L) % {p}L))"
         for a, b in minhash_affine_params(num_hashes)
@@ -362,7 +379,16 @@ def minhash_lsh_pairs(
         auto_hashes, auto_bands = minhash_params(threshold)
         num_hashes = auto_hashes if num_hashes is None else num_hashes
         bands = auto_bands if bands is None else bands
-    sig = minhash_signatures(df, text_col, id_col, n, num_hashes, base_hash)
+    # the hashed-shingle pass (tokenize + shingle + per-shingle hash —
+    # the dominant map cost of the whole tier) runs ONCE and feeds
+    # both the signature minima and the verification sets; without the
+    # lazy localCheckpoint barrier Catalyst executes the projection
+    # once per consumer (VERDICT r7 #3: the re-tokenization between
+    # the sig and verify branches was the training_set floor)
+    harr = _hashed_shingles(df, text_col, id_col, n, base_hash).localCheckpoint(
+        eager=False
+    )
+    sig = _signatures_from_hashed(harr, num_hashes)
     banded = _banded(sig, num_hashes, bands)
     cand = (
         banded.alias("x")
@@ -375,8 +401,9 @@ def minhash_lsh_pairs(
     # candidate pair to the two docs' hashed-shingle ARRAYS and
     # intersect per pair — candidates are few (that's the point of
     # LSH), so two narrow joins + array_intersect beat re-exploding
-    # the corpus into two more shuffles.
-    arr = _hashed_sets(df, text_col, id_col, n, "id", "sset")
+    # the corpus into two more shuffles. array_distinct guards the
+    # set sizes against the (negligible) within-doc hash collision.
+    arr = harr.select("id", F.array_distinct("__harr").alias("sset"))
     joined = (
         cand.join(arr.withColumnsRenamed({"id": "id_a", "sset": "set_a"}), "id_a")
         .join(arr.withColumnsRenamed({"id": "id_b", "sset": "set_b"}), "id_b")

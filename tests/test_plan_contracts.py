@@ -34,6 +34,8 @@ REQUIRED_PYTHON = {
     "diverse_sample",  # k-means assign below the group tournament
     "training_set",  # composed flagship: FFD packing crossing
     "training_set_chunks",  # same flagship, pack columns projected out
+    "kmeans_assign_step",  # the shared Arrow assign kernel (update
+    # half is relational; assignment is _assign_table by design)
 }
 # dup_clusters consumes the LSH stage too, but its connected-components
 # local tier executes during construction on small graphs, so the
