@@ -661,10 +661,16 @@ def _streaming_bench(
                 streaming_mergeable_rollup,
             )
 
+            # the rollup sink itself needs no watermark (versioned
+            # state merge handles late rows), but declaring one makes
+            # the progress events carry eventTime.watermark, so the
+            # sustained entry reports the SAME three fields as the
+            # other five stateful operators (VERDICT r7 #7) — the lag
+            # here reads as ingestion lag, not state-eviction lag
             return streaming_mergeable_rollup(
-                rate_trades().select(
-                    F.col("timestamp"), F.col("underlying"), F.col("iv")
-                ),
+                rate_trades()
+                .withWatermark("timestamp", "10 seconds")
+                .select(F.col("timestamp"), F.col("underlying"), F.col("iv")),
                 keys=("underlying",),
                 value_col="iv",
                 state_path=os.path.join(ckpt_root, f"state{ckpt_seq[0]}"),

@@ -78,6 +78,14 @@ PROBES = [
     # exactly the growth the probe should confirm (a quadratic row
     # here would mean the pairs->counts joins are exploding)
     "lm_score",
+    # round-8 additions (VERDICT r7 #2): the deterministic global
+    # training-order rank — must stay ~linear (the shard-offset
+    # derivation replaces the single-partition global sort; a
+    # super-linear row here would mean the offsets funnel), and the
+    # oracled Lloyd's step (assign map + one slim (cluster, dim)
+    # shuffle; centroids are fixed-k so cost is pure assign scan)
+    "epoch_shuffle",
+    "kmeans_assign_step",
     "quality_gate",  # composed heuristics x LM gate over the same scan
     # round-6 retrieval/quantization tier. Token salting makes the
     # bm25 query terms match NOTHING in amplified copies — which is
@@ -128,6 +136,22 @@ PROBES_ANALYTICS = [
     # the distinct (group, item) projection stays constant-size while
     # raw events grow f x — cost is the one event-scale distinct,
     # which should grow ~linearly
+    # round-8 additions (VERDICT r7 #2): the round-7 join/CDC tier.
+    # Time-disjoint copies keep every answer linear: as-of
+    # forward/nearest lookups never cross copies; overlap_hot_hours is
+    # PAIR-GENERATING — the exactly-once bucket-grid guard must keep
+    # it linear (pairs only form within a copy's time range), which is
+    # precisely the class this probe exists for; snapshot_diff's two
+    # snapshots both grow f x with per-copy-disjoint keys;
+    # cumulative_unique_users reduces to first-appearance rows (users
+    # are SHARED across copies, so first appearances stay in the
+    # earliest copy and the reduction input grows f x while output
+    # buckets grow linearly)
+    "asof_join_forward",
+    "asof_join_nearest",
+    "overlap_hot_hours",
+    "snapshot_diff",
+    "cumulative_unique_users",
 ]
 
 
