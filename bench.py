@@ -200,6 +200,12 @@ NEW_IN_R7 = [
     "cumulative_unique_users",
     "egarch_forecast_path",
 ]
+# r8 adds one timed binding: the oracled single Lloyd's iteration
+# (assign map + metadata-scale (cluster, dim) reduction). The r7->r8
+# TOTAL otherwise compares like-for-like; the r8 reworks that change
+# EXISTING entries' times (fused nearest as-of, single-hash LSH tier)
+# make their entries faster.
+NEW_IN_R8 = ["kmeans_assign_step"]
 NEW_IN_R4 = WRITE_BENCHES + [
     "mixture_sample",
     "semantic_dedup",
@@ -933,6 +939,7 @@ def main() -> None:
         "new_in_r5": NEW_IN_R5,
         "new_in_r6": NEW_IN_R6,
         "new_in_r7": NEW_IN_R7,
+        "new_in_r8": NEW_IN_R8,
     }
     here = os.path.dirname(os.path.abspath(__file__))
     out_dir = os.environ.get("SPARK_GRAFT_BENCH_OUT", here)
@@ -959,6 +966,7 @@ def main() -> None:
                 "new_in_r5": NEW_IN_R5,
                 "new_in_r6": NEW_IN_R6,
                 "new_in_r7": NEW_IN_R7,
+                "new_in_r8": NEW_IN_R8,
             }
         ),
         flush=True,
