@@ -200,12 +200,14 @@ NEW_IN_R7 = [
     "cumulative_unique_users",
     "egarch_forecast_path",
 ]
-# r8 adds one timed binding: the oracled single Lloyd's iteration
-# (assign map + metadata-scale (cluster, dim) reduction). The r7->r8
-# TOTAL otherwise compares like-for-like; the r8 reworks that change
-# EXISTING entries' times (fused nearest as-of, single-hash LSH tier)
-# make their entries faster.
-NEW_IN_R8 = ["kmeans_assign_step"]
+# r8 adds two timed bindings: the oracled single Lloyd's iteration
+# (assign map + metadata-scale (cluster, dim) reduction) and the
+# asymmetric containment-pairs dedup (the jaccard core with the
+# min-size formula). The r7->r8 TOTAL otherwise compares
+# like-for-like; the r8 reworks that change EXISTING entries' times
+# (fused nearest as-of, single-hash LSH tier) make their entries
+# faster.
+NEW_IN_R8 = ["kmeans_assign_step", "containment_pairs"]
 NEW_IN_R4 = WRITE_BENCHES + [
     "mixture_sample",
     "semantic_dedup",

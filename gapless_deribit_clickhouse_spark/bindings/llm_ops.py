@@ -1758,3 +1758,38 @@ ORDER BY cluster_id, dim
 LATE_BINDINGS.append(
     ("kmeans_assign_step", kmeans_assign_step_q, KMEANS_ASSIGN_STEP_SQL)
 )
+
+
+# --- asymmetric near-containment pairs (round 8) ---
+def containment_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """|A∩B| / min(|A|,|B|) >= 0.9 over trigram shingle sets — the
+    small-doc-inside-big-doc duplication class symmetric Jaccard
+    misses (pipelines/text_dedup.py:containment_pairs; same
+    single-scan shingle-bucket intersection core as
+    ngram_jaccard_pairs, containment is a formula, not a new join)."""
+    from gapless_deribit_clickhouse_spark.pipelines.text_dedup import (
+        containment_pairs,
+    )
+
+    return containment_pairs(_docs(spark, sf_dir), n=3, threshold=0.9)
+
+
+CONTAINMENT_PAIRS_SQL = f"""
+WITH toks AS ({_TOKS}),
+grams AS ({_GRAMS3}),
+sz AS (SELECT doc_id, count(*) AS c FROM grams GROUP BY doc_id),
+j AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM grams a JOIN grams b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b,
+       inter / least(sa.c, sb.c) AS containment,
+       inter / (sa.c + sb.c - inter) AS jaccard,
+       CASE WHEN sa.c <= sb.c THEN id_a ELSE id_b END AS contained_id
+FROM j JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+WHERE inter / least(sa.c, sb.c) >= 0.9
+"""
+
+LATE_BINDINGS.append(
+    ("containment_pairs", containment_pairs_q, CONTAINMENT_PAIRS_SQL)
+)

@@ -82,20 +82,18 @@ def shingles(col: Column, n: int = 3) -> Column:
     return F.array_distinct(gram_array(toks, n))
 
 
-def ngram_jaccard_pairs(
+def _shingle_pair_intersections(
     df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    n: int = 3,
-    threshold: float = 0.8,
-    max_shingle_freq: int | None = None,
+    text_col: str,
+    id_col: str,
+    n: int,
+    max_shingle_freq: int | None,
 ) -> DataFrame:
-    """All pairs with exact n-gram Jaccard >= threshold.
-
-    |A∩B| via shingle equi-join; |A∪B| = |A|+|B|−|A∩B|. Output:
-    id_a < id_b, jaccard. ``max_shingle_freq`` drops shingles shared
-    by more than that many docs (stop-shingle skew guard at scale).
-    """
+    """(id_a < id_b, sz_a, sz_b, inter) for every doc pair sharing at
+    least one word n-gram — the exact-intersection core both
+    :func:`ngram_jaccard_pairs` (symmetric overlap) and
+    :func:`containment_pairs` (asymmetric overlap) reduce with their
+    own formula."""
     # shingle the text ONCE; |A| comes from the array length (no
     # second explode+groupBy), and the join key is a 64-bit hash of
     # the shingle, not the string — ~4x less shuffle volume, and both
@@ -130,21 +128,84 @@ def ngram_jaccard_pairs(
         )
     )
     pairs = ds.filter(F.size("ds") >= 2).select(F.explode(pairs_col).alias("p"))
-    out = (
-        pairs.groupBy(
-            F.col("p.a.id").alias("id_a"),
-            F.col("p.b.id").alias("id_b"),
-            F.col("p.a.sz").alias("sz_a"),
-            F.col("p.b.sz").alias("sz_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("inter"))
-        .withColumn(
+    return pairs.groupBy(
+        F.col("p.a.id").alias("id_a"),
+        F.col("p.b.id").alias("id_b"),
+        F.col("p.a.sz").alias("sz_a"),
+        F.col("p.b.sz").alias("sz_b"),
+    ).agg(F.count(F.lit(1)).alias("inter"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """All pairs with exact n-gram Jaccard >= threshold.
+
+    |A∩B| via shingle equi-join; |A∪B| = |A|+|B|−|A∩B|. Output:
+    id_a < id_b, jaccard. ``max_shingle_freq`` drops shingles shared
+    by more than that many docs (stop-shingle skew guard at scale).
+    """
+    out = _shingle_pair_intersections(df, text_col, id_col, n, max_shingle_freq)
+    return (
+        out.withColumn(
             "jaccard",
             F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
         )
         .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
     )
-    return out.select("id_a", "id_b", "jaccard")
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.9,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Asymmetric near-containment pairs: |A∩B| / min(|A|, |B|) >=
+    ``threshold`` over word n-gram shingle sets — the duplication
+    class symmetric Jaccard MISSES (a short document quoted whole
+    inside a much longer one has containment ~1 but Jaccard
+    ~|small|/|large|; boilerplate-wrapped re-posts and quote-expansion
+    dups live here). Output: id_a < id_b, ``containment``,
+    ``contained_id`` (the smaller side — the one a dedup policy would
+    drop), plus ``jaccard`` for triage.
+
+    Scale design: the SAME single-scan shingle-bucket intersection
+    core as :func:`ngram_jaccard_pairs` (one corpus shingle pass, two
+    shuffles, posting-list cap as the skew guard) — containment is a
+    formula on (inter, sz_a, sz_b), not a new join. This is the exact
+    tier; a banded-LSH candidate stage does NOT drop in here because
+    MinHash collision probability estimates Jaccard, which is
+    precisely the measure containment disagrees with on the pairs
+    this operator exists for."""
+    out = _shingle_pair_intersections(df, text_col, id_col, n, max_shingle_freq)
+    return (
+        out.withColumn(
+            "containment",
+            F.col("inter") / F.least(F.col("sz_a"), F.col("sz_b")),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select(
+            "id_a",
+            "id_b",
+            "containment",
+            (
+                F.col("inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+            ).alias("jaccard"),
+            F.when(F.col("sz_a") <= F.col("sz_b"), F.col("id_a"))
+            .otherwise(F.col("id_b"))
+            .alias("contained_id"),
+        )
+    )
 
 
 def interdoc_repetition(

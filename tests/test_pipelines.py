@@ -1516,3 +1516,30 @@ def test_epoch_shuffle_exact_rank_and_epoch_independence(docs):
     naive["rank"] = range(n)
     m = out.merge(naive[["doc_id", "rank"]], on="doc_id")
     assert (m.epoch_rank == m["rank"]).all()
+
+
+def test_containment_catches_what_jaccard_misses(spark):
+    """The operator's reason to exist: a short doc quoted whole inside
+    a much longer one has containment ~1 but Jaccard ~|small|/|large|
+    — below any sane symmetric threshold."""
+    from gapless_deribit_clickhouse_spark.pipelines.text_dedup import (
+        containment_pairs,
+    )
+
+    small = " ".join(f"s{i}" for i in range(12))
+    big = small + " " + " ".join(f"b{i}" for i in range(200))
+    rows = [
+        (1, small),
+        (2, big),
+        (3, " ".join(f"x{i}" for i in range(50))),  # unrelated
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = containment_pairs(df, threshold=0.9).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.id_a, r.id_b) == (1, 2)
+    assert r.contained_id == 1  # the smaller side is the drop target
+    assert r.containment == 1.0  # every small-doc trigram is in big
+    assert r.jaccard < 0.1  # symmetric measure misses this pair
+    # symmetric operator at the same corpus finds nothing at 0.5
+    assert ngram_jaccard_pairs(df, threshold=0.5).count() == 0

@@ -86,6 +86,9 @@ PROBES = [
     # shuffle; centroids are fixed-k so cost is pure assign scan)
     "epoch_shuffle",
     "kmeans_assign_step",
+    # pair-generating like ngram_jaccard_pairs (same intersection
+    # core, asymmetric formula) — must track its sibling's growth
+    "containment_pairs",
     "quality_gate",  # composed heuristics x LM gate over the same scan
     # round-6 retrieval/quantization tier. Token salting makes the
     # bm25 query terms match NOTHING in amplified copies — which is
