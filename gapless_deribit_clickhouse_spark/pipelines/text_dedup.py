@@ -689,11 +689,23 @@ def incremental_dedup(
 
     # (3) near tier vs corpus: band-bucket equi-join between batch and
     # corpus signatures, then exact-Jaccard verification on the
-    # candidates only
-    sig_new = minhash_signatures(batch, text_col, id_col, n, num_hashes, base_hash)
-    sig_corp = minhash_signatures(
-        corpus_df, text_col, id_col, n, num_hashes, base_hash
+    # candidates only. Each side runs the tokenize+shingle+hash pass
+    # ONCE (the minhash_lsh_pairs r8 pattern): the hashed-shingle
+    # projection feeds both the signature minima and the verification
+    # sets from behind a lazy localCheckpoint barrier. The arrays are
+    # never carried THROUGH the band explosion (that would multiply
+    # them across `bands` exploded rows); the checkpoint trades
+    # executor-local storage of the hashed arrays for half the map
+    # passes — the same trade ``survivors`` above already makes for
+    # the batch text itself.
+    harr_new = _hashed_shingles(batch, text_col, id_col, n, base_hash).localCheckpoint(
+        eager=False
     )
+    harr_corp = _hashed_shingles(
+        corpus_df, text_col, id_col, n, base_hash
+    ).localCheckpoint(eager=False)
+    sig_new = _signatures_from_hashed(harr_new, num_hashes)
+    sig_corp = _signatures_from_hashed(harr_corp, num_hashes)
     cand = (
         _banded(sig_new, num_hashes, bands)
         .withColumnRenamed("id", "new_id")
@@ -705,16 +717,14 @@ def incremental_dedup(
         .distinct()
     )
 
-    # The signature pass and this verification pass each normalize +
-    # shingle their side once (two narrow passes per side). Deliberate:
-    # emitting the shingle array alongside the signature and carrying
-    # it through the band explosion would multiply the array across
-    # `bands` exploded rows — far more shuffle bytes than a second
-    # narrow scan costs.
-    joined = cand.join(
-        _hashed_sets(batch, text_col, id_col, n, "new_id", "set_a"), "new_id"
-    ).join(
-        _hashed_sets(corpus_df, text_col, id_col, n, "corp_id", "set_b"), "corp_id"
+    def _sets(harr: DataFrame, out_id: str, out_set: str) -> DataFrame:
+        return harr.select(
+            F.col("id").alias(out_id),
+            F.array_distinct("__harr").alias(out_set),
+        )
+
+    joined = cand.join(_sets(harr_new, "new_id", "set_a"), "new_id").join(
+        _sets(harr_corp, "corp_id", "set_b"), "corp_id"
     )
     inter = F.size(F.array_intersect("set_a", "set_b"))
     union = F.size("set_a") + F.size("set_b") - inter
