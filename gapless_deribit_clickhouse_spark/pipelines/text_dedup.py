@@ -543,8 +543,15 @@ def simhash_near_pairs(
     base_hash: str = "md5",
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= k, found by bucketing
-    on 15-bit chunks (pigeonhole over 4 chunks covers k <= 3)."""
-    sig = simhash64(df, text_col, id_col, base_hash)
+    on 15-bit chunks (pigeonhole over 4 chunks covers k <= 3).
+
+    The signature table is localCheckpointed before the chunk-bucket
+    self-join: aliased self-join subtrees get no exchange reuse, so
+    without the barrier the whole tokenize+explode+15-lane vote
+    aggregation — the corpus-scale cost of the operator — executes
+    once per side. The checkpoint is one long per document,
+    metadata-scale."""
+    sig = simhash64(df, text_col, id_col, base_hash).localCheckpoint(eager=False)
     chunks = F.array(*[
         F.shiftright(F.col("simhash"), c * 15).bitwiseAND(F.lit(0x7FFF)).alias(f"c{c}")
         for c in range(4)
