@@ -1705,16 +1705,24 @@ def kmeans_assign_step_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     farthest-point) remains rows-only."""
     import numpy as np
 
-    from gapless_deribit_clickhouse_spark.pipelines.clustering import lloyd_step
+    from gapless_deribit_clickhouse_spark.pipelines.clustering import (
+        _usable_rows,
+        lloyd_step,
+    )
 
     emb = _emb(spark, sf_dir)
+    # centroid rows go through the SAME usable filter the oracle's `e`
+    # CTE applies (non-null, contract width, positive finite norm) —
+    # a degenerate vector among the smallest vec_ids must drop out of
+    # the centroid set identically on both engines, not crash np.stack
+    # or desync the cluster-id numbering
     rows = (
-        emb.filter(F.col("vec_id") < _KM_K)
-        .orderBy("vec_id")
-        .select(F.col("embedding").cast("array<double>").alias("v"))
+        _usable_rows(emb, "vec_id", "embedding", dim=_KM_DIM)
+        .filter(F.col("__id") < _KM_K)
+        .orderBy("__id")
         .collect()
     )
-    cents = np.stack([np.asarray(r["v"], dtype=np.float64) for r in rows])
+    cents = np.stack([np.asarray(r["__v"], dtype=np.float64) for r in rows])
     return lloyd_step(emb, cents).orderBy("cluster_id", "dim")
 
 

@@ -44,6 +44,48 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _tag_sides(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    suffix: str,
+    bucket_of,
+) -> tuple[DataFrame, DataFrame]:
+    """Union-ready tagged sides, shared by the directional and nearest
+    plans. The right row travels as ONE struct (``__payload``): the
+    in-bucket fill must carry the latest right ROW atomically —
+    per-column last(ignorenulls) would stitch values from DIFFERENT
+    right rows when the latest row has nulls (merge_asof/ASOF JOIN
+    semantics are row-atomic, and the cross-bucket carry already is).
+    ``bucket_of`` maps the ``__ts`` Column to the coarse bucket (the
+    directional plan mirrors it with the direction sign; nearest
+    buckets on unsigned time)."""
+    r_tag = right.select(
+        *on,
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.struct(
+            F.col(right_ts).cast("double").alias("__rts"),
+            *[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
+        ).alias("__payload"),
+    ).withColumn("__bucket", bucket_of(F.col("__ts")))
+    payload_t = r_tag.schema["__payload"].dataType
+    l_tag = left.select(
+        *on,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(payload_t).alias("__payload"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__row"),
+    ).withColumn("__bucket", bucket_of(F.col("__ts")))
+    r_tag = r_tag.withColumn(
+        "__row", F.lit(None).cast(l_tag.schema["__row"].dataType)
+    )
+    return l_tag, r_tag
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -111,33 +153,9 @@ def asof_join(
     # and the staleness age all carry this one sign
     sign = 1.0 if direction == "backward" else -1.0
 
-    def bucket_of(ts_col: str):
-        return F.floor(F.col(ts_col).cast("double") * sign / step).cast("long")
-
-    # The right row travels as ONE struct (__payload): the in-bucket
-    # fill must carry the latest right ROW atomically — per-column
-    # last(ignorenulls) would stitch values from DIFFERENT right rows
-    # when the latest row has nulls (merge_asof/ASOF JOIN semantics
-    # are row-atomic, and the cross-bucket carry below already is).
-    r_tag = right.select(
-        *on,
-        F.col(right_ts).alias("__ts"),
-        F.lit(0).alias("__side"),
-        F.struct(
-            F.col(right_ts).cast("double").alias("__rts"),
-            *[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
-        ).alias("__payload"),
-    ).withColumn("__bucket", bucket_of("__ts"))
-    payload_t = r_tag.schema["__payload"].dataType
-    l_tag = left.select(
-        *on,
-        F.col(left_ts).alias("__ts"),
-        F.lit(1).alias("__side"),
-        F.lit(None).cast(payload_t).alias("__payload"),
-        F.struct(*[F.col(c) for c in left.columns]).alias("__row"),
-    ).withColumn("__bucket", bucket_of("__ts"))
-    r_tag = r_tag.withColumn(
-        "__row", F.lit(None).cast(l_tag.schema["__row"].dataType)
+    l_tag, r_tag = _tag_sides(
+        left, right, on, left_ts, right_ts, value_cols, suffix,
+        lambda ts: F.floor(ts.cast("double") * sign / step).cast("long"),
     )
 
     # --- in-bucket fill (the ONE wide shuffle) ---
@@ -260,31 +278,9 @@ def _asof_nearest(
     """
     out_names = [f"{c}{suffix}" for c in value_cols]
     step = float(bucket_seconds)
-
-    def bucket_of(ts_col: str):
-        return F.floor(F.col(ts_col).cast("double") / step).cast("long")
-
-    # Row-atomic payload struct, as in the directional plan: the
-    # candidate is the whole nearest right ROW, nulls and all.
-    r_tag = right.select(
-        *on,
-        F.col(right_ts).alias("__ts"),
-        F.lit(0).alias("__side"),
-        F.struct(
-            F.col(right_ts).cast("double").alias("__rts"),
-            *[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
-        ).alias("__payload"),
-    ).withColumn("__bucket", bucket_of("__ts"))
-    payload_t = r_tag.schema["__payload"].dataType
-    l_tag = left.select(
-        *on,
-        F.col(left_ts).alias("__ts"),
-        F.lit(1).alias("__side"),
-        F.lit(None).cast(payload_t).alias("__payload"),
-        F.struct(*[F.col(c) for c in left.columns]).alias("__row"),
-    ).withColumn("__bucket", bucket_of("__ts"))
-    r_tag = r_tag.withColumn(
-        "__row", F.lit(None).cast(l_tag.schema["__row"].dataType)
+    l_tag, r_tag = _tag_sides(
+        left, right, on, left_ts, right_ts, value_cols, suffix,
+        lambda ts: F.floor(ts.cast("double") / step).cast("long"),
     )
 
     # --- in-bucket fill, both directions, ONE shuffle (two sorts) ---

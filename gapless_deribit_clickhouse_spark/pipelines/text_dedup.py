@@ -324,21 +324,26 @@ def _hashed_shingles(
 ) -> DataFrame:
     """(id, __harr): the hashed-shingle array — the ONE
     tokenize+shingle+hash pass both the signature minima and the
-    exact-Jaccard verification derive from. ``shingles()`` is
-    distinct and the hash is effectively injective at ~2^61, so
-    ``__harr`` doubles as the comparison set (the same collision
-    tolerance the xxhash64 verify sets always had)."""
+    exact-Jaccard verification derive from. Values are UNREDUCED
+    (60-bit md5 prefix / full signed xxhash64) so the verification
+    sets keep an effectively collision-free domain; the mod-p
+    reduction the affine minhash family needs happens inside
+    :func:`_signatures_from_hashed` — reducing here would shrink the
+    comparison domain to 31 bits and let unrelated large shingle sets
+    accrue spurious intersections. ``shingles()`` is distinct and the
+    hash effectively injective at this width, so ``__harr`` doubles as
+    the comparison set (the same collision tolerance the 64-bit
+    ``_hashed_sets`` verify arrays always had)."""
     arr = ensure_parallelism(df).select(
         F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("__arr")
     )
-    p = MINHASH_PRIME
     if base_hash == "md5":
         base = (
             "CAST(conv(substring(md5(concat('0:', s)), 1, 15), 16, 10) "
-            f"AS BIGINT) % {p}"
+            "AS BIGINT)"
         )
     elif base_hash == "xxhash64":
-        base = f"pmod(xxhash64(s), {p})"
+        base = "xxhash64(s)"
     else:
         raise ValueError(f"base_hash must be md5|xxhash64, got {base_hash!r}")
     return arr.select(
@@ -348,9 +353,13 @@ def _hashed_shingles(
 
 
 def _signatures_from_hashed(harr: DataFrame, num_hashes: int) -> DataFrame:
+    # pmod reduces the unreduced base into [0, p) first (matching the
+    # former reduced-at-hash-time values exactly: 60-bit md5 prefixes
+    # are non-negative so % == pmod, and the xxhash64 branch always
+    # used pmod), then the affine family; (p-1)^2 fits in int64
     p = MINHASH_PRIME
     mins = ", ".join(
-        f"array_min(transform(__harr, h -> (h * {a}L + {b}L) % {p}L))"
+        f"array_min(transform(__harr, h -> (pmod(h, {p}L) * {a}L + {b}L) % {p}L))"
         for a, b in minhash_affine_params(num_hashes)
     )
     return harr.select("id", F.expr(f"array({mins})").alias("signature"))

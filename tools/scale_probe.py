@@ -263,13 +263,33 @@ def amplify(spark, factor: int, scratch: str) -> str:
         .parquet(os.path.join(out, "events.parquet"))
     )
 
+    # orders amplification for the CDC tier: snapshot_diff derives its
+    # two snapshots from orders keys, so the probed input must grow
+    # with the factor (an earlier probe symlinked orders and recorded
+    # constant-input 'growth' — fake linear evidence). Copy c moves
+    # keys into a disjoint namespace (c * 10^12; the binding's % 7/5/3
+    # residue structure rotates per copy but keeps constant density),
+    # so the true diff answer grows linearly.
+    orders = spark.read.parquet(os.path.join(BASE, "orders.parquet"))
+    (
+        orders.select("*", copies)
+        .select(
+            (
+                F.col("o_orderkey") + F.col("__c").cast("long") * F.lit(10**12)
+            ).alias("o_orderkey"),
+            *[c for c in orders.columns if c != "o_orderkey"],
+        )
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(os.path.join(out, "orders.parquet"))
+    )
+
     for t in (
         "region",
         "nation",
         "customer",
         "supplier",
         "part",
-        "orders",
         "lineitem",
     ):
         link = os.path.join(out, f"{t}.parquet")
@@ -506,7 +526,16 @@ def _probe_training_stages(spark, qs) -> dict[str, float]:
     records WHERE the flagship's seconds go. The lazy e2e binding
     overlaps/elides some of this (no per-stage counts), so it runs
     faster than the stage sum — the breakdown's job is the floor
-    argument, not the headline number."""
+    argument, not the headline number.
+
+    Stage parameters mirror the FLAGSHIP BINDING exactly
+    (``bindings/llm_ops.py:training_set_q`` -> ``build_training_set``:
+    lang=en, min_quality=0.3, dedup threshold=0.8 with AUTO minhash
+    params, chunk max_tokens=128 / overlap=16, pack shards=16) — an
+    attribution timed at pipeline defaults would describe a pipeline
+    the flagship never runs (ADVICE-class finding caught in r8
+    self-review: defaults use 32 hashes vs the flagship's auto-sized
+    210, and 2048-token chunks vs 128)."""
     from gapless_deribit_clickhouse_spark.core.tables import load_table
     from gapless_deribit_clickhouse_spark.operators.connected_components import (
         connected_components,
@@ -535,14 +564,18 @@ def _probe_training_stages(spark, qs) -> dict[str, float]:
         out[label] = round(time.perf_counter() - t0, 2)
 
     survivors = docs.join(
-        curate_corpus(docs).select("doc_id"), "doc_id", "semi"
+        curate_corpus(docs, lang="en", min_quality=0.3).select("doc_id"),
+        "doc_id",
+        "semi",
     ).localCheckpoint(eager=False)
     t("curate + semi-join", survivors.count)
     winners = exact_dedup(survivors, keep="min").select("doc_id")
     sv2 = survivors.join(winners, "doc_id", "semi").localCheckpoint(eager=False)
     t("exact-dedup tier", sv2.count)
-    pairs = minhash_lsh_pairs(sv2)
-    t("minhash-LSH pairs", pairs.count)
+    pairs = minhash_lsh_pairs(
+        sv2, threshold=0.8, num_hashes=None, bands=None
+    )
+    t("minhash-LSH pairs (auto params)", pairs.count)
     comp = connected_components(pairs)
     t("connected components", comp.count)
     losers = comp.filter(F.col("node") != F.col("component")).select(
@@ -551,12 +584,12 @@ def _probe_training_stages(spark, qs) -> dict[str, float]:
     deduped = sv2.join(losers, "doc_id", "left_anti")
     t("loser anti-join", deduped.count)
     chunks = chunk_documents(
-        deduped, id_col="doc_id", text_col="text", max_tokens=2048, overlap=64
+        deduped, id_col="doc_id", text_col="text", max_tokens=128, overlap=16
     ).localCheckpoint(eager=False)
     t("chunking", chunks.count)
     packed = pack_sequences(
         chunks, id_col="chunk_uid", text_col="chunk_text",
-        max_tokens=2048, num_shards=64,
+        max_tokens=128, num_shards=16,
     )
     final = packed.join(
         chunks.select("chunk_uid", "doc_id", "chunk_idx", "chunk_text"),
