@@ -323,14 +323,19 @@ def _asof_nearest(
         .orderBy(F.col("__bucket"))
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    # mirrored descending ordering with an exclusive trailing frame ==
+    # "first non-null __pe of any LATER bucket", kept incremental (the
+    # leading (1, unboundedFollowing) first() re-aggregates per row).
+    # Bucket-count scale, but free to keep in the same shape as the
+    # event-scale fills above.
     wkf = (
         Window.partitionBy(*on)
-        .orderBy(F.col("__bucket"))
-        .rowsBetween(1, Window.unboundedFollowing)
+        .orderBy(F.col("__bucket").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
     carry = (
         kb.withColumn("__cb", F.last("__pl", ignorenulls=True).over(wkb))
-        .withColumn("__cf", F.first("__pe", ignorenulls=True).over(wkf))
+        .withColumn("__cf", F.last("__pe", ignorenulls=True).over(wkf))
         .filter(F.col("__cb").isNotNull() | F.col("__cf").isNotNull())
         .select(*on, "__bucket", "__cb", "__cf")
     )

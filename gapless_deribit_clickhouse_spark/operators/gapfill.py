@@ -52,9 +52,11 @@ def fill_time_gaps(
     appear in only one of the two lists).  Interpolation weights use
     exact-integer epoch microseconds; a gap row needs BOTH neighbors
     (grids end AT the last observation, so a one-sided gap cannot
-    exist).  Cost: two ordered windows per interpolated column over
-    the same (keys, ts) sort the forward fill already pays — no extra
-    shuffle."""
+    exist).  Cost: the backward anchors ride the same ascending
+    (keys, ts) sort the forward fill already pays; the forward anchors
+    ride ONE extra descending sort on the same per-key partitioning
+    (mirror-sort running-last — incremental, O(n) per partition) — no
+    extra shuffle either way."""
     if step_seconds < 1:
         raise ValueError("step_seconds must be >= 1")
     overlap = set(fill_cols) & set(interpolate_cols)
@@ -101,10 +103,20 @@ def fill_time_gaps(
                 ),
             )
         if interpolate_cols:
+            # Forward anchors via the MIRRORED ordering: a trailing
+            # running-last over DESCENDING time IS the next-observation
+            # fill, and Spark evaluates trailing frames incrementally
+            # (O(n) per partition). The leading (currentRow,
+            # unboundedFollowing) first() form re-aggregates the
+            # remainder of the partition for every row — quadratic in
+            # partition size, and here the partition is the densified
+            # per-key grid (event-scale). Same transform as
+            # operators/asof.py _asof_nearest; same (keys) partitioning
+            # as w_prev, so Catalyst plans one Exchange and two Sorts.
             w_next = (
                 Window.partitionBy(*keys)
-                .orderBy(ts_col)
-                .rowsBetween(0, Window.unboundedFollowing)
+                .orderBy(F.col(ts_col).desc())
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
             )
             t = F.unix_micros(F.col(ts_col)).cast("double")
             for c in interpolate_cols:
@@ -117,9 +129,9 @@ def fill_time_gaps(
                     F.col("__present").isNotNull() & F.col(c).isNotNull(), t
                 )
                 prev_t = F.last(anchored, ignorenulls=True).over(w_prev)
-                next_t = F.first(anchored, ignorenulls=True).over(w_next)
+                next_t = F.last(anchored, ignorenulls=True).over(w_next)
                 prev_v = F.last(c, ignorenulls=True).over(w_prev)
-                next_v = F.first(c, ignorenulls=True).over(w_next)
+                next_v = F.last(c, ignorenulls=True).over(w_next)
                 frac = (t - prev_t) / (next_t - prev_t)
                 out = out.withColumn(
                     c,
