@@ -208,6 +208,13 @@ NEW_IN_R7 = [
 # (fused nearest as-of, single-hash LSH tier) make their entries
 # faster.
 NEW_IN_R8 = ["kmeans_assign_step", "containment_pairs"]
+# r9 adds one timed binding: the EGARCH negative log-likelihood at
+# fixed literal params (the optimizer's objective function under a
+# full WITH RECURSIVE oracle — one applyInPandas crossing per group
+# over the oracle-checked input series). The r8->r9 TOTAL otherwise
+# compares like-for-like; the r9 gapfill mirror-sort rework changes
+# EXISTING entries' times (ohlc_gapless_interp ~1.9x faster).
+NEW_IN_R9 = ["egarch_loglik"]
 NEW_IN_R4 = WRITE_BENCHES + [
     "mixture_sample",
     "semantic_dedup",
@@ -738,6 +745,36 @@ def _streaming_bench(
     return out
 
 
+def _wait_for_quiet(
+    threshold: float = 2.0, max_wait: float = 600.0, poll: float = 15.0
+) -> dict[str, float]:
+    """Bounded quiet-box gate (VERDICT r8 next #2): the official
+    BENCH_rN was a high-load sidecar divert two rounds running (r7
+    103.8s @ load 6.06, r8 119.7s @ 6.09), which read as a +15%
+    regression while the quiet series improved. Before starting the
+    JVM, poll load_avg_1m and wait — bounded at ``max_wait`` — for it
+    to drop below the existing 2.0 divert threshold. The wait itself
+    is recorded in the conditions stamp (``quiet_gate_wait_sec`` +
+    the load seen at entry), so a run that still starts loaded shows
+    a LOGGED bounded wait rather than a silent one."""
+    try:
+        load0 = os.getloadavg()[0]
+    except OSError:
+        return {}
+    t0 = time.monotonic()
+    load = load0
+    while load > threshold and (time.monotonic() - t0) < max_wait:
+        time.sleep(poll)
+        try:
+            load = os.getloadavg()[0]
+        except OSError:
+            break
+    return {
+        "quiet_gate_load_at_entry": round(load0, 2),
+        "quiet_gate_wait_sec": round(time.monotonic() - t0, 1),
+    }
+
+
 def _redirect_stderr() -> str:
     """Route fd 2 — where ALL JVM log4j output, progress bars, and
     async stack traces land — into a file at the OS level, BEFORE the
@@ -825,6 +862,10 @@ def emit_headline(
 
 def main() -> None:
     stderr_log = _redirect_stderr()
+    # quiet-box gate BEFORE the JVM starts: bounded wait for the 1-min
+    # load to clear the divert threshold; the wait is stamped into the
+    # conditions dict below either way
+    gate = _wait_for_quiet()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
@@ -856,6 +897,7 @@ def main() -> None:
         conditions = {"load_avg_1m": round(load1, 2), "load_avg_5m": round(load5, 2)}
     except OSError:
         conditions = {}
+    conditions.update(gate)
 
     # warm the session + each query shape once (untimed)
     spark.range(1000).count()
@@ -942,6 +984,7 @@ def main() -> None:
         "new_in_r6": NEW_IN_R6,
         "new_in_r7": NEW_IN_R7,
         "new_in_r8": NEW_IN_R8,
+        "new_in_r9": NEW_IN_R9,
     }
     here = os.path.dirname(os.path.abspath(__file__))
     out_dir = os.environ.get("SPARK_GRAFT_BENCH_OUT", here)
@@ -969,6 +1012,7 @@ def main() -> None:
                 "new_in_r6": NEW_IN_R6,
                 "new_in_r7": NEW_IN_R7,
                 "new_in_r8": NEW_IN_R8,
+                "new_in_r9": NEW_IN_R9,
             }
         ),
         flush=True,

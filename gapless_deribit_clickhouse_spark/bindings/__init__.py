@@ -104,6 +104,14 @@ _DEMOTED = (
     # verification stage computes the SAME exact n-gram Jaccard on
     # candidate pairs, over the same shingle algebra; dedup_exact
     # covers the normalization core)
+    # --- round-9 rotation (VERDICT r8 #4): two near-duplicates out,
+    # two operator families the window never exercised in ---
+    "front_month_select",  # sibling: contract_chain_select (composes
+    # the same min_by(struct) front-contract pick inside its chain;
+    # top1_min_value covers the bare argMin shape); CI value-oracle
+    "q10_returned_revenue",  # sibling: q3_shipping_priority (same
+    # broadcast-dim + fact-shuffle join-agg family, same filter->join
+    # ->group->topN plan shape); CI value-oracle
 )
 
 # Promoted INTO the checked window at rotation (placed in the last
@@ -120,6 +128,11 @@ _DEMOTED = (
 #   overlap_hot_hours (interval-interval overlap join with the
 #   exactly-once bucket-grid guard); both carried CI value-oracles
 #   before promotion
+# - r9: kmeans_assign_step (the only oracled iterative-ML step family
+#   — one full Lloyd's iteration, assign map + metadata-scale
+#   (cluster, dim) reduction) and containment_pairs (asymmetric
+#   containment dedup — min-size denominator, not Jaccard); both
+#   carried CI value-oracles before promotion
 _PROMOTED = (
     "ohlc_gapless_interp",
     "q21_waiting_supplier",
@@ -127,6 +140,8 @@ _PROMOTED = (
     "attribution_first_touch",
     "snapshot_diff",
     "overlap_hot_hours",
+    "kmeans_assign_step",
+    "containment_pairs",
 )
 
 _dem = [b for b in ALL_BINDINGS if b[0] in _DEMOTED]

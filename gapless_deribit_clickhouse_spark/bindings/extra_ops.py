@@ -807,10 +807,79 @@ FROM path ORDER BY event_type, step
 """
 
 
+# --- EGARCH log-likelihood at FIXED params: the optimizer's objective
+# function under a full cross-engine oracle (VERDICT r8 #5) ---
+_LL_MU, _LL_OMEGA, _LL_ALPHA, _LL_GAMMA, _LL_BETA = 0.05, -0.1, 0.15, -0.05, 0.92
+
+
+def egarch_loglik_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event_type EGARCH(1,1) negative log-likelihood at literal
+    (mu, omega, alpha, gamma, beta) over the oracle-checked input
+    series — evaluates the EXACT ``_neg_loglik`` kernel the Nelder-Mead
+    loop calls (features/egarch.py; the reference delegates the same
+    objective to scipy, egarch.py:118-189). The variance recursion +
+    Gaussian log-density fold is the same sequential shape as
+    ``egarch_forecast_path`` and gets the same ``WITH RECURSIVE``
+    DuckDB twin, so the only unoracled EGARCH arithmetic left is the
+    argmin search itself."""
+    from gapless_deribit_clickhouse_spark.features.egarch import loglik_by_group
+
+    inputs = egarch_inputs_q(spark, sf_dir)
+    return loglik_by_group(
+        inputs,
+        keys=["event_type"],
+        order_col="idx",
+        value_col="r100",
+        theta=(_LL_MU, _LL_OMEGA, _LL_ALPHA, _LL_GAMMA, _LL_BETA),
+    ).orderBy("event_type")
+
+
+# the clamped log-variance step, inlined at each use site (a single
+# DuckDB statement has no macro facility; r = prior state row)
+_LL_VAL = (
+    f"least(greatest(({_LL_OMEGA}) + ({_LL_ALPHA}) * (abs(r.z) - sqrt(2.0/pi()))"
+    f" + ({_LL_GAMMA}) * r.z + ({_LL_BETA}) * r.lh, -50.0), 50.0)"
+)
+
+# seed state = (z=0, lh=ln(var_pop(e)+1e-12), acc=0) BEFORE the first
+# element; each step consumes inputs row idx+1 and folds the Gaussian
+# log-density term. Final neg-loglik = 0.5 * acc at max idx (ll =
+# -0.5*acc in the kernel; the binding returns -ll).
+EGARCH_LOGLIK_SQL = f"""
+WITH RECURSIVE series AS (
+  SELECT event_type, {bucket_sql('ts', 3600)} AS bts,
+         CAST(count(*) + 1 AS DOUBLE) AS v
+  FROM events GROUP BY event_type, {bucket_sql('ts', 3600)}),
+lagged AS (
+  SELECT event_type,
+         row_number() OVER (PARTITION BY event_type ORDER BY bts) - 1 AS idx,
+         100.0 * (ln(v) - ln(lag(v) OVER (PARTITION BY event_type ORDER BY bts))) AS r100
+  FROM series),
+inputs AS (
+  SELECT event_type, idx, r100 - ({_LL_MU}) AS e
+  FROM lagged WHERE r100 IS NOT NULL),
+rec(event_type, idx, z, lh, acc) AS (
+  SELECT event_type, min(idx) - 1, CAST(0.0 AS DOUBLE),
+         ln(var_pop(e) + 1e-12), CAST(0.0 AS DOUBLE)
+  FROM inputs GROUP BY event_type
+  UNION ALL
+  SELECT r.event_type, i.idx,
+         i.e / exp(0.5 * {_LL_VAL}),
+         {_LL_VAL},
+         r.acc + ln(2 * pi()) + {_LL_VAL} + i.e * i.e / exp({_LL_VAL})
+  FROM rec r JOIN inputs i
+    ON i.event_type = r.event_type AND i.idx = r.idx + 1)
+SELECT event_type, 0.5 * max_by(acc, idx) AS neg_loglik,
+       CAST(count(*) - 1 AS BIGINT) AS n_obs
+FROM rec GROUP BY event_type ORDER BY event_type
+"""
+
+
 # behavioral-analytics additions (round 5), past the stable window
 LATE_BINDINGS = [
     ("egarch_inputs", egarch_inputs_q, EGARCH_INPUTS_SQL),
     ("egarch_forecast_path", egarch_forecast_path_q, EGARCH_FORECAST_PATH_SQL),
+    ("egarch_loglik", egarch_loglik_q, EGARCH_LOGLIK_SQL),
     ("window_funnel", window_funnel_q, WINDOW_FUNNEL_SQL),
     ("sequence_count", sequence_count_q, SEQUENCE_COUNT_SQL),
     ("retention", retention_q, RETENTION_SQL),

@@ -1715,13 +1715,22 @@ def kmeans_assign_step_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # CTE applies (non-null, contract width, positive finite norm) —
     # a degenerate vector among the smallest vec_ids must drop out of
     # the centroid set identically on both engines, not crash np.stack
-    # or desync the cluster-id numbering
+    # or desync the cluster-id numbering. Selection is BY RANK (the
+    # first _KM_K usable rows ordered by vec_id), not a literal
+    # `vec_id < K` cutoff, so non-contiguous or non-0-based ids still
+    # yield exactly K centroids (ADVICE r8) — mirrored by the oracle's
+    # row_number() <= K in the `cent` CTE.
     rows = (
         _usable_rows(emb, "vec_id", "embedding", dim=_KM_DIM)
-        .filter(F.col("__id") < _KM_K)
         .orderBy("__id")
+        .limit(_KM_K)
         .collect()
     )
+    if len(rows) != _KM_K:
+        raise ValueError(
+            f"kmeans_assign_step: expected {_KM_K} usable centroid rows, "
+            f"got {len(rows)} — embeddings table too small or degenerate"
+        )
     cents = np.stack([np.asarray(r["__v"], dtype=np.float64) for r in rows])
     return lloyd_step(emb, cents).orderBy("cluster_id", "dim")
 
@@ -1736,9 +1745,9 @@ WITH e AS (
     AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
     AND isfinite(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))),
 cent AS (
-  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
-         {_KM_UNIT.format(v='v')} AS c
-  FROM e WHERE vec_id < {_KM_K}),
+  SELECT CAST(rn - 1 AS INT) AS cid, {_KM_UNIT.format(v='v')} AS c
+  FROM (SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) AS rn FROM e)
+  WHERE rn <= {_KM_K}),
 sims AS (
   SELECT e.vec_id, cent.cid,
          list_dot_product({_KM_UNIT.format(v='e.v')}, cent.c) AS sim

@@ -18,10 +18,26 @@ SparkSession configured for the workload:
 from __future__ import annotations
 
 import os
+import platform
 
 from pyspark.sql import SparkSession
 
 _DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+# OpenJDK 17.0.20 on AVX-512 hosts SIGSEGVs in the
+# jlong_disjoint_arraycopy_avx3 stub under sustained arraycopy load
+# (two hs_err crashes ~663s into r7 bench runs, one of which killed
+# mergeable_rollup_sustained_30s telemetry). Capping the JIT at AVX2
+# never emits the faulting avx3 stubs; the cost on this workload is
+# negligible (arraycopy is not the bottleneck anywhere in PLANS.md).
+# UseAVX is an x86-only HotSpot flag — an unrecognized -XX option
+# aborts JVM startup on aarch64 — so the pin is gated on the machine
+# arch (ADVICE r8).
+_JVM_PIN = (
+    "-XX:UseAVX=2"
+    if platform.machine().lower() in ("x86_64", "amd64", "i386", "i686")
+    else ""
+)
 
 
 def get_spark(
@@ -54,17 +70,17 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
-        # OpenJDK 17.0.20 on AVX-512 hosts SIGSEGVs in the
-        # jlong_disjoint_arraycopy_avx3 stub under sustained arraycopy
-        # load (two hs_err crashes ~663s into r7 bench runs, one of
-        # which killed mergeable_rollup_sustained_30s telemetry).
-        # Capping the JIT at AVX2 never emits the faulting avx3 stubs;
-        # the cost on this workload is negligible (arraycopy is not the
-        # bottleneck anywhere in PLANS.md).
-        .config("spark.driver.extraJavaOptions", "-XX:UseAVX=2")
-        .config("spark.executor.extraJavaOptions", "-XX:UseAVX=2")
     )
-    for k, v in (extra_conf or {}).items():
+    # the arch-gated AVX2 JIT pin (see _JVM_PIN above); caller-supplied
+    # extraJavaOptions in extra_conf are APPENDED to the pin, not
+    # silently replaced by it (ADVICE r8)
+    conf = dict(extra_conf or {})
+    for key in ("spark.driver.extraJavaOptions", "spark.executor.extraJavaOptions"):
+        caller = conf.pop(key, "")
+        merged = " ".join(x for x in (_JVM_PIN, caller) if x)
+        if merged:
+            builder = builder.config(key, merged)
+    for k, v in conf.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -87,3 +87,31 @@ def test_high_load_first_run_writes_primary(tmp_path):
     assert json.loads(line)["detail"] == "BENCH_HEADLINE.json"
     assert (tmp_path / "BENCH_HEADLINE.json").exists()
     assert not (tmp_path / "BENCH_HEADLINE.highload.json").exists()
+
+
+def test_quiet_gate_returns_immediately_below_threshold():
+    """The gate must be a no-op on a quiet box (threshold above any
+    plausible load) and stamp the load it saw at entry."""
+    import time
+
+    from bench import _wait_for_quiet
+
+    t0 = time.monotonic()
+    out = _wait_for_quiet(threshold=1e9)
+    assert time.monotonic() - t0 < 1.0
+    assert out["quiet_gate_wait_sec"] < 1.0
+    assert out["quiet_gate_load_at_entry"] >= 0.0
+
+
+def test_quiet_gate_wait_is_bounded():
+    """A box that never quiets must not stall the bench: the wait is
+    capped at max_wait (probed here with a sub-second cap)."""
+    import time
+
+    from bench import _wait_for_quiet
+
+    t0 = time.monotonic()
+    out = _wait_for_quiet(threshold=-1.0, max_wait=0.3, poll=0.1)
+    elapsed = time.monotonic() - t0
+    assert elapsed < 2.0
+    assert out["quiet_gate_wait_sec"] >= 0.3

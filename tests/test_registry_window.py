@@ -44,13 +44,18 @@ SIBLINGS = {
     # round-8 rotation (VERDICT r7 #6)
     "rolling_minmax_rank": ["rolling_percentile"],
     "ngram_jaccard_pairs": ["minhash_lsh_pairs", "dedup_exact"],
+    # round-9 rotation (VERDICT r8 #4)
+    "front_month_select": ["contract_chain_select", "top1_min_value"],
+    "q10_returned_revenue": ["q3_shipping_priority"],
 }
 
 # rotated INTO the window — operator families the window never
 # exercised (r6: gapfill+interpolation, decorrelated EXISTS/NOT
 # EXISTS; r7: distributed BM25 retrieval, episode-reset first-touch
 # attribution; r8: CDC full-outer fingerprint diff, interval-interval
-# overlap join); every promotion carried a CI value-oracle beforehand
+# overlap join; r9: the oracled single Lloyd's iteration, asymmetric
+# containment dedup); every promotion carried a CI value-oracle
+# beforehand
 PROMOTED = (
     "ohlc_gapless_interp",
     "q21_waiting_supplier",
@@ -58,6 +63,8 @@ PROMOTED = (
     "attribution_first_touch",
     "snapshot_diff",
     "overlap_hot_hours",
+    "kmeans_assign_step",
+    "containment_pairs",
 )
 
 
