@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gapless_deribit_clickhouse_spark.core.tables import load_table
+from gapless_deribit_clickhouse_spark.core.barrier import BARRIER_STORAGE
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -434,7 +435,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # whose shuffle partials merge in nondeterministic order, and a
     # 1-ulp wobble on the exact-equality boundary row silently returns
     # zero rows
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=False, storageLevel=BARRIER_STORAGE)
     top = revenue.agg(F.max("total_revenue").alias("max_revenue"))
     sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (

@@ -42,6 +42,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from gapless_deribit_clickhouse_spark.core.barrier import BARRIER_STORAGE
 
 
 def _tag_sides(
@@ -173,7 +174,7 @@ def asof_join(
         "__pf", F.last("__payload", ignorenulls=True).over(w)
     )
     if single_pass:
-        filled = filled.localCheckpoint(eager=False)
+        filled = filled.localCheckpoint(eager=False, storageLevel=BARRIER_STORAGE)
 
     # --- cross-bucket carry (metadata-scale) ---
     # Per-bucket reduction over the windowed output: the bucket's last
@@ -306,7 +307,7 @@ def _asof_nearest(
         .withColumn("__pf", F.last("__payload", ignorenulls=True).over(wf))
     )
     if single_pass:
-        filled = filled.localCheckpoint(eager=False)
+        filled = filled.localCheckpoint(eager=False, storageLevel=BARRIER_STORAGE)
 
     # --- cross-bucket carries (metadata-scale, one reduction) ---
     # Final backward payload of the bucket = the last row's running

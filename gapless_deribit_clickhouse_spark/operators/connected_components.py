@@ -34,6 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructField, StructType
+from gapless_deribit_clickhouse_spark.core.barrier import BARRIER_STORAGE
 
 
 def _round(edges: DataFrame) -> DataFrame:
@@ -107,7 +108,7 @@ def connected_components(
     )
 
     def materialize(e: DataFrame) -> tuple[DataFrame, tuple]:
-        e = e.localCheckpoint(eager=False)  # truncate lineage; the
+        e = e.localCheckpoint(eager=False, storageLevel=BARRIER_STORAGE)  # truncate lineage; the
         sig = e.agg(  # signature action below materializes it
             F.count(F.lit(1)).alias("n"), F.bit_xor(F.xxhash64("u", "v")).alias("h")
         ).first()

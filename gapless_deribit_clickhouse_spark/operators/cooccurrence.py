@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from gapless_deribit_clickhouse_spark.core.barrier import BARRIER_STORAGE
 
 
 def cooccurrence_stats(
@@ -49,7 +50,7 @@ def cooccurrence_stats(
     g = (
         df.select(F.col(group_col).alias("g"), F.col(item_col).alias("item"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=BARRIER_STORAGE)
     )
     item_counts = g.groupBy("item").agg(F.count(F.lit(1)).alias("n"))
     n_groups = g.select(

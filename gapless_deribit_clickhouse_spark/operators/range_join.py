@@ -37,6 +37,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from gapless_deribit_clickhouse_spark.core.barrier import BARRIER_STORAGE
 
 # Level cap for multi-resolution mode: bucket width at level L is
 # bucket_seconds << L, so even a 60 s base covers ~2,000 years of span
@@ -160,7 +161,7 @@ def _interval_join_ml(
         # materializes the left side once.
         left = left.withColumn(
             "__lid", F.monotonically_increasing_id()
-        ).localCheckpoint(eager=False)
+        ).localCheckpoint(eager=False, storageLevel=BARRIER_STORAGE)
     rb, s_name, e_name = _dedup_right(left, right, start_col, end_col, on)
 
     span_cells = F.greatest(

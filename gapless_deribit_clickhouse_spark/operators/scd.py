@@ -21,6 +21,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from gapless_deribit_clickhouse_spark.core.barrier import BARRIER_STORAGE
 
 
 def scd2_history(
@@ -140,7 +141,7 @@ def point_in_time_join(
         )
         .drop("__horizon")
     )
-    closed = closed.localCheckpoint(eager=False)
+    closed = closed.localCheckpoint(eager=False, storageLevel=BARRIER_STORAGE)
     if bucket_seconds == "auto":
         bucket_seconds = _auto_bucket_seconds(closed, valid_from, "__end")
     return interval_join(

@@ -55,6 +55,7 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from gapless_deribit_clickhouse_spark.core.barrier import BARRIER_STORAGE
 
 
 def _mg_partition(m: int, key: str):
@@ -125,7 +126,7 @@ def frequent_keys_exact(
             _mg_partition(counters, key_col),
             schema=f"{key_col} {key_type}, _cnt long",
         )
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=BARRIER_STORAGE)
     )
     cands = summary.filter(F.col("_cnt").isNull()).select(key_col).distinct()
     total = summary.agg(F.sum("_cnt").alias("_total"))

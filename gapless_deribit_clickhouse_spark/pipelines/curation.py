@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from gapless_deribit_clickhouse_spark.core.partitioning import ensure_parallelism
 from gapless_deribit_clickhouse_spark.pipelines.text_dedup import normalized_text, shingles
+from gapless_deribit_clickhouse_spark.core.barrier import BARRIER_STORAGE
 from gapless_deribit_clickhouse_spark.pipelines.text_stats import (
     lang_exprs,
     quality_exprs,
@@ -166,7 +167,7 @@ def build_training_set(
         ).select(id_col),
         id_col,
         "semi",
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=False, storageLevel=BARRIER_STORAGE)
     deduped = near_dedup_corpus(
         survivors, text_col=text_col, id_col=id_col, threshold=dedup_threshold
     )
@@ -177,7 +178,7 @@ def build_training_set(
     chunks = chunk_documents(
         deduped, id_col=id_col, text_col=text_col,
         max_tokens=max_tokens, overlap=overlap,
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=False, storageLevel=BARRIER_STORAGE)
     packed = pack_sequences(
         chunks, id_col="chunk_uid", text_col="chunk_text",
         max_tokens=max_tokens, num_shards=num_shards,
@@ -222,7 +223,7 @@ def quality_gate(
     # materialized ppl values: re-executing the lm plan would both
     # double its cost and re-merge avg partials in a different order,
     # and the median-boundary document sits on an exact-equality edge
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=False, storageLevel=BARRIER_STORAGE)
     med = lm.agg(F.expr("percentile(ppl, 0.5D)").alias("median_ppl"))
     return (
         q.join(lm, id_col)

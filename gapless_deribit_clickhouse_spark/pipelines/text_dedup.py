@@ -27,6 +27,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from gapless_deribit_clickhouse_spark.core.partitioning import ensure_parallelism
+from gapless_deribit_clickhouse_spark.core.barrier import BARRIER_STORAGE
 
 
 def normalized_text(col: Column) -> Column:
@@ -455,9 +456,7 @@ def minhash_lsh_pairs(
     # lazy localCheckpoint barrier Catalyst executes the projection
     # once per consumer (VERDICT r7 #3: the re-tokenization between
     # the sig and verify branches was the training_set floor)
-    harr = _hashed_shingles(df, text_col, id_col, n, base_hash).localCheckpoint(
-        eager=False
-    )
+    harr = _hashed_shingles(df, text_col, id_col, n, base_hash).localCheckpoint(eager=False, storageLevel=BARRIER_STORAGE)
     sig = _signatures_from_hashed(harr, num_hashes)
     banded = _banded(sig, num_hashes, bands)
     cand = (
@@ -560,7 +559,7 @@ def simhash_near_pairs(
     aggregation — the corpus-scale cost of the operator — executes
     once per side. The checkpoint is one long per document,
     metadata-scale."""
-    sig = simhash64(df, text_col, id_col, base_hash).localCheckpoint(eager=False)
+    sig = simhash64(df, text_col, id_col, base_hash).localCheckpoint(eager=False, storageLevel=BARRIER_STORAGE)
     chunks = F.array(*[
         F.shiftright(F.col("simhash"), c * 15).bitwiseAND(F.lit(0x7FFF)).alias(f"c{c}")
         for c in range(4)
@@ -625,7 +624,7 @@ def near_dedup_corpus(
     winners = exact_dedup(df, text_col=text_col, id_col=id_col, keep="min").select(
         id_col
     )
-    survivors = df.join(winners, id_col, "semi").localCheckpoint(eager=False)
+    survivors = df.join(winners, id_col, "semi").localCheckpoint(eager=False, storageLevel=BARRIER_STORAGE)
     pairs = minhash_lsh_pairs(
         survivors,
         text_col=text_col,
@@ -689,7 +688,7 @@ def incremental_dedup(
     # join (without the cut, the whole within-batch chain re-executes)
     batch = near_dedup_corpus(
         new_df, text_col, id_col, n, threshold, num_hashes, bands, base_hash
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=False, storageLevel=BARRIER_STORAGE)
 
     # (2) exact tier vs corpus: anti-join on the normalized digest
     # (temp column name dodges any real column on the caller's input —
@@ -701,7 +700,7 @@ def incremental_dedup(
     corpus_hashes = corpus_df.select(digest.alias(h)).distinct()
     batch = batch.withColumn(h, digest).join(
         corpus_hashes, h, "left_anti"
-    ).drop(h).localCheckpoint(eager=False)
+    ).drop(h).localCheckpoint(eager=False, storageLevel=BARRIER_STORAGE)
 
     # (3) near tier vs corpus: band-bucket equi-join between batch and
     # corpus signatures, then exact-Jaccard verification on the
@@ -714,12 +713,10 @@ def incremental_dedup(
     # executor-local storage of the hashed arrays for half the map
     # passes — the same trade ``survivors`` above already makes for
     # the batch text itself.
-    harr_new = _hashed_shingles(batch, text_col, id_col, n, base_hash).localCheckpoint(
-        eager=False
-    )
+    harr_new = _hashed_shingles(batch, text_col, id_col, n, base_hash).localCheckpoint(eager=False, storageLevel=BARRIER_STORAGE)
     harr_corp = _hashed_shingles(
         corpus_df, text_col, id_col, n, base_hash
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=False, storageLevel=BARRIER_STORAGE)
     sig_new = _signatures_from_hashed(harr_new, num_hashes)
     sig_corp = _signatures_from_hashed(harr_corp, num_hashes)
     cand = (
@@ -902,7 +899,7 @@ def incremental_dedup_indexed(
 
     batch = near_dedup_corpus(
         new_df, text_col, id_col, n, threshold, num_hashes, bands, base_hash
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=False, storageLevel=BARRIER_STORAGE)
 
     h = "__h"
     while h in batch.columns:
@@ -915,7 +912,7 @@ def incremental_dedup_indexed(
         batch.withColumn(h, digest)
         .join(corpus_hashes, h, "left_anti")
         .drop(h)
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=BARRIER_STORAGE)
     )
 
     sig_new = minhash_signatures(batch, text_col, id_col, n, num_hashes, base_hash)

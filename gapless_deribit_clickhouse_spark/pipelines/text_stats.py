@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from gapless_deribit_clickhouse_spark.core.partitioning import ensure_parallelism
 from gapless_deribit_clickhouse_spark.pipelines.text_dedup import normalized_text
+from gapless_deribit_clickhouse_spark.core.barrier import BARRIER_STORAGE
 
 # Tiny stop-word markers per language for the n-gram/function-word
 # heuristic language ID (the classic stopword-profile approach).
@@ -445,7 +446,7 @@ def bigram_lm_score(
         # join); the lazy localCheckpoint cuts the lineage so the
         # tokenize+explode prefix scans the corpus once, not once per
         # consumer (the curation-flagship pattern)
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=BARRIER_STORAGE)
     )
     c2 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
     c1 = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))

@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from gapless_deribit_clickhouse_spark.core.barrier import BARRIER_STORAGE
 from gapless_deribit_clickhouse_spark.pipelines.text_dedup import (
     append_dedup_index,
     incremental_dedup_indexed,
@@ -61,7 +62,7 @@ def stream_dedup_ingest(
             return
         kept = incremental_dedup_indexed(
             batch_df, index_path, text_col, id_col
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=True, storageLevel=BARRIER_STORAGE)
         (
             kept.withColumn("batch_id", F.lit(batch_id))
             .write.mode("overwrite")

@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from gapless_deribit_clickhouse_spark.core.barrier import BARRIER_STORAGE
 from gapless_deribit_clickhouse_spark.operators.merge_rollup import (
     finalize_rollup,
     merge_rollup,
@@ -82,7 +83,7 @@ def rollup_state_sink(
         part = partial_rollup(batch_df, keys, value_col)
         prev = _latest_version_before(spark, state_path, batch_id)
         states = [part] if prev is None else [prev, part]
-        merged = merge_rollup(states, keys).localCheckpoint(eager=True)
+        merged = merge_rollup(states, keys).localCheckpoint(eager=True, storageLevel=BARRIER_STORAGE)
         (
             merged.withColumn("batch_id", F.lit(batch_id))
             .write.mode("overwrite")

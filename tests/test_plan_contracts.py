@@ -36,6 +36,9 @@ REQUIRED_PYTHON = {
     "training_set_chunks",  # same flagship, pack columns projected out
     "kmeans_assign_step",  # the shared Arrow assign kernel (update
     # half is relational; assignment is _assign_table by design)
+    "egarch_loglik",  # the exact _neg_loglik sequential kernel the
+    # optimizer evaluates, one applyInPandas crossing per group —
+    # the crossing IS the thing the DuckDB recursive oracle checks
 }
 # dup_clusters consumes the LSH stage too, but its connected-components
 # local tier executes during construction on small graphs, so the
