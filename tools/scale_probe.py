@@ -42,6 +42,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
+from gapless_deribit_clickhouse_spark.core.barrier import BARRIER_STORAGE
 from gapless_deribit_clickhouse_spark.core.session import get_spark
 
 BASE = "/root/testdata/sf0.1"
@@ -264,6 +265,19 @@ NOTES = {
         "batch-side shingle/hash work and the batch x corpus "
         "candidate set grow linearly; the steady-state (fixed-batch) "
         "shape is the append curve below, which is ~flat"
+    ),
+    "incremental_dedup_indexed": (
+        "batch growth, same argument: the factor table grows the "
+        "BATCH f x alongside the index (batch is 40% of the corpus "
+        "at every factor), so per-batch work tracks the batch; the "
+        "fixed-batch steady state is the append curve below — "
+        "per-batch cost ~flat while recompute grows"
+    ),
+    "twap_vwap": (
+        "scan growth: per-bucket weighted aggregation over the "
+        "amplified events; time-disjoint copies multiply the bucket "
+        "count f x, so work tracks input (the sub-second x1 cell is "
+        "overhead-dominated)"
     ),
     "near_dedup_docs": (
         "answer growth: re-runs exact tier + LSH pairs + connected "
@@ -770,7 +784,9 @@ def _probe_append_curve(spark, scratch) -> dict:
     out["build_s"] = round(time.perf_counter() - t0, 2)
     for b in batches:
         t0 = time.perf_counter()
-        kept = incremental_dedup_indexed(b, idx).localCheckpoint(eager=True)
+        kept = incremental_dedup_indexed(b, idx).localCheckpoint(
+            eager=True, storageLevel=BARRIER_STORAGE
+        )
         _noop(kept)
         out["indexed_query"].append(round(time.perf_counter() - t0, 2))
         t0 = time.perf_counter()
@@ -834,10 +850,10 @@ def _probe_training_stages(spark, qs) -> dict[str, float]:
         curate_corpus(docs, lang="en", min_quality=0.3).select("doc_id"),
         "doc_id",
         "semi",
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=False, storageLevel=BARRIER_STORAGE)
     t("curate + semi-join", survivors.count)
     winners = exact_dedup(survivors, keep="min").select("doc_id")
-    sv2 = survivors.join(winners, "doc_id", "semi").localCheckpoint(eager=False)
+    sv2 = survivors.join(winners, "doc_id", "semi").localCheckpoint(eager=False, storageLevel=BARRIER_STORAGE)
     t("exact-dedup tier", sv2.count)
     pairs = minhash_lsh_pairs(
         sv2, threshold=0.8, num_hashes=None, bands=None
@@ -852,7 +868,7 @@ def _probe_training_stages(spark, qs) -> dict[str, float]:
     t("loser anti-join", deduped.count)
     chunks = chunk_documents(
         deduped, id_col="doc_id", text_col="text", max_tokens=128, overlap=16
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=False, storageLevel=BARRIER_STORAGE)
     t("chunking", chunks.count)
     packed = pack_sequences(
         chunks, id_col="chunk_uid", text_col="chunk_text",
@@ -975,7 +991,7 @@ def _report(
         f"(per-copy token salting / per-copy sign-flipped vectors, so\n"
         f"copies of a document are NOT near-duplicates of each other\n"
         f"and the true dup/neighbor structure grows linearly). local[32],\n"
-        f"load_avg_1m at start: {load1}. `xN` columns are seconds;\n"
+        f"load_avg_1m at start: {load1}. `xN` columns are seconds\n(min of 2 timed runs after a per-cell warm-up, leftover\ncheckpoint blocks released between cells);\n"
         f"`growth` is t({hi}x)/t({lo}x) against an input ratio of\n"
         f"{amp:.0f} — growth well under the input ratio means fixed\n"
         f"per-job overhead still dominates at this scale; growth near\n"
