@@ -322,6 +322,42 @@ NOTES = {
 }
 
 
+def _amplify_events(spark, factor: int, out: str, shift_days: int) -> None:
+    """Shared events amplifier: copy c shifts ``c * shift_days`` days
+    into the future and moves event_id into a per-copy namespace
+    (c * 10^12 — large power of 10, so the small moduli the trades
+    view derives from event_id keep their structure up to a per-copy
+    rotation). user_id / event_type stay: series KEYS are shared,
+    series CONTENT is disjoint (or contiguous) in time depending on
+    the shift. One definition serves both the analytics tier
+    (3650-day TIME-DISJOINT copies) and the gapfill tier (30-day
+    CONTIGUOUS copies), so the two probes can never drift apart in
+    table shape (r9 self-review)."""
+    from gapless_deribit_clickhouse_spark.core.tables import load_table
+
+    copies = F.explode(F.sequence(F.lit(0), F.lit(factor - 1))).alias("__c")
+    ev = load_table(spark, BASE, "events")
+    (
+        ev.select("*", copies)
+        .select(
+            (F.col("event_id") + F.col("__c").cast("long") * F.lit(10**12)).alias(
+                "event_id"
+            ),
+            (
+                F.col("ts")
+                + F.make_interval(days=F.col("__c") * F.lit(shift_days))
+            ).alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        )
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(os.path.join(out, "events.parquet"))
+    )
+
+
 def amplify(spark, factor: int, scratch: str) -> str:
     """Build a synthetic sf-dir with documents/embeddings amplified
     ``factor``x; every other table is symlinked from sf0.1."""
@@ -395,37 +431,12 @@ def amplify(spark, factor: int, scratch: str) -> str:
         .parquet(os.path.join(out, "embeddings.parquet"))
     )
 
-    # events amplification for the analytics tier: copy c is shifted
-    # c * 3650 days into the future (copies are TIME-DISJOINT, so a
-    # 7-day rolling lookback, a 15-min as-of window, or a session gap
-    # never crosses copies — the true answer grows linearly, the
-    # analytics analogue of token salting) and event_id moves into a
-    # per-copy namespace (c * 10^12 — large power of 10, so the small
-    # moduli the trades view derives from event_id keep their
-    # structure up to a per-copy rotation). user_id / event_type stay:
-    # series KEYS are shared, series CONTENT is disjoint in time.
-    from gapless_deribit_clickhouse_spark.core.tables import load_table
-
-    ev = load_table(spark, BASE, "events")
-    (
-        ev.select("*", copies)
-        .select(
-            (F.col("event_id") + F.col("__c").cast("long") * F.lit(10**12)).alias(
-                "event_id"
-            ),
-            (
-                F.col("ts")
-                + F.make_interval(days=F.col("__c") * F.lit(3650))
-            ).alias("ts"),
-            "user_id",
-            "event_type",
-            "value",
-            "props",
-        )
-        .repartition(32)
-        .write.mode("overwrite")
-        .parquet(os.path.join(out, "events.parquet"))
-    )
+    # events amplification for the analytics tier: TIME-DISJOINT
+    # copies (c * 3650-day shifts), so a 7-day rolling lookback, a
+    # 15-min as-of window, or a session gap never crosses copies and
+    # the true answer grows linearly — the analytics analogue of
+    # token salting (shared shape: _amplify_events).
+    _amplify_events(spark, factor, out, shift_days=3650)
 
     # orders amplification for the CDC tier: snapshot_diff derives its
     # two snapshots from orders keys, so the probed input must grow
@@ -471,28 +482,7 @@ def amplify_gapfill(spark, factor: int, scratch: str) -> str:
     other tables are symlinked."""
     out = os.path.join(scratch, f"gf{factor}")
     os.makedirs(out, exist_ok=True)
-    copies = F.explode(F.sequence(F.lit(0), F.lit(factor - 1))).alias("__c")
-    from gapless_deribit_clickhouse_spark.core.tables import load_table
-
-    ev = load_table(spark, BASE, "events")
-    (
-        ev.select("*", copies)
-        .select(
-            (F.col("event_id") + F.col("__c").cast("long") * F.lit(10**12)).alias(
-                "event_id"
-            ),
-            (F.col("ts") + F.make_interval(days=F.col("__c") * F.lit(30))).alias(
-                "ts"
-            ),
-            "user_id",
-            "event_type",
-            "value",
-            "props",
-        )
-        .repartition(32)
-        .write.mode("overwrite")
-        .parquet(os.path.join(out, "events.parquet"))
-    )
+    _amplify_events(spark, factor, out, shift_days=30)
     for t in (
         "region", "nation", "customer", "supplier", "part", "lineitem",
         "orders", "documents", "embeddings",
@@ -507,19 +497,7 @@ def _probe_gapfill(qs, spark, factors, results, scratch) -> None:
     """Gapfill family rows (VERDICT r8 #3) on the contiguous-shift
     amplification; same per-(op, factor) warm-up rule as ``_probe``."""
     dirs = {f: amplify_gapfill(spark, f, scratch) for f in factors}
-    for name in PROBES_GAPFILL:
-        fn = qs[name]
-        results[name] = {}
-        for f in factors:
-            _release_leftovers(spark)
-            fn(spark, dirs[f]).write.format("noop").mode("overwrite").save()
-            best = float("inf")
-            for _ in range(2):
-                t0 = time.perf_counter()
-                fn(spark, dirs[f]).write.format("noop").mode("overwrite").save()
-                best = min(best, time.perf_counter() - t0)
-            results[name][f] = round(best, 3)
-        print(f"done {name}: {results[name]}", file=sys.stderr)
+    _probe(qs, spark, dirs, factors, results, names=PROBES_GAPFILL)
 
 
 def _probe_snapshot_density(spark, dirs, hi) -> dict[str, float]:
@@ -902,8 +880,8 @@ def _release_leftovers(spark) -> None:
         it.next().unpersist(False)
 
 
-def _probe(qs, spark, dirs, factors, results) -> None:
-    for name in PROBES + PROBES_ANALYTICS:
+def _probe(qs, spark, dirs, factors, results, names=None) -> None:
+    for name in (PROBES + PROBES_ANALYTICS) if names is None else names:
         fn = qs[name]
         results[name] = {}
         for f in factors:
