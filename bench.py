@@ -68,10 +68,65 @@ from gapless_deribit_clickhouse_spark.core.session import get_spark
 # artifact divert — one constant so the gate always waits for exactly
 # the bar the divert labels against (r9 self-review)
 LOAD_THRESHOLD = 2.0
+# 5-min-average bar for the pre-run quiet gate only (VERDICT r9 #2:
+# the r9 run started 75 s after a load-5.85 episode — the 1m average
+# had recovered but the box hadn't; 3.0 on the 5m average catches
+# that tail without waiting out every long-settled backlog)
+LOAD_THRESHOLD_5M = 3.0
 
 # every oracle-checked query except the iterative model fit
 # (egarch_params: minutes-long MLE, not a throughput query)
 EXCLUDE = {"egarch_params"}
+
+# --- host-normalization calibration (VERDICT r9 #1) -------------------
+#
+# Three pinned queries with round-invariant plans (a pruned top-N
+# scan, the conditional-agg flagship, the window dedup) are timed with
+# the standard min-of-2 protocol immediately after warm-up AND again
+# after the last timed entry. Their totals against the committed
+# quiet-box reference below give ``calibration_ratio`` — a
+# cross-round TOTAL comparison divides by the ratio instead of
+# re-litigating box state from sidecars and worktree controls.
+CALIBRATION = ["scan_topn", "q1_pricing_summary", "dedup_latest"]
+# committed reference: sum of min-of-2 seconds for CALIBRATION at
+# sf0.1, measured on the round-10 box quiet (median of 3 trials at
+# load_1m 1.4 / load_5m 1.1: 1.205 / 1.034 / 0.972); only meaningful
+# at the same scale factor, so the ratio is stamped null at any other
+# sf
+CALIBRATION_REF_SF = 0.1
+CALIBRATION_REF_SEC = 1.034
+
+
+def _calibrate(spark, qs, sf_dir: str) -> float | None:
+    """Sum of min-of-2 wall seconds over the pinned CALIBRATION set
+    (None if the registry no longer carries all three — a renamed
+    calibration query makes the ratio meaningless, not zero)."""
+    if any(name not in qs for name in CALIBRATION):
+        return None
+    total = 0.0
+    for name in CALIBRATION:
+        t, _ = _timed_runs(spark, lambda n=name: _run(qs[n], spark, sf_dir))
+        total += t
+    return total
+
+
+def _calibration_stamp(
+    first: float | None, last: float | None, sf: float | None
+) -> dict:
+    """Conditions-dict entry: both calibration totals plus the ratio
+    of their mean to the committed reference (ratio > 1 = this box ran
+    slower than the reference box; divide a cross-round TOTAL by it)."""
+    stamp = {
+        "queries": CALIBRATION,
+        "first_sec": round(first, 3) if first is not None else None,
+        "last_sec": round(last, 3) if last is not None else None,
+        "reference_sec": CALIBRATION_REF_SEC,
+        "reference_sf": CALIBRATION_REF_SF,
+        "ratio": None,
+    }
+    if first is not None and last is not None and sf == CALIBRATION_REF_SF:
+        stamp["ratio"] = round((first + last) / 2.0 / CALIBRATION_REF_SEC, 3)
+    return stamp
 
 # stable ordering: flagship analytics first, then LLM-pipeline tier,
 # then the write path (new in r4)
@@ -751,31 +806,60 @@ def _streaming_bench(
 
 
 def _wait_for_quiet(
-    threshold: float = LOAD_THRESHOLD, max_wait: float = 600.0, poll: float = 15.0
+    threshold: float = LOAD_THRESHOLD,
+    threshold_5m: float = LOAD_THRESHOLD_5M,
+    max_wait: float = 600.0,
+    poll: float = 15.0,
 ) -> dict[str, float]:
     """Bounded quiet-box gate (VERDICT r8 next #2): the official
     BENCH_rN was a high-load sidecar divert two rounds running (r7
     103.8s @ load 6.06, r8 119.7s @ 6.09), which read as a +15%
     regression while the quiet series improved. Before starting the
-    JVM, poll load_avg_1m and wait — bounded at ``max_wait`` — for it
-    to drop below the existing 2.0 divert threshold. The wait itself
-    is recorded in the conditions stamp (``quiet_gate_wait_sec`` +
-    the load seen at entry), so a run that still starts loaded shows
-    a LOGGED bounded wait rather than a silent one."""
+    JVM, poll the load averages and wait — bounded at ``max_wait`` —
+    for BOTH the 1-min average to drop below the 2.0 divert threshold
+    AND the 5-min average below ``threshold_5m`` (VERDICT r9 #2: the
+    official r9 run started 75 s after a load-5.85 episode — 1m had
+    recovered but the box was still digesting, and the run paid ~17%;
+    the 5-min average is the signal that sees that tail). The wait is
+    recorded in the conditions stamp (``quiet_gate_wait_sec`` + both
+    loads seen at entry), so a run that still starts loaded shows a
+    LOGGED bounded wait rather than a silent one. A wait in progress
+    prints one notice line to stdout (ADVICE r9: fd 2 is already
+    captured by then, so a silent 600 s gate looks hung)."""
     try:
-        load0 = os.getloadavg()[0]
+        load0_1m, load0_5m, _ = os.getloadavg()
     except OSError:
-        return {}
+        # platforms without getloadavg get a stamped no-wait dict, not
+        # {} — consumers index quiet_gate_wait_sec unconditionally
+        return {"quiet_gate_wait_sec": 0.0}
     t0 = time.monotonic()
-    load = load0
-    while load > threshold and (time.monotonic() - t0) < max_wait:
+    l1, l5 = load0_1m, load0_5m
+    notified = False
+    while (l1 > threshold or l5 > threshold_5m) and (
+        time.monotonic() - t0
+    ) < max_wait:
+        if not notified:
+            print(
+                json.dumps(
+                    {
+                        "bench_sidecar": "quiet_gate",
+                        "waiting_for": f"load_1m<{threshold} and load_5m<{threshold_5m}",
+                        "load_1m": round(l1, 2),
+                        "load_5m": round(l5, 2),
+                        "max_wait_sec": max_wait,
+                    }
+                ),
+                flush=True,
+            )
+            notified = True
         time.sleep(poll)
         try:
-            load = os.getloadavg()[0]
+            l1, l5, _ = os.getloadavg()
         except OSError:
             break
     return {
-        "quiet_gate_load_at_entry": round(load0, 2),
+        "quiet_gate_load_at_entry": round(load0_1m, 2),
+        "quiet_gate_load5m_at_entry": round(load0_5m, 2),
         "quiet_gate_wait_sec": round(time.monotonic() - t0, 1),
     }
 
@@ -909,6 +993,9 @@ def main() -> None:
     for name in names:
         _run(qs[name], spark, sf_dir)
 
+    # calibration pass #1: right after warm-up, before any timed entry
+    cal_first = _calibrate(spark, qs, sf_dir)
+
     timings: dict[str, float] = {}
     telemetry: dict[str, dict[str, float]] = {}
     for name in names:
@@ -928,6 +1015,12 @@ def main() -> None:
         timings[name] = round(t, 4)
         if delta is not None:
             telemetry[name] = delta
+
+    # calibration pass #2: after the last timed batch entry, so the
+    # first/last pair brackets the whole measured section; the stamp
+    # lands in the conditions dict the headline + telemetry both carry
+    cal_last = _calibrate(spark, qs, sf_dir)
+    conditions["calibration"] = _calibration_stamp(cal_first, cal_last, sf)
 
     # sketch tier: value_percentiles' docstring names approx_percentile
     # as the 100 TB path (map-side-mergeable t-digest analogue of

@@ -810,6 +810,10 @@ FROM path ORDER BY event_type, step
 # --- EGARCH log-likelihood at FIXED params: the optimizer's objective
 # function under a full cross-engine oracle (VERDICT r8 #5) ---
 _LL_MU, _LL_OMEGA, _LL_ALPHA, _LL_GAMMA, _LL_BETA = 0.05, -0.1, 0.15, -0.05, 0.92
+# second parameter point PAST the stationarity guard (VERDICT r9 #5):
+# sum|beta| >= 0.999 short-circuits _neg_loglik to 1e12 — the oracle
+# must reproduce the guard branch, not just the smooth recursion
+_LL_BETA_GUARD = 0.9995
 
 
 def egarch_loglik_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -821,7 +825,12 @@ def egarch_loglik_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     Gaussian log-density fold is the same sequential shape as
     ``egarch_forecast_path`` and gets the same ``WITH RECURSIVE``
     DuckDB twin, so the only unoracled EGARCH arithmetic left is the
-    argmin search itself."""
+    argmin search itself.
+
+    Two parameter points per group (one Arrow crossing): ``smooth``
+    walks the full recursion; ``guard`` sits past the ``sum|beta| >=
+    0.999`` stationarity guard, pinning the early-return branch
+    (1e12) cross-engine as well (VERDICT r9 #5)."""
     from gapless_deribit_clickhouse_spark.features.egarch import loglik_by_group
 
     inputs = egarch_inputs_q(spark, sf_dir)
@@ -830,8 +839,11 @@ def egarch_loglik_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys=["event_type"],
         order_col="idx",
         value_col="r100",
-        theta=(_LL_MU, _LL_OMEGA, _LL_ALPHA, _LL_GAMMA, _LL_BETA),
-    ).orderBy("event_type")
+        param_sets={
+            "smooth": (_LL_MU, _LL_OMEGA, _LL_ALPHA, _LL_GAMMA, _LL_BETA),
+            "guard": (_LL_MU, _LL_OMEGA, _LL_ALPHA, _LL_GAMMA, _LL_BETA_GUARD),
+        },
+    ).orderBy("event_type", "param_set")
 
 
 # the clamped log-variance step, inlined at each use site (a single
@@ -869,9 +881,20 @@ rec(event_type, idx, z, lh, acc) AS (
          r.acc + ln(2 * pi()) + {_LL_VAL} + i.e * i.e / exp({_LL_VAL})
   FROM rec r JOIN inputs i
     ON i.event_type = r.event_type AND i.idx = r.idx + 1)
-SELECT event_type, 0.5 * max_by(acc, idx) AS neg_loglik,
+SELECT event_type, 'smooth' AS param_set,
+       0.5 * max_by(acc, idx) AS neg_loglik,
        CAST(count(*) - 1 AS BIGINT) AS n_obs
-FROM rec GROUP BY event_type ORDER BY event_type
+FROM rec GROUP BY event_type
+UNION ALL
+-- the stationarity-guard branch (VERDICT r9 #5): at beta = 0.9995 the
+-- kernel short-circuits BEFORE the recursion (sum|beta| >= 0.999 ->
+-- 1e12, features/egarch.py:_neg_loglik); the CASE keeps the guard
+-- formula in the oracle rather than a bare constant
+SELECT event_type, 'guard' AS param_set,
+       CASE WHEN abs({_LL_BETA_GUARD}) >= 0.999 THEN 1e12 END AS neg_loglik,
+       CAST(count(*) AS BIGINT) AS n_obs
+FROM inputs GROUP BY event_type
+ORDER BY event_type, param_set
 """
 
 

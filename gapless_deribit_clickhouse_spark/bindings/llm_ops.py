@@ -1745,7 +1745,13 @@ WITH e AS (
     AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
     AND isfinite(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))),
 cent AS (
-  SELECT CAST(rn - 1 AS INT) AS cid, {_KM_UNIT.format(v='v')} AS c
+  -- fail-loud parity with the Spark side's ValueError (ADVICE r9):
+  -- fewer than K usable rows must error here too, not silently run
+  -- with a smaller centroid set than the engine under test refused
+  SELECT CASE WHEN (SELECT count(*) FROM e) < {_KM_K}
+              THEN error('kmeans_assign_step: fewer than K usable centroid rows')
+              ELSE CAST(rn - 1 AS INT) END AS cid,
+         {_KM_UNIT.format(v='v')} AS c
   FROM (SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) AS rn FROM e)
   WHERE rn <= {_KM_K}),
 sims AS (

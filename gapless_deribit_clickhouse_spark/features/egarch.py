@@ -352,8 +352,11 @@ def egarch_params_by_group(df, keys, ts_col="ts", value_col="iv_close", p=1, q=1
     """Distributed per-group fit via applyInPandas: one row per group
     with params + fit stats; groups failing the guards yield an
     ``error`` string instead of aborting the job."""
+    # key field types come from the input schema (ADVICE r9 flagged
+    # the `{k} string` DDL in loglik_by_group; same contract here)
+    in_types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     out_schema = (
-        ", ".join(f"{k} string" for k in keys)
+        ", ".join(f"{k} {in_types[k]}" for k in keys)
         + ", mu double, omega double, alpha1 double, gamma1 double, beta1 double"
         + ", loglik double, aic double, bic double, n_obs long, scale_factor double, error string"
     )
@@ -396,6 +399,7 @@ def loglik_by_group(
     theta=(0.0, -0.1, 0.15, -0.05, 0.92),
     p=1,
     q=1,
+    param_sets=None,
 ):
     """Per-group EGARCH NEGATIVE log-likelihood at FIXED literal params
     (mu, omega, alpha1..q, gamma1..q, beta1..p) — the optimizer's
@@ -403,6 +407,14 @@ def loglik_by_group(
     ``applyInPandas`` batch (the same Arrow crossing the MLE fit pays,
     calling the exact ``_neg_loglik`` kernel the Nelder-Mead loop
     evaluates thousands of times).
+
+    ``param_sets`` — an optional ``{label: theta}`` mapping — evaluates
+    several parameter points in ONE crossing (one sort, N kernel
+    calls) and adds a ``param_set`` column with one row per (group,
+    label). The binding uses it to pin BOTH kernel branches
+    cross-engine (VERDICT r9 #5): a smooth point and a point past the
+    ``sum|beta| >= 0.999`` stationarity guard, whose early-return 1e12
+    the oracle must reproduce.
 
     This exists to move the rows-only boundary of the EGARCH tier
     (VERDICT r8 #5): the variance recursion + Gaussian log-likelihood
@@ -413,18 +425,38 @@ def loglik_by_group(
     Nelder-Mead argmin search itself (reference egarch.py:118-189
     delegates the same objective to scipy; this engine's recursion is
     at features/egarch.py:_neg_loglik)."""
+    sets = (
+        {label: np.asarray(t, dtype=np.float64) for label, t in param_sets.items()}
+        if param_sets is not None
+        else None
+    )
     theta_arr = np.asarray(theta, dtype=np.float64)
+    # key field types come from the input schema (ADVICE r9: the old
+    # `{k} string` DDL broke callers grouping by non-string keys)
+    in_types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     out_schema = (
-        ", ".join(f"{k} string" for k in keys)
+        ", ".join(f"{k} {in_types[k]}" for k in keys)
+        + (", param_set string" if sets is not None else "")
         + ", neg_loglik double, n_obs long"
     )
 
     def eval_one(pdf: pd.DataFrame) -> pd.DataFrame:
         base = {k: pdf[k].iloc[0] for k in keys}
         pdf = pdf.sort_values(order_col)
-        nll = _neg_loglik(theta_arr, pdf[value_col].to_numpy(), p, q)
-        return pd.DataFrame(
-            [base | {"neg_loglik": float(nll), "n_obs": len(pdf)}]
-        )
+        r = pdf[value_col].to_numpy()
+        if sets is None:
+            nll = _neg_loglik(theta_arr, r, p, q)
+            rows = [base | {"neg_loglik": float(nll), "n_obs": len(pdf)}]
+        else:
+            rows = [
+                base
+                | {
+                    "param_set": label,
+                    "neg_loglik": float(_neg_loglik(t, r, p, q)),
+                    "n_obs": len(pdf),
+                }
+                for label, t in sets.items()
+            ]
+        return pd.DataFrame(rows)
 
     return df.groupBy(*keys).applyInPandas(eval_one, schema=out_schema)

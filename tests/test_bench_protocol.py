@@ -90,17 +90,18 @@ def test_high_load_first_run_writes_primary(tmp_path):
 
 
 def test_quiet_gate_returns_immediately_below_threshold():
-    """The gate must be a no-op on a quiet box (threshold above any
-    plausible load) and stamp the load it saw at entry."""
+    """The gate must be a no-op on a quiet box (thresholds above any
+    plausible load) and stamp both loads it saw at entry."""
     import time
 
     from bench import _wait_for_quiet
 
     t0 = time.monotonic()
-    out = _wait_for_quiet(threshold=1e9)
+    out = _wait_for_quiet(threshold=1e9, threshold_5m=1e9)
     assert time.monotonic() - t0 < 1.0
     assert out["quiet_gate_wait_sec"] < 1.0
     assert out["quiet_gate_load_at_entry"] >= 0.0
+    assert out["quiet_gate_load5m_at_entry"] >= 0.0
 
 
 def test_quiet_gate_wait_is_bounded():
@@ -111,7 +112,77 @@ def test_quiet_gate_wait_is_bounded():
     from bench import _wait_for_quiet
 
     t0 = time.monotonic()
-    out = _wait_for_quiet(threshold=-1.0, max_wait=0.3, poll=0.1)
+    out = _wait_for_quiet(threshold=-1.0, threshold_5m=1e9, max_wait=0.3, poll=0.1)
     elapsed = time.monotonic() - t0
     assert elapsed < 2.0
     assert out["quiet_gate_wait_sec"] >= 0.3
+
+
+def test_quiet_gate_5m_average_also_gates(capsys):
+    """VERDICT r9 #2: a recovered 1m average must not open the gate
+    while the 5m average still shows the load episode — the 5m path
+    waits (bounded) even with the 1m threshold wide open, and the
+    wait announces itself on stdout (ADVICE r9: stderr is already
+    captured by gate time, so a silent 600 s wait looks hung)."""
+    import time
+
+    from bench import _wait_for_quiet
+
+    t0 = time.monotonic()
+    out = _wait_for_quiet(threshold=1e9, threshold_5m=-1.0, max_wait=0.3, poll=0.1)
+    assert time.monotonic() - t0 < 2.0
+    assert out["quiet_gate_wait_sec"] >= 0.3
+    notice = capsys.readouterr().out
+    assert "quiet_gate" in notice and "load_5m" in notice
+
+
+def test_quiet_gate_stamps_wait_without_getloadavg(monkeypatch):
+    """ADVICE r9: platforms without getloadavg must still get a
+    stamped dict (consumers index quiet_gate_wait_sec directly)."""
+    import os as _os
+
+    import bench
+
+    def boom():  # pragma: no cover - trivially exercised via monkeypatch
+        raise OSError("no loadavg")
+
+    monkeypatch.setattr(_os, "getloadavg", boom)
+    out = bench._wait_for_quiet()
+    assert out == {"quiet_gate_wait_sec": 0.0}
+
+
+def test_calibration_stamp_ratio_math():
+    """VERDICT r9 #1: the stamp must carry first/last totals plus the
+    mean-over-reference ratio at the reference sf — and refuse to
+    fabricate a ratio at any other sf or with a missing pass."""
+    from bench import (
+        CALIBRATION,
+        CALIBRATION_REF_SEC,
+        CALIBRATION_REF_SF,
+        HEADLINE,
+        _calibration_stamp,
+    )
+
+    # the pinned queries must stay timed headline entries (their plans
+    # are the round-invariant yardstick)
+    assert set(CALIBRATION) <= set(HEADLINE)
+
+    s = _calibration_stamp(2.0, 4.0, CALIBRATION_REF_SF)
+    assert s["first_sec"] == 2.0 and s["last_sec"] == 4.0
+    assert s["reference_sec"] == CALIBRATION_REF_SEC
+    assert s["ratio"] == round(3.0 / CALIBRATION_REF_SEC, 3)
+
+    # wrong sf -> no ratio (reference measured at sf0.1 only)
+    assert _calibration_stamp(2.0, 4.0, 0.01)["ratio"] is None
+    # a pass that could not run (registry drift) -> no ratio, no crash
+    none_stamp = _calibration_stamp(None, 4.0, CALIBRATION_REF_SF)
+    assert none_stamp["ratio"] is None and none_stamp["first_sec"] is None
+
+
+def test_calibrate_returns_none_on_registry_drift():
+    """A renamed calibration query must yield None (meaningless
+    ratio), not a partial total that silently skews normalization."""
+    from bench import _calibrate
+
+    out = _calibrate(spark=None, qs={"scan_topn": lambda *a: None}, sf_dir="x")
+    assert out is None

@@ -261,3 +261,38 @@ def test_knn_self_join_graph(spark):
         g.sort_values(key).reset_index(drop=True)
         .equals(again.sort_values(key).reset_index(drop=True))
     )
+
+
+def test_kmeans_assign_step_degenerate_input_fails_both_engines(spark, tmp_path):
+    """ADVICE r9: with fewer than K usable centroid rows the Spark
+    binding raises ValueError — the DuckDB oracle must error too, not
+    silently proceed with a smaller centroid set."""
+    import duckdb
+    import pytest as _pytest
+
+    from gapless_deribit_clickhouse_spark.bindings.llm_ops import (
+        _KM_DIM,
+        _KM_K,
+        KMEANS_ASSIGN_STEP_SQL,
+        kmeans_assign_step_q,
+    )
+
+    # K-1 usable vectors (plus one degenerate all-zero row that the
+    # usable filter drops on both engines)
+    rows = [(i, [float(i + 1)] * _KM_DIM) for i in range(_KM_K - 1)]
+    rows.append((_KM_K - 1, [0.0] * _KM_DIM))
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).write.parquet(f"{sf_dir}/embeddings.parquet")
+
+    with _pytest.raises(ValueError, match="usable centroid rows"):
+        kmeans_assign_step_q(spark, sf_dir)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet/*.parquet')"
+    )
+    with _pytest.raises(duckdb.Error, match="usable centroid rows"):
+        con.execute(KMEANS_ASSIGN_STEP_SQL).fetchall()
