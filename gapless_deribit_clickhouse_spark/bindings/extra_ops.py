@@ -867,7 +867,10 @@ lagged AS (
          row_number() OVER (PARTITION BY event_type ORDER BY bts) - 1 AS idx,
          100.0 * (ln(v) - ln(lag(v) OVER (PARTITION BY event_type ORDER BY bts))) AS r100
   FROM series),
-inputs AS (
+inputs AS MATERIALIZED (
+  -- MATERIALIZED: the recursive step joins inputs EVERY iteration;
+  -- inlined, DuckDB re-runs the events scan+window per step (26 s ->
+  -- 0.6 s at sf0.01)
   SELECT event_type, idx, r100 - ({_LL_MU}) AS e
   FROM lagged WHERE r100 IS NOT NULL),
 rec(event_type, idx, z, lh, acc) AS (
@@ -898,11 +901,191 @@ ORDER BY event_type, param_set
 """
 
 
+# --- ONE Nelder-Mead iteration at a fixed literal simplex (VERDICT
+# r9 #4): the last unchecked kernel the egarch_params MLE runs.
+# With the simplex literal the step is loop-free — stable sort by f,
+# centroid of the best n, reflect/expand/contract points, the
+# standard acceptance rule — and every f-value is the same
+# _neg_loglik recursion egarch_loglik already oracles. The default
+# simplex's beta-perturbed vertex (0.92 -> 1.032) trips the
+# sum|beta| >= 0.999 stationarity guard, so the oracle exercises the
+# early-return branch inside the sort as well. ---
+from gapless_deribit_clickhouse_spark.features.egarch import (  # noqa: E402
+    build_initial_simplex,
+)
+
+_NM_SIMPLEX = build_initial_simplex(
+    (_LL_MU, _LL_OMEGA, _LL_ALPHA, _LL_GAMMA, _LL_BETA)
+)
+
+
+def egarch_nm_step_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Nelder-Mead reflect/expand/contract/shrink decision per
+    event_type at the literal simplex seeded from the egarch_loglik
+    parameter point (features/egarch.py:nelder_mead_step_by_group;
+    the optimizer whose loop body this pins is _nelder_mead, the
+    engine's stand-in for the scipy solver the reference delegates to
+    at egarch.py:118-189)."""
+    from gapless_deribit_clickhouse_spark.features.egarch import (
+        nelder_mead_step_by_group,
+    )
+
+    inputs = egarch_inputs_q(spark, sf_dir)
+    return nelder_mead_step_by_group(
+        inputs,
+        keys=["event_type"],
+        order_col="idx",
+        value_col="r100",
+        simplex=_NM_SIMPLEX,
+    ).orderBy("event_type")
+
+
+_NM_PARAMS = ("mu", "omega", "alpha", "gamma", "beta")
+_NM_OUT = {"mu": "new_mu", "omega": "new_omega", "alpha": "new_alpha1",
+           "gamma": "new_gamma1", "beta": "new_beta1"}
+_NM_N = len(_NM_PARAMS)  # 5 params -> 6 vertices, best-n centroid = 5
+_NM_VERTS = ",\n    ".join(
+    f"({vid}, {', '.join(repr(float(c)) for c in v)})"
+    for vid, v in enumerate(_NM_SIMPLEX)
+)
+# the clamped log-variance step with params carried in the recursion
+# state (r = prior state row)
+_NM_VAL = (
+    "least(greatest(r.omega + r.alpha * (abs(r.z) - sqrt(2.0/pi()))"
+    " + r.gamma * r.z + r.beta * r.lh, -50.0), 50.0)"
+)
+_NM_CENT = ",\n         ".join(
+    f"avg(CASE WHEN rk <= {_NM_N} THEN {c} END) AS c_{c},"
+    f" max(CASE WHEN rk = {_NM_N + 1} THEN {c} END) AS w_{c}"
+    for c in _NM_PARAMS
+)
+_NM_REFLECT = ", ".join(f"2 * c_{c} - w_{c} AS {c}" for c in _NM_PARAMS)
+_NM_EXPAND = ", ".join(f"3 * c_{c} - 2 * w_{c} AS {c}" for c in _NM_PARAMS)
+_NM_CONTRACT = ", ".join(f"0.5 * c_{c} + 0.5 * w_{c} AS {c}" for c in _NM_PARAMS)
+_NM_WIDE_COORDS = ",\n         ".join(
+    f"pr.{c} AS r_{c}, pe.{c} AS e_{c}, pc.{c} AS k_{c}" for c in _NM_PARAMS
+)
+_NM_NEW_COLS = ",\n       ".join(
+    f"CASE action WHEN 'expand' THEN e_{c} WHEN 'reflect' THEN r_{c}"
+    f" WHEN 'contract' THEN k_{c} END AS {_NM_OUT[c]}"
+    for c in _NM_PARAMS
+)
+
+EGARCH_NM_STEP_SQL = f"""
+WITH RECURSIVE series AS (
+  SELECT event_type, {bucket_sql('ts', 3600)} AS bts,
+         CAST(count(*) + 1 AS DOUBLE) AS v
+  FROM events GROUP BY event_type, {bucket_sql('ts', 3600)}),
+lagged AS (
+  SELECT event_type,
+         row_number() OVER (PARTITION BY event_type ORDER BY bts) - 1 AS idx,
+         100.0 * (ln(v) - ln(lag(v) OVER (PARTITION BY event_type ORDER BY bts))) AS r100
+  FROM series),
+inputs AS MATERIALIZED (
+  -- MATERIALIZED: both recursions join inputs every iteration
+  SELECT event_type, idx, r100 FROM lagged WHERE r100 IS NOT NULL),
+verts(vid, mu, omega, alpha, gamma, beta) AS (VALUES
+    {_NM_VERTS}),
+-- f at each non-guard vertex: the egarch_loglik recursion with the
+-- vertex params carried in the recursion state
+vrec(event_type, vid, mu, omega, alpha, gamma, beta, idx, z, lh, acc) AS (
+  SELECT i.event_type, v.vid, v.mu, v.omega, v.alpha, v.gamma, v.beta,
+         min(i.idx) - 1, CAST(0.0 AS DOUBLE),
+         ln(var_pop(i.r100 - v.mu) + 1e-12), CAST(0.0 AS DOUBLE)
+  FROM inputs i CROSS JOIN verts v
+  WHERE abs(v.beta) < 0.999
+  GROUP BY i.event_type, v.vid, v.mu, v.omega, v.alpha, v.gamma, v.beta
+  UNION ALL
+  SELECT r.event_type, r.vid, r.mu, r.omega, r.alpha, r.gamma, r.beta, i.idx,
+         (i.r100 - r.mu) / exp(0.5 * {_NM_VAL}),
+         {_NM_VAL},
+         r.acc + ln(2 * pi()) + {_NM_VAL}
+           + (i.r100 - r.mu) * (i.r100 - r.mu) / exp({_NM_VAL})
+  FROM vrec r JOIN inputs i
+    ON i.event_type = r.event_type AND i.idx = r.idx + 1),
+fv AS (
+  SELECT event_type, vid, 0.5 * max_by(acc, idx) AS f
+  FROM vrec GROUP BY event_type, vid
+  UNION ALL
+  -- the stationarity-guard vertices short-circuit to 1e12 BEFORE the
+  -- recursion (features/egarch.py:_neg_loglik)
+  SELECT g.event_type, v.vid, 1e12 AS f
+  FROM (SELECT DISTINCT event_type FROM inputs) g CROSS JOIN verts v
+  WHERE abs(v.beta) >= 0.999),
+-- stable sort: numpy argsort(kind='stable') == ORDER BY f, vid
+ranked AS (
+  SELECT fv.event_type, fv.f, v.mu, v.omega, v.alpha, v.gamma, v.beta,
+         row_number() OVER (PARTITION BY fv.event_type ORDER BY fv.f, fv.vid) AS rk
+  FROM fv JOIN verts v USING (vid)),
+geom AS (
+  SELECT event_type,
+         {_NM_CENT},
+         min(f) AS f_best,
+         max(CASE WHEN rk = {_NM_N} THEN f END) AS f_second_worst,
+         max(CASE WHEN rk = {_NM_N + 1} THEN f END) AS f_worst
+  FROM ranked GROUP BY event_type),
+probes AS MATERIALIZED (
+  -- MATERIALIZED: probes embeds the ENTIRE vertex recursion (via
+  -- geom); inlined, the prec recursion would re-run vrec once per
+  -- iteration — hours, not seconds
+  SELECT event_type, 'reflect' AS plabel, {_NM_REFLECT} FROM geom
+  UNION ALL
+  SELECT event_type, 'expand' AS plabel, {_NM_EXPAND} FROM geom
+  UNION ALL
+  SELECT event_type, 'contract' AS plabel, {_NM_CONTRACT} FROM geom),
+prec(event_type, plabel, mu, omega, alpha, gamma, beta, idx, z, lh, acc) AS (
+  SELECT i.event_type, p.plabel, p.mu, p.omega, p.alpha, p.gamma, p.beta,
+         min(i.idx) - 1, CAST(0.0 AS DOUBLE),
+         ln(var_pop(i.r100 - p.mu) + 1e-12), CAST(0.0 AS DOUBLE)
+  FROM inputs i JOIN probes p ON p.event_type = i.event_type
+  WHERE abs(p.beta) < 0.999
+  GROUP BY i.event_type, p.plabel, p.mu, p.omega, p.alpha, p.gamma, p.beta
+  UNION ALL
+  SELECT r.event_type, r.plabel, r.mu, r.omega, r.alpha, r.gamma, r.beta, i.idx,
+         (i.r100 - r.mu) / exp(0.5 * {_NM_VAL}),
+         {_NM_VAL},
+         r.acc + ln(2 * pi()) + {_NM_VAL}
+           + (i.r100 - r.mu) * (i.r100 - r.mu) / exp({_NM_VAL})
+  FROM prec r JOIN inputs i
+    ON i.event_type = r.event_type AND i.idx = r.idx + 1),
+pf AS (
+  SELECT event_type, plabel, 0.5 * max_by(acc, idx) AS f
+  FROM prec GROUP BY event_type, plabel
+  UNION ALL
+  SELECT event_type, plabel, 1e12 AS f
+  FROM probes WHERE abs(beta) >= 0.999),
+wide AS (
+  SELECT g.event_type, g.f_best, g.f_second_worst, g.f_worst,
+         fr.f AS f_reflect, fe.f AS f_expand, fc.f AS f_contract,
+         {_NM_WIDE_COORDS}
+  FROM geom g
+  JOIN pf fr ON fr.event_type = g.event_type AND fr.plabel = 'reflect'
+  JOIN pf fe ON fe.event_type = g.event_type AND fe.plabel = 'expand'
+  JOIN pf fc ON fc.event_type = g.event_type AND fc.plabel = 'contract'
+  JOIN probes pr ON pr.event_type = g.event_type AND pr.plabel = 'reflect'
+  JOIN probes pe ON pe.event_type = g.event_type AND pe.plabel = 'expand'
+  JOIN probes pc ON pc.event_type = g.event_type AND pc.plabel = 'contract'),
+act AS (
+  SELECT *,
+    CASE WHEN f_reflect < f_best THEN
+           (CASE WHEN f_expand < f_reflect THEN 'expand' ELSE 'reflect' END)
+         WHEN f_reflect < f_second_worst THEN 'reflect'
+         WHEN f_contract < f_worst THEN 'contract'
+         ELSE 'shrink' END AS action
+  FROM wide)
+SELECT event_type, action, f_best, f_second_worst, f_worst,
+       f_reflect, f_expand, f_contract,
+       {_NM_NEW_COLS}
+FROM act ORDER BY event_type
+"""
+
+
 # behavioral-analytics additions (round 5), past the stable window
 LATE_BINDINGS = [
     ("egarch_inputs", egarch_inputs_q, EGARCH_INPUTS_SQL),
     ("egarch_forecast_path", egarch_forecast_path_q, EGARCH_FORECAST_PATH_SQL),
     ("egarch_loglik", egarch_loglik_q, EGARCH_LOGLIK_SQL),
+    ("egarch_nm_step", egarch_nm_step_q, EGARCH_NM_STEP_SQL),
     ("window_funnel", window_funnel_q, WINDOW_FUNNEL_SQL),
     ("sequence_count", sequence_count_q, SEQUENCE_COUNT_SQL),
     ("retention", retention_q, RETENTION_SQL),

@@ -338,6 +338,117 @@ def forecast_path(
     )
 
 
+def build_initial_simplex(x0) -> list[list[float]]:
+    """The exact simplex ``_nelder_mead`` seeds from ``x0`` (each
+    vertex perturbs one coordinate by 0.05 if zero else 0.1|x|+0.02),
+    exposed so the oracled step binding and the optimizer share one
+    construction."""
+    x0 = [float(v) for v in x0]
+    sim = [list(x0)]
+    for i in range(len(x0)):
+        x = list(x0)
+        x[i] = x[i] + (0.05 if x[i] == 0 else 0.1 * abs(x[i]) + 0.02)
+        sim.append(x)
+    return sim
+
+
+def nelder_mead_step_by_group(
+    df,
+    keys,
+    order_col="ts",
+    value_col="r100",
+    simplex=None,
+    p=1,
+    q=1,
+):
+    """ONE Nelder-Mead iteration at a FIXED literal simplex, per group
+    (VERDICT r9 #4) — the last unchecked kernel the ``egarch_params``
+    MLE runs, made loop-free so it carries a full DuckDB oracle
+    (bindings ``egarch_nm_step``): with the simplex literal, the step
+    is pure branch-y arithmetic — stable sort by f, centroid of the
+    best n, reflect/expand/contract points, and the standard
+    acceptance rule — and every f comes from the same ``_neg_loglik``
+    recursion the ``egarch_loglik`` binding already oracles (incl. the
+    ``sum|beta| >= 0.999`` guard, which the default simplex's
+    beta-perturbed vertex trips).
+
+    Returns one row per group: ``action`` ('expand' | 'reflect' |
+    'contract' | 'shrink'), the bracketing f-values, the probe-point
+    f-values (reflect/expand/contract are all evaluated — they are
+    deterministic functions of the sorted simplex, so the oracle can
+    check them unconditionally even on branches the optimizer would
+    skip), and the accepted replacement vertex (NULL on shrink, where
+    the real optimizer rescales the whole simplex instead). Branch
+    semantics mirror ``_nelder_mead``'s loop body exactly; ties in the
+    f-sort break by vertex index (numpy stable argsort == SQL ``ORDER
+    BY f, vid``)."""
+    if simplex is None:
+        simplex = build_initial_simplex(
+            np.concatenate(
+                [[0.0, -0.1], np.full(q, 0.1), np.full(q, -0.05), np.full(p, 0.8 / p)]
+            )
+        )
+    sim0 = np.asarray(simplex, dtype=np.float64)
+    n = sim0.shape[1]
+    if sim0.shape[0] != n + 1:
+        raise ConfigurationError(
+            f"simplex must have n+1={n + 1} vertices, got {sim0.shape[0]}"
+        )
+    in_types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    param_names = (
+        ["mu", "omega"]
+        + [f"alpha{j + 1}" for j in range(q)]
+        + [f"gamma{j + 1}" for j in range(q)]
+        + [f"beta{i + 1}" for i in range(p)]
+    )
+    out_schema = (
+        ", ".join(f"{k} {in_types[k]}" for k in keys)
+        + ", action string"
+        + ", f_best double, f_second_worst double, f_worst double"
+        + ", f_reflect double, f_expand double, f_contract double"
+        + ", " + ", ".join(f"new_{c} double" for c in param_names)
+    )
+
+    def step_one(pdf: pd.DataFrame) -> pd.DataFrame:
+        base = {k: pdf[k].iloc[0] for k in keys}
+        r = pdf.sort_values(order_col)[value_col].to_numpy()
+        fval = np.array([_neg_loglik(v, r, p, q) for v in sim0])
+        order = np.argsort(fval, kind="stable")
+        sim, fv = sim0[order], fval[order]
+        centroid = sim[:-1].mean(axis=0)
+        xr = centroid + (centroid - sim[-1])
+        xe = centroid + 2.0 * (centroid - sim[-1])
+        xc = centroid + 0.5 * (sim[-1] - centroid)
+        fr = _neg_loglik(xr, r, p, q)
+        fe = _neg_loglik(xe, r, p, q)
+        fc = _neg_loglik(xc, r, p, q)
+        # the exact acceptance rule from _nelder_mead's loop body
+        if fr < fv[0]:
+            action, new = ("expand", xe) if fe < fr else ("reflect", xr)
+        elif fr < fv[-2]:
+            action, new = "reflect", xr
+        elif fc < fv[-1]:
+            action, new = "contract", xc
+        else:
+            action, new = "shrink", [None] * n
+        row = base | {
+            "action": action,
+            "f_best": float(fv[0]),
+            "f_second_worst": float(fv[-2]),
+            "f_worst": float(fv[-1]),
+            "f_reflect": float(fr),
+            "f_expand": float(fe),
+            "f_contract": float(fc),
+        }
+        row |= {
+            f"new_{c}": (None if v is None else float(v))
+            for c, v in zip(param_names, new)
+        }
+        return pd.DataFrame([row])
+
+    return df.groupBy(*keys).applyInPandas(step_one, schema=out_schema)
+
+
 def iv_model_spread(iv: pd.Series, result: EgarchResult) -> pd.Series:
     """Observed IV minus model conditional vol, inner-aligned on the
     trailing window (reference egarch.py:282-310)."""
