@@ -275,6 +275,14 @@ NEW_IN_R8 = ["kmeans_assign_step", "containment_pairs"]
 # compares like-for-like; the r9 gapfill mirror-sort rework changes
 # EXISTING entries' times (ohlc_gapless_interp ~1.9x faster).
 NEW_IN_R9 = ["egarch_loglik"]
+# r10 adds one timed binding: the oracled single Nelder-Mead iteration
+# at a literal simplex (stable sort + centroid + three probe-point
+# likelihood recursions + acceptance rule — the egarch_params
+# optimizer's loop body under a full DuckDB oracle). The r9->r10 TOTAL
+# otherwise compares like-for-like, EXCEPT egarch_loglik now evaluates
+# two parameter points per group (the smooth recursion plus the
+# stationarity-guard branch) in the same single Arrow crossing.
+NEW_IN_R10 = ["egarch_nm_step"]
 NEW_IN_R4 = WRITE_BENCHES + [
     "mixture_sample",
     "semantic_dedup",
@@ -1083,6 +1091,7 @@ def main() -> None:
         "new_in_r7": NEW_IN_R7,
         "new_in_r8": NEW_IN_R8,
         "new_in_r9": NEW_IN_R9,
+        "new_in_r10": NEW_IN_R10,
     }
     here = os.path.dirname(os.path.abspath(__file__))
     out_dir = os.environ.get("SPARK_GRAFT_BENCH_OUT", here)
@@ -1111,6 +1120,7 @@ def main() -> None:
                 "new_in_r7": NEW_IN_R7,
                 "new_in_r8": NEW_IN_R8,
                 "new_in_r9": NEW_IN_R9,
+                "new_in_r10": NEW_IN_R10,
             }
         ),
         flush=True,

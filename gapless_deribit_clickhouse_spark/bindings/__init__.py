@@ -112,6 +112,16 @@ _DEMOTED = (
     "q10_returned_revenue",  # sibling: q3_shipping_priority (same
     # broadcast-dim + fact-shuffle join-agg family, same filter->join
     # ->group->topN plan shape); CI value-oracle
+    # --- round-10 rotation (VERDICT r9 #3): two near-duplicates out,
+    # two operator families the window never exercised in ---
+    "top1_min_value",  # sibling: contract_chain_select (composes the
+    # same min_by(struct) argMin pick inside its chain); the bare
+    # grouped form stays value-checked by front_month_select's CI
+    # oracle; CI value-oracle
+    "cosine_topk",  # siblings: ivf_topk (its probe stage computes the
+    # SAME brute-force cosine top-k within the selected cells — the
+    # strictly-harder composed form) + embedding_near_dup (same
+    # pairwise-cosine algebra, threshold-join form); CI value-oracle
 )
 
 # Promoted INTO the checked window at rotation (placed in the last
@@ -133,6 +143,13 @@ _DEMOTED = (
 #   (cluster, dim) reduction) and containment_pairs (asymmetric
 #   containment dedup — min-size denominator, not Jaccard); both
 #   carried CI value-oracles before promotion
+# - r10: egarch_loglik (the EGARCH objective function under a WITH
+#   RECURSIVE oracle, new in r9 and never driver-checked; now also
+#   pins the stationarity-guard branch via a second param point) and
+#   window_funnel (ClickHouse windowFunnel parity — ordered
+#   sequence-matching within a sliding event-time window, a family
+#   the window never exercised); both carried CI value-oracles before
+#   promotion
 _PROMOTED = (
     "ohlc_gapless_interp",
     "q21_waiting_supplier",
@@ -142,6 +159,8 @@ _PROMOTED = (
     "overlap_hot_hours",
     "kmeans_assign_step",
     "containment_pairs",
+    "egarch_loglik",
+    "window_funnel",
 )
 
 _dem = [b for b in ALL_BINDINGS if b[0] in _DEMOTED]

@@ -47,6 +47,9 @@ SIBLINGS = {
     # round-9 rotation (VERDICT r8 #4)
     "front_month_select": ["contract_chain_select", "top1_min_value"],
     "q10_returned_revenue": ["q3_shipping_priority"],
+    # round-10 rotation (VERDICT r9 #3)
+    "top1_min_value": ["contract_chain_select"],
+    "cosine_topk": ["ivf_topk", "embedding_near_dup"],
 }
 
 # rotated INTO the window — operator families the window never
@@ -54,7 +57,9 @@ SIBLINGS = {
 # EXISTS; r7: distributed BM25 retrieval, episode-reset first-touch
 # attribution; r8: CDC full-outer fingerprint diff, interval-interval
 # overlap join; r9: the oracled single Lloyd's iteration, asymmetric
-# containment dedup); every promotion carried a CI value-oracle
+# containment dedup; r10: the WITH RECURSIVE-oracled EGARCH objective
+# incl. its stationarity-guard branch, ClickHouse windowFunnel
+# sequence matching); every promotion carried a CI value-oracle
 # beforehand
 PROMOTED = (
     "ohlc_gapless_interp",
@@ -65,6 +70,8 @@ PROMOTED = (
     "overlap_hot_hours",
     "kmeans_assign_step",
     "containment_pairs",
+    "egarch_loglik",
+    "window_funnel",
 )
 
 
