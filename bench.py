@@ -1095,6 +1095,8 @@ def main() -> None:
     }
     here = os.path.dirname(os.path.abspath(__file__))
     out_dir = os.environ.get("SPARK_GRAFT_BENCH_OUT", here)
+    # a missing out_dir must not discard a finished run at write time
+    os.makedirs(out_dir, exist_ok=True)
     tele_path = os.path.join(out_dir, "BENCH_TELEMETRY.json")
     # a loaded-machine run must not clobber a curated quiet-machine
     # artifact in place (VERDICT r5 "What's wrong #2"): self-labeled
