@@ -1747,13 +1747,17 @@ WITH e AS (
 cent AS (
   -- fail-loud parity with the Spark side's ValueError (ADVICE r9):
   -- fewer than K usable rows must error here too, not silently run
-  -- with a smaller centroid set than the engine under test refused
-  SELECT CASE WHEN (SELECT count(*) FROM e) < {_KM_K}
-              THEN error('kmeans_assign_step: fewer than K usable centroid rows')
-              ELSE CAST(rn - 1 AS INT) END AS cid,
-         {_KM_UNIT.format(v='v')} AS c
+  -- with a smaller centroid set than the engine under test refused.
+  -- The guard is a UNION ALL branch (not a per-row CASE) so it fires
+  -- even when e is EMPTY — a per-row expression over zero rows is
+  -- never evaluated (r10 self-review)
+  SELECT CAST(rn - 1 AS INT) AS cid, {_KM_UNIT.format(v='v')} AS c
   FROM (SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) AS rn FROM e)
-  WHERE rn <= {_KM_K}),
+  WHERE rn <= {_KM_K}
+  UNION ALL
+  SELECT CAST(error('kmeans_assign_step: fewer than K usable centroid rows') AS INT),
+         NULL
+  WHERE (SELECT count(*) FROM e) < {_KM_K}),
 sims AS (
   SELECT e.vec_id, cent.cid,
          list_dot_product({_KM_UNIT.format(v='e.v')}, cent.c) AS sim

@@ -109,16 +109,24 @@ def _neg_loglik(theta: np.ndarray, r: np.ndarray, p: int, q: int) -> float:
     return -ll
 
 
+def build_initial_simplex(x0) -> list[list[float]]:
+    """The simplex ``_nelder_mead`` seeds from ``x0`` (each vertex
+    perturbs one coordinate by 0.05 if zero else 0.1|x|+0.02) — the
+    ONE construction shared by the optimizer and the oracled step
+    binding (``egarch_nm_step``), so they cannot drift apart."""
+    x0 = [float(v) for v in x0]
+    sim = [list(x0)]
+    for i in range(len(x0)):
+        x = list(x0)
+        x[i] = x[i] + (0.05 if x[i] == 0 else 0.1 * abs(x[i]) + 0.02)
+        sim.append(x)
+    return sim
+
+
 def _nelder_mead(f, x0: np.ndarray, max_iter: int = 2000, tol: float = 1e-8) -> np.ndarray:
     """Deterministic Nelder-Mead (standard reflect/expand/contract/
     shrink coefficients)."""
-    n = len(x0)
-    sim = [x0]
-    for i in range(n):
-        x = x0.copy()
-        x[i] = x[i] + (0.05 if x[i] == 0 else 0.1 * abs(x[i]) + 0.02)
-        sim.append(x)
-    sim = np.array(sim)
+    sim = np.array(build_initial_simplex(x0))
     fval = np.array([f(x) for x in sim])
     for _ in range(max_iter):
         order = np.argsort(fval, kind="stable")
@@ -338,20 +346,6 @@ def forecast_path(
     )
 
 
-def build_initial_simplex(x0) -> list[list[float]]:
-    """The exact simplex ``_nelder_mead`` seeds from ``x0`` (each
-    vertex perturbs one coordinate by 0.05 if zero else 0.1|x|+0.02),
-    exposed so the oracled step binding and the optimizer share one
-    construction."""
-    x0 = [float(v) for v in x0]
-    sim = [list(x0)]
-    for i in range(len(x0)):
-        x = list(x0)
-        x[i] = x[i] + (0.05 if x[i] == 0 else 0.1 * abs(x[i]) + 0.02)
-        sim.append(x)
-    return sim
-
-
 def nelder_mead_step_by_group(
     df,
     keys,
@@ -390,6 +384,11 @@ def nelder_mead_step_by_group(
         )
     sim0 = np.asarray(simplex, dtype=np.float64)
     n = sim0.shape[1]
+    if n != 2 + 2 * q + p:
+        raise ConfigurationError(
+            f"simplex width {n} != 2+2q+p={2 + 2 * q + p} for p={p}, q={q}"
+            " (mu, omega, alpha1..q, gamma1..q, beta1..p)"
+        )
     if sim0.shape[0] != n + 1:
         raise ConfigurationError(
             f"simplex must have n+1={n + 1} vertices, got {sim0.shape[0]}"

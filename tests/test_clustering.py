@@ -296,3 +296,15 @@ def test_kmeans_assign_step_degenerate_input_fails_both_engines(spark, tmp_path)
     )
     with _pytest.raises(duckdb.Error, match="usable centroid rows"):
         con.execute(KMEANS_ASSIGN_STEP_SQL).fetchall()
+
+    # ZERO usable rows must error too (r10 self-review: a per-row
+    # CASE guard is never evaluated over an empty relation — the
+    # guard is a UNION ALL branch precisely so this path fires)
+    con2 = duckdb.connect()
+    con2.execute(
+        f"CREATE VIEW embeddings AS SELECT vec_id, "
+        f"CAST(NULL AS DOUBLE[]) AS embedding FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet/*.parquet')"
+    )
+    with _pytest.raises(duckdb.Error, match="usable centroid rows"):
+        con2.execute(KMEANS_ASSIGN_STEP_SQL).fetchall()

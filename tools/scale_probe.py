@@ -992,7 +992,10 @@ def _report(
         )
         print(f"| {name}{tier} | {row} | {growth:.1f}x |")
     print()
-    if gate:
+    # a no-getloadavg platform returns a stamped wait-0 dict with no
+    # load keys — skip the report line rather than printing "load at
+    # entry None" (r10 self-review)
+    if gate.get("quiet_gate_load_at_entry") is not None:
         print(
             f"Quiet-box gate before the run: load at entry"
             f" {gate.get('quiet_gate_load_at_entry')}, waited"
