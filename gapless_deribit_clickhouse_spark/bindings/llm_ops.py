@@ -832,11 +832,29 @@ def diverse_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- semantic dedup (k-means + per-cluster prune) and packing ---
+_SD_K, _SD_THR, _SD_ITER, _SD_TOL, _SD_SEED = 8, 0.35, 8, 1e-6, 42
+_EMB_DIM = 64  # testdata embedding width (pinned by tests/test_demoted_bindings_oracle.py)
+_SD_MAX_CLUSTER = 4096  # semantic_dedup's max_cluster_size default
+
+
 def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup over the embeddings table: spherical k-means (k=8,
-    hash-seeded, deterministic) then per-cluster greedy cosine pruning
-    at 0.97. Iterative fit -> rows-only driver check; planted-structure
-    value pins live in tests/test_clustering.py."""
+    hash-seeded, deterministic) then per-cluster greedy cosine pruning.
+
+    FULL cross-engine value oracle since r10 (was rows-only): the fit
+    loop has a FIXED iteration budget (max_iter=8, tol early-stop), so
+    the DuckDB twin unrolls all 8 Lloyd iterations as chained CTEs
+    with a converged-freeze flag, replays the hash-seeded init, the
+    argmax-cosine assign (tie -> lowest cid), the empty-keeps-old /
+    renormalize update, the md5 chunk rule, and then walks the greedy
+    farthest-first prune as a keyed WITH RECURSIVE carrying the
+    kept-set (ids + unit vectors) in the recursion state. Threshold
+    0.35 (not the paper-typical 0.97) because the synthetic corpus's
+    max pairwise cosine is ~0.51 — at 0.97 the duplicate branch would
+    never fire and the oracle would only check the keep path; 0.35 is
+    the same bar ``embedding_near_dup`` uses, so both prune branches
+    are exercised cross-engine. Paper-threshold behavior on planted
+    near-dups stays pinned in tests/test_clustering.py."""
     from gapless_deribit_clickhouse_spark.pipelines.clustering import (
         semantic_dedup,
     )
@@ -844,8 +862,121 @@ def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return semantic_dedup(
         emb, id_col="vec_id", vec_col="embedding",
-        k=8, threshold=0.97, max_iter=8, seed=42,
+        k=_SD_K, threshold=_SD_THR, max_iter=_SD_ITER, seed=_SD_SEED,
     )
+
+
+def _sd_iter_ctes(i: int) -> str:
+    """One unrolled Lloyd iteration for the semantic_dedup oracle:
+    assign under c{i-1} (argmax dot, tie -> lowest cid — numpy argmax
+    parity), per-cluster component sums, renormalized update with
+    empty-cluster-keeps-old and zero-norm-divides-by-1 (the
+    ``_normalize_rows`` rule), max-L2 centroid shift, and the
+    converged-freeze flag that mirrors the fit loop's ``break``."""
+    p = i - 1
+    return f"""
+a{i} AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT e.vec_id, e.v, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_dot_product(e.v, c.c) DESC, c.cid) AS rk
+    FROM e CROSS JOIN c{p} c) WHERE rk = 1),
+s{i} AS (
+  SELECT cid, list(sm ORDER BY dim) AS sv FROM (
+    SELECT cid, dim, sum(x) AS sm FROM (
+      SELECT cid, generate_subscripts(v, 1) AS dim, unnest(v) AS x FROM a{i})
+    GROUP BY cid, dim) GROUP BY cid),
+craw{i} AS (
+  SELECT p.cid,
+         CASE WHEN s.cid IS NULL THEN p.c
+              ELSE list_transform(s.sv, x -> x /
+                (CASE WHEN sqrt(list_dot_product(s.sv, s.sv)) = 0 THEN 1.0
+                      ELSE sqrt(list_dot_product(s.sv, s.sv)) END))
+         END AS c
+  FROM c{p} p LEFT JOIN s{i} s USING (cid)),
+sh{i} AS (
+  SELECT max(sqrt(ss)) AS shift FROM (
+    SELECT n.cid, sum((n.x - o.x) * (n.x - o.x)) AS ss
+    FROM (SELECT cid, generate_subscripts(c,1) AS dim, unnest(c) AS x FROM craw{i}) n
+    JOIN (SELECT cid, generate_subscripts(c,1) AS dim, unnest(c) AS x FROM c{p}) o
+      USING (cid, dim)
+    GROUP BY n.cid)),
+c{i} AS MATERIALIZED (
+  SELECT p.cid, CASE WHEN (SELECT f FROM frz{p}) THEN p.c ELSE n.c END AS c
+  FROM c{p} p JOIN craw{i} n USING (cid)),
+frz{i} AS (
+  SELECT CASE WHEN (SELECT f FROM frz{p}) THEN true
+              ELSE (SELECT shift FROM sh{i}) < {_SD_TOL!r} END AS f)"""
+
+
+def _semantic_dedup_oracle_sql() -> str:
+    """The composed oracle: usable filter + unit normalization, the
+    md5-smallest-K seed rule, {_SD_ITER} unrolled Lloyd iterations,
+    final assign with centroid_sim, the chunk rule (hash_u32 %
+    nchunks; 1 chunk below the 4096 cap), and the greedy prune as a
+    keyed recursion over scan order (centroid_sim asc, vec_id asc)
+    whose state carries the kept ids + unit vectors; dup_of takes the
+    FIRST max-cosine kept doc (list_position == numpy argmax's
+    first-on-tie). Recursion-fed CTEs are MATERIALIZED — inlined,
+    DuckDB re-evaluates them per recursion iteration."""
+    iters = ",".join(_sd_iter_ctes(i) for i in range(1, _SD_ITER + 1))
+    final = f"c{_SD_ITER}"
+    sims = "list_transform(r.kvs, kv -> list_dot_product(kv, i.v))"
+    is_dup = f"len(r.kids) > 0 AND list_max({sims}) >= {_SD_THR!r}"
+    return f"""
+WITH RECURSIVE e AS MATERIALIZED (
+  SELECT vec_id, list_transform(raw, x -> x / nrm) AS v FROM (
+    SELECT vec_id, embedding::DOUBLE[] AS raw,
+           sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+    FROM embeddings
+    WHERE embedding IS NOT NULL AND len(embedding) = {_EMB_DIM})
+  WHERE nrm > 0 AND isfinite(nrm)),
+c0 AS (
+  SELECT CAST(rn - 1 AS INT) AS cid, v AS c FROM (
+    SELECT vec_id, v, row_number() OVER (
+      ORDER BY md5('{_SD_SEED}:' || CAST(vec_id AS VARCHAR)), vec_id) AS rn
+    FROM e) WHERE rn <= {_SD_K}),
+frz0 AS (SELECT false AS f),
+{iters},
+fin AS MATERIALIZED (
+  SELECT vec_id, v, cid AS cluster_id, sim AS centroid_sim FROM (
+    SELECT e.vec_id, e.v, c.cid, list_dot_product(e.v, c.c) AS sim,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_dot_product(e.v, c.c) DESC, c.cid) AS rk
+    FROM e CROSS JOIN {final} c) WHERE rk = 1),
+sz AS (SELECT cluster_id, count(*) AS s FROM fin GROUP BY cluster_id),
+pr AS MATERIALIZED (
+  SELECT *, row_number() OVER (PARTITION BY cluster_id, chunk
+                               ORDER BY centroid_sim, vec_id) AS idx
+  FROM (
+    SELECT f.vec_id, f.v, f.cluster_id, f.centroid_sim,
+           CASE WHEN z.s <= {_SD_MAX_CLUSTER} THEN 0
+                ELSE CAST(CAST(('0x' || substr(md5(CAST(f.vec_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                     % CAST(ceil(z.s / {0.75 * _SD_MAX_CLUSTER!r}) AS BIGINT) AS INT)
+           END AS chunk
+    FROM fin f JOIN sz z USING (cluster_id))),
+rec(cluster_id, chunk, idx, vec_id, centroid_sim, kept, dup_of, kids, kvs) AS (
+  SELECT cluster_id, chunk, 0, CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+         CAST(NULL AS BOOLEAN), CAST(NULL AS BIGINT),
+         CAST([] AS BIGINT[]), CAST([] AS DOUBLE[][])
+  FROM (SELECT DISTINCT cluster_id, chunk FROM pr)
+  UNION ALL
+  SELECT r.cluster_id, r.chunk, i.idx, i.vec_id, i.centroid_sim,
+         NOT ({is_dup}),
+         CASE WHEN {is_dup}
+              THEN r.kids[list_position({sims}, list_max({sims}))] END,
+         CASE WHEN NOT ({is_dup}) THEN list_append(r.kids, i.vec_id)
+              ELSE r.kids END,
+         CASE WHEN NOT ({is_dup}) THEN list_append(r.kvs, i.v)
+              ELSE r.kvs END
+  FROM rec r JOIN pr i
+    ON i.cluster_id = r.cluster_id AND i.chunk = r.chunk AND i.idx = r.idx + 1)
+SELECT vec_id, CAST(cluster_id AS INT) AS cluster_id, centroid_sim, kept, dup_of
+FROM rec WHERE idx > 0
+"""
+
+
+SEMANTIC_DEDUP_SQL = _semantic_dedup_oracle_sql()
 
 
 def training_set_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1121,7 +1252,7 @@ BINDINGS = [
     # iterative / stateful operators: no SQL oracle exists (rows-only
     # driver check, like egarch_params); value-level behavior is
     # pinned in tests/test_clustering.py and tests/test_packing.py
-    ("semantic_dedup", semantic_dedup_q, None),
+    ("semantic_dedup", semantic_dedup_q, SEMANTIC_DEDUP_SQL),
     ("sequence_packing", sequence_packing_q, None),
     ("ivf_kmeans_topk", ivf_kmeans_topk_q, None),
     ("diverse_sample", diverse_sample_q, None),
