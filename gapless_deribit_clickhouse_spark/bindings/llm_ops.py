@@ -909,22 +909,17 @@ frz{i} AS (
               ELSE (SELECT shift FROM sh{i}) < {_SD_TOL!r} END AS f)"""
 
 
-def _semantic_dedup_oracle_sql() -> str:
-    """The composed oracle: usable filter + unit normalization, the
-    md5-smallest-K seed rule, {_SD_ITER} unrolled Lloyd iterations,
-    final assign with centroid_sim, the chunk rule (hash_u32 %
-    nchunks; 1 chunk below the 4096 cap), and the greedy prune as a
-    keyed recursion over scan order (centroid_sim asc, vec_id asc)
-    whose state carries the kept ids + unit vectors; dup_of takes the
-    FIRST max-cosine kept doc (list_position == numpy argmax's
-    first-on-tie). Recursion-fed CTEs are MATERIALIZED — inlined,
-    DuckDB re-evaluates them per recursion iteration."""
+def _kmeans_fit_block() -> str:
+    """The shared spherical-k-means fit chain every clustering oracle
+    builds on (semantic_dedup, diverse_sample, ivf_kmeans_topk — all
+    three bindings fit with k=8, seed=42, max_iter=8, tol=1e-6, so the
+    fitted centroids are IDENTICAL and the SQL is one generator):
+    ``e`` (usable rows, unit-normalized), ``c0`` (md5-smallest-K
+    seeds), and the 8 unrolled Lloyd iterations ending at
+    ``c{_SD_ITER}``. Emitted as the leading CTEs of a WITH RECURSIVE
+    statement."""
     iters = ",".join(_sd_iter_ctes(i) for i in range(1, _SD_ITER + 1))
-    final = f"c{_SD_ITER}"
-    sims = "list_transform(r.kvs, kv -> list_dot_product(kv, i.v))"
-    is_dup = f"len(r.kids) > 0 AND list_max({sims}) >= {_SD_THR!r}"
-    return f"""
-WITH RECURSIVE e AS MATERIALIZED (
+    return f"""e AS MATERIALIZED (
   SELECT vec_id, list_transform(raw, x -> x / nrm) AS v FROM (
     SELECT vec_id, embedding::DOUBLE[] AS raw,
            sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
@@ -937,13 +932,29 @@ c0 AS (
       ORDER BY md5('{_SD_SEED}:' || CAST(vec_id AS VARCHAR)), vec_id) AS rn
     FROM e) WHERE rn <= {_SD_K}),
 frz0 AS (SELECT false AS f),
-{iters},
+{iters}"""
+
+
+def _semantic_dedup_oracle_sql() -> str:
+    """The composed oracle: usable filter + unit normalization, the
+    md5-smallest-K seed rule, {_SD_ITER} unrolled Lloyd iterations,
+    final assign with centroid_sim, the chunk rule (hash_u32 %
+    nchunks; 1 chunk below the 4096 cap), and the greedy prune as a
+    keyed recursion over scan order (centroid_sim asc, vec_id asc)
+    whose state carries the kept ids + unit vectors; dup_of takes the
+    FIRST max-cosine kept doc (list_position == numpy argmax's
+    first-on-tie). Recursion-fed CTEs are MATERIALIZED — inlined,
+    DuckDB re-evaluates them per recursion iteration."""
+    sims = "list_transform(r.kvs, kv -> list_dot_product(kv, i.v))"
+    is_dup = f"len(r.kids) > 0 AND list_max({sims}) >= {_SD_THR!r}"
+    return f"""
+WITH RECURSIVE {_kmeans_fit_block()},
 fin AS MATERIALIZED (
   SELECT vec_id, v, cid AS cluster_id, sim AS centroid_sim FROM (
     SELECT e.vec_id, e.v, c.cid, list_dot_product(e.v, c.c) AS sim,
            row_number() OVER (PARTITION BY e.vec_id
              ORDER BY list_dot_product(e.v, c.c) DESC, c.cid) AS rk
-    FROM e CROSS JOIN {final} c) WHERE rk = 1),
+    FROM e CROSS JOIN c{_SD_ITER} c) WHERE rk = 1),
 sz AS (SELECT cluster_id, count(*) AS s FROM fin GROUP BY cluster_id),
 pr AS MATERIALIZED (
   SELECT *, row_number() OVER (PARTITION BY cluster_id, chunk
@@ -977,6 +988,76 @@ FROM rec WHERE idx > 0
 
 
 SEMANTIC_DEDUP_SQL = _semantic_dedup_oracle_sql()
+
+
+def _diverse_sample_oracle_sql() -> str:
+    """diverse_sample = the shared fit chain -> final assign (argmax
+    dot, tie lowest cid, centroid_sim) -> sample_n_per_group's hash
+    rule (the n rows with the smallest md5(vec_id) per cluster, tie by
+    vec_id — the two-level tournament is exact by construction, so the
+    single-window form IS the oracle)."""
+    return f"""
+WITH RECURSIVE {_kmeans_fit_block()},
+fin AS (
+  SELECT vec_id, cid AS cluster_id, sim AS centroid_sim FROM (
+    SELECT e.vec_id, c.cid, list_dot_product(e.v, c.c) AS sim,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_dot_product(e.v, c.c) DESC, c.cid) AS rk
+    FROM e CROSS JOIN c{_SD_ITER} c) WHERE rk = 1)
+SELECT vec_id, CAST(cluster_id AS INT) AS cluster_id, centroid_sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY cluster_id
+    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+  FROM fin) WHERE rn <= {_DS_N}
+"""
+
+
+_DS_N = 20  # diverse_sample binding: n_per_cluster
+
+
+def _ivf_kmeans_oracle_sql() -> str:
+    """ivf_kmeans_topk = the shared fit chain -> corpus inverted lists
+    (argmax assign) -> per-query nprobe nearest centroids (dot DESC,
+    cid — numpy stable argsort parity) -> exact cosine on the probed
+    lists -> per-query top-k window (cosine DESC, vec_id). Queries are
+    the binding's vec_id < 20 slice under the probe stage's own guard
+    (non-null, contract width, positive norm)."""
+    return f"""
+WITH RECURSIVE {_kmeans_fit_block()},
+lists AS (
+  SELECT vec_id, v, cid AS cluster_id FROM (
+    SELECT e.vec_id, e.v, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_dot_product(e.v, c.c) DESC, c.cid) AS rk
+    FROM e CROSS JOIN c{_SD_ITER} c) WHERE rk = 1),
+q AS (
+  SELECT vec_id AS query_id, list_transform(raw, x -> x / nrm) AS qv FROM (
+    SELECT vec_id, embedding::DOUBLE[] AS raw,
+           sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+    FROM embeddings
+    WHERE vec_id < {_IVF_NQ} AND embedding IS NOT NULL
+      AND len(embedding) = {_EMB_DIM})
+  WHERE nrm > 0),
+probes AS (
+  SELECT query_id, qv, cid AS cluster_id FROM (
+    SELECT q.query_id, q.qv, c.cid,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY list_dot_product(q.qv, c.c) DESC, c.cid) AS rk
+    FROM q CROSS JOIN c{_SD_ITER} c) WHERE rk <= {_IVF_NPROBE}),
+scored AS (
+  SELECT p.query_id, l.vec_id,
+         list_dot_product(l.v, p.qv) AS cosine_sim
+  FROM lists l JOIN probes p USING (cluster_id))
+SELECT query_id, vec_id, CAST(rank AS INT) AS rank, cosine_sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+    ORDER BY cosine_sim DESC, vec_id) AS rank
+  FROM scored) WHERE rank <= {_IVF_K}
+"""
+
+
+_IVF_K, _IVF_NPROBE, _IVF_NQ = 10, 4, 20  # ivf_kmeans_topk binding params
+
+DIVERSE_SAMPLE_SQL = _diverse_sample_oracle_sql()
+IVF_KMEANS_TOPK_SQL = _ivf_kmeans_oracle_sql()
 
 
 def training_set_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1254,8 +1335,8 @@ BINDINGS = [
     # pinned in tests/test_clustering.py and tests/test_packing.py
     ("semantic_dedup", semantic_dedup_q, SEMANTIC_DEDUP_SQL),
     ("sequence_packing", sequence_packing_q, None),
-    ("ivf_kmeans_topk", ivf_kmeans_topk_q, None),
-    ("diverse_sample", diverse_sample_q, None),
+    ("ivf_kmeans_topk", ivf_kmeans_topk_q, IVF_KMEANS_TOPK_SQL),
+    ("diverse_sample", diverse_sample_q, DIVERSE_SAMPLE_SQL),
     ("training_set", training_set_q, None),
     # NOT rows-only: full oracles, value-checked by the CI past-window
     # compare (the driver's 50-entry window is already full)

@@ -39,6 +39,9 @@ REQUIRED_PYTHON = {
     "egarch_loglik",  # the exact _neg_loglik sequential kernel the
     # optimizer evaluates, one applyInPandas crossing per group —
     # the crossing IS the thing the DuckDB recursive oracle checks
+    "egarch_nm_step",  # one Nelder-Mead iteration: 9 _neg_loglik
+    # evaluations + the acceptance rule in the same single crossing;
+    # the DuckDB twin replays all of it (VERDICT r9 #4)
 }
 # dup_clusters consumes the LSH stage too, but its connected-components
 # local tier executes during construction on small graphs, so the
