@@ -1062,9 +1062,14 @@ IVF_KMEANS_TOPK_SQL = _ivf_kmeans_oracle_sql()
 
 def training_set_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-set assembly flagship (curate -> near
-    dedup -> chunk -> pack) on the documents table. LSH dedup + FFD
-    packing are not SQL-expressible -> rows-only driver check;
-    uniqueness/budget/determinism invariants pinned in
+    dedup -> chunk -> pack) on the documents table.
+
+    FULL cross-engine value oracle since r10 (was rows-only): the
+    chunk-projection chain was already oracled
+    (TRAINING_SET_CHUNKS_SQL); the FFD pack tier joins it via the
+    shared keyed-recursion walk (see sequence_packing), so every
+    output column — pack_id and pack_pos included — is value-checked
+    against DuckDB. Invariants additionally pinned in
     tests/test_packing.py::test_build_training_set_end_to_end."""
     from gapless_deribit_clickhouse_spark.pipelines.curation import (
         build_training_set,
@@ -1229,6 +1234,94 @@ FROM ex
 
 TRAINING_SET_CHUNKS_SQL = _training_chunks_sql()
 
+# packer params shared by the sequence_packing binding (512-token
+# budget over raw documents) and its oracle; the shard count is also
+# the training_set flagship's
+_PACK_BUDGET, _PACK_SHARDS = 512, 16
+
+
+def _ffd_rec_ctes(
+    items_cte: str, budget: int, id_sql_type: str = "BIGINT"
+) -> str:
+    """The FFD walk as a keyed recursion, from an ``{items_cte}``
+    relation (id, n_tokens, shard) to an ``assigned`` relation (id,
+    n_tokens, pack_id) — shared by the sequence_packing and
+    training_set oracles. State per shard: ``rooms`` (remaining
+    capacity of each OPEN pack, creation order — oversized packs are
+    closed at creation and never enter), ``tree_pack`` (open-pack ->
+    global pack index), ``next_pack``. First-fit = lowest-index room
+    that fits (list_position == the segment tree's prefer-left
+    descent). pack_pos is NOT carried: docs join packs in processing
+    order, so it is a post-hoc window (row_number per pack over the
+    same order)."""
+    fit = (
+        f"CASE WHEN i.n_tokens <= {budget} THEN "
+        # list_position returns 0 (not NULL) when nothing matches
+        "nullif(list_position(list_transform(r.rooms, rm -> rm >= i.n_tokens), true), 0) END"
+    )
+    return f"""ord AS MATERIALIZED (
+  SELECT *, row_number() OVER (PARTITION BY shard
+                               ORDER BY n_tokens DESC, id) AS idx
+  FROM {items_cte}),
+rec(shard, idx, id, n_tokens, pack_local, rooms, tree_pack, next_pack) AS (
+  SELECT shard, 0, CAST(NULL AS {id_sql_type}), CAST(NULL AS BIGINT),
+         CAST(NULL AS BIGINT), CAST([] AS BIGINT[]), CAST([] AS BIGINT[]),
+         CAST(0 AS BIGINT)
+  FROM (SELECT DISTINCT shard FROM ord)
+  UNION ALL
+  SELECT r.shard, i.idx, i.id, i.n_tokens,
+         CASE WHEN {fit} IS NOT NULL THEN r.tree_pack[{fit}]
+              ELSE r.next_pack END,
+         CASE WHEN {fit} IS NOT NULL THEN
+                list_transform(r.rooms, (rm, j) ->
+                  CASE WHEN j = {fit} THEN rm - i.n_tokens ELSE rm END)
+              WHEN i.n_tokens <= {budget} THEN
+                list_append(r.rooms, {budget} - i.n_tokens)
+              ELSE r.rooms END,
+         CASE WHEN {fit} IS NULL AND i.n_tokens <= {budget} THEN
+                list_append(r.tree_pack, r.next_pack)
+              ELSE r.tree_pack END,
+         r.next_pack + CASE WHEN {fit} IS NULL THEN 1 ELSE 0 END
+  FROM rec r JOIN ord i ON i.shard = r.shard AND i.idx = r.idx + 1),
+assigned AS (
+  SELECT id, n_tokens, shard * {1 << 40} + pack_local AS pack_id
+  FROM rec WHERE idx > 0)"""
+
+
+def _training_set_oracle_sql() -> str:
+    """The FULL flagship oracle (r10 — was rows-only): the proven
+    chunk-projection chain (curate -> LSH/CC dedup -> chunker, the
+    TRAINING_SET_CHUNKS_SQL statement verbatim, nested as a
+    MATERIALIZED CTE) plus the shared FFD recursion over chunk_uid
+    items at the binding's 128-token budget and the md5 shard split,
+    with pack_pos recovered post-hoc (docs join packs in processing
+    order, so it is a per-pack row_number over the same (n_tokens
+    DESC, id) order)."""
+    return f"""
+WITH RECURSIVE chunks AS MATERIALIZED ({TRAINING_SET_CHUNKS_SQL}),
+items AS MATERIALIZED (
+  SELECT chunk_uid AS id, n_tokens,
+         CAST(('0x' || substr(md5(chunk_uid), 1, 8)) AS BIGINT)
+           % {_PACK_SHARDS} AS shard
+  FROM chunks),
+{_ffd_rec_ctes('items', _TS_BUDGET, id_sql_type='VARCHAR')},
+pos AS (
+  SELECT id, n_tokens, pack_id,
+         CAST(row_number() OVER (PARTITION BY pack_id
+                                 ORDER BY n_tokens DESC, id) - 1 AS INT)
+           AS pack_pos
+  FROM assigned)
+SELECT c.chunk_uid, c.doc_id, c.chunk_idx, c.chunk_text,
+       p.pack_id, p.pack_pos, p.n_tokens,
+       p.n_tokens > {_TS_BUDGET} AS oversized
+FROM pos p JOIN chunks c ON c.chunk_uid = p.id
+"""
+
+
+_TS_BUDGET = 128  # training_set binding: max_tokens (chunker AND packer)
+
+TRAINING_SET_SQL = _training_set_oracle_sql()
+
 
 def near_dedup_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The one-call near-dedup corpus filter as its own oracle-checked
@@ -1257,9 +1350,17 @@ FROM documents d JOIN kept USING (doc_id)
 def sequence_packing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget packing of the documents table (BPE-ish token
     proxy, 512-token packs) reduced to the corpus-level packing
-    quality rollup (pack count, fill rate, oversized packs). FFD is
-    iterative -> rows-only driver check; invariants pinned in
-    tests/test_packing.py."""
+    quality rollup (pack count, fill rate, oversized packs).
+
+    FULL cross-engine value oracle since r10 (was rows-only): first-
+    fit-decreasing is sequential per shard, but the per-item decision
+    is loop-free — "first open pack with room >= size, else open one"
+    — so the DuckDB twin walks each shard's (n_tokens DESC, id ASC)
+    order as a keyed WITH RECURSIVE whose state carries the open-pack
+    rooms list (the segment tree is an ACCELERATOR for that list
+    scan, not different semantics), then replays the pack_stats
+    rollup. Requires the md5 shard split (``pack_sequences``
+    shard_hash default) so both engines partition identically."""
     from gapless_deribit_clickhouse_spark.pipelines.packing import (
         pack_sequences,
         pack_stats,
@@ -1267,9 +1368,43 @@ def sequence_packing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     packed = pack_sequences(
-        docs, id_col="doc_id", text_col="text", max_tokens=512, num_shards=16
+        docs, id_col="doc_id", text_col="text",
+        max_tokens=_PACK_BUDGET, num_shards=_PACK_SHARDS,
     )
-    return pack_stats(packed, max_tokens=512)
+    return pack_stats(packed, max_tokens=_PACK_BUDGET)
+
+
+
+def _sequence_packing_oracle_sql() -> str:
+    """items = BPE-ish token counts + the hash_u32 md5 shard split,
+    then the shared FFD recursion, then the pack_stats rollup."""
+    bpe = (
+        f"len(list_filter(regexp_split_to_array({_NORM}, '[^a-z0-9]+'), x -> len(x) > 0))"
+        f" + length(regexp_replace({_NORM}, '[a-z0-9 ]', '', 'g'))"
+    )
+    return f"""
+WITH RECURSIVE items AS MATERIALIZED (
+  SELECT doc_id AS id,
+         CAST(COALESCE({bpe}, 0) AS BIGINT) AS n_tokens,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           % {_PACK_SHARDS} AS shard
+  FROM documents),
+{_ffd_rec_ctes('items', _PACK_BUDGET)},
+per_pack AS (
+  SELECT pack_id, count(*) AS n_docs, sum(n_tokens) AS pack_tokens,
+         max(CASE WHEN n_tokens > {_PACK_BUDGET} THEN 1 ELSE 0 END) AS has_oversized
+  FROM assigned GROUP BY pack_id)
+SELECT CAST(count(*) AS BIGINT) AS n_packs,
+       CAST(sum(n_docs) AS BIGINT) AS n_docs,
+       avg(n_docs) AS avg_docs_per_pack,
+       sum(least(pack_tokens, {_PACK_BUDGET}))
+         / (count(*) * CAST({_PACK_BUDGET} AS DOUBLE)) AS fill_rate,
+       CAST(sum(has_oversized) AS BIGINT) AS oversized_packs
+FROM per_pack
+"""
+
+
+SEQUENCE_PACKING_SQL = _sequence_packing_oracle_sql()
 
 
 # --- PII scrubbing (pure regex column algebra, CI-oracle demoted) ---
@@ -1334,10 +1469,10 @@ BINDINGS = [
     # driver check, like egarch_params); value-level behavior is
     # pinned in tests/test_clustering.py and tests/test_packing.py
     ("semantic_dedup", semantic_dedup_q, SEMANTIC_DEDUP_SQL),
-    ("sequence_packing", sequence_packing_q, None),
+    ("sequence_packing", sequence_packing_q, SEQUENCE_PACKING_SQL),
     ("ivf_kmeans_topk", ivf_kmeans_topk_q, IVF_KMEANS_TOPK_SQL),
     ("diverse_sample", diverse_sample_q, DIVERSE_SAMPLE_SQL),
-    ("training_set", training_set_q, None),
+    ("training_set", training_set_q, TRAINING_SET_SQL),
     # NOT rows-only: full oracles, value-checked by the CI past-window
     # compare (the driver's 50-entry window is already full)
     ("classifier_score", classifier_score_q, CLASSIFIER_SQL),

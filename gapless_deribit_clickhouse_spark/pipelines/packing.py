@@ -100,6 +100,7 @@ def pack_sequences(
     token_col: str | None = None,
     max_tokens: int = 2048,
     num_shards: int = 64,
+    shard_hash: str = "md5",
 ) -> DataFrame:
     """Assign each document a ``pack_id`` / ``pack_pos`` under a
     ``max_tokens`` budget.
@@ -113,9 +114,28 @@ def pack_sequences(
     the pack, longest first), ``oversized`` (single doc exceeding the
     budget — its own CLOSED pack, caller decides chunking; no other
     doc ever joins it).
+
+    ``shard_hash``: the shard-assignment hash family, same convention
+    as the dedup tier's ``base_hash`` — ``md5`` (default,
+    ``sampling.hash_u32``: the repo's one canonical md5-bucket
+    derivation, bit-reproducible in the DuckDB oracles) or
+    ``xxhash64`` (the codegen'd scale path; no cross-engine twin).
+    Sharding is load balancing only — both are uniform — so the
+    choice changes WHICH pack a doc lands in but none of the packing
+    invariants (r10: the binding's oracle unrolls the FFD walk, which
+    requires reproducing the shard split engine-side).
     """
+    from gapless_deribit_clickhouse_spark.pipelines.sampling import hash_u32
+
     if max_tokens <= 0:
         raise ValueError(f"max_tokens must be positive, got {max_tokens}")
+    if shard_hash == "md5":
+        # hash_u32 is non-negative, so % == pmod
+        shard = (hash_u32(F.col(id_col)) % num_shards).cast("long")
+    elif shard_hash == "xxhash64":
+        shard = F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(num_shards))
+    else:
+        raise ValueError(f"shard_hash must be md5|xxhash64, got {shard_hash!r}")
     tokens: Column = (
         F.col(token_col).cast("long")
         if token_col
@@ -126,9 +146,7 @@ def pack_sequences(
     slim = df.select(
         F.col(id_col).alias("__id"),
         tokens.alias("n_tokens"),
-        F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(num_shards)).alias(
-            "__shard"
-        ),
+        shard.alias("__shard"),
     )
 
     budget = int(max_tokens)
