@@ -800,41 +800,55 @@ FROM ex
 """
 
 
+# --- clustering tier shared parameters: every binding below fits the
+# SAME spherical k-means (k=8, seed=42, max_iter=8, tol=1e-6), and
+# every oracle reads THESE constants — edit them here and the engine
+# call sites and the generated SQL move together (r10 self-review:
+# literals at the call sites silently desync engine and oracle) ---
+_SD_K, _SD_THR, _SD_ITER, _SD_TOL, _SD_SEED = 8, 0.35, 8, 1e-6, 42
+_EMB_DIM = 64  # testdata embedding width (pinned by tests/test_demoted_bindings_oracle.py)
+_SD_MAX_CLUSTER = 4096  # semantic_dedup's max_cluster_size default
+_DS_N = 20  # diverse_sample binding: n_per_cluster
+_IVF_K, _IVF_NPROBE, _IVF_NQ = 10, 4, 20  # ivf_kmeans_topk binding params
+
+
 def ivf_kmeans_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """True IVF with learned k-means centroids (nprobe=4 of 8 lists)
-    over the embeddings table; queries = first 20 vectors. Iterative
-    fit -> rows-only driver check; recall >= 0.8 vs brute force and
-    determinism pinned in tests/test_clustering.py."""
+    over the embeddings table; queries = first 20 vectors. FULL
+    cross-engine value oracle since r10 (was rows-only): the shared
+    unrolled-Lloyd fit chain plus inverted lists, the per-query
+    nprobe probe expansion, and the top-k window (IVF_KMEANS_TOPK_SQL);
+    recall >= 0.8 vs brute force and determinism additionally pinned
+    in tests/test_clustering.py."""
     from gapless_deribit_clickhouse_spark.pipelines.clustering import (
         ivf_kmeans_topk,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 20).select(
+    queries = emb.filter(F.col("vec_id") < _IVF_NQ).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     return ivf_kmeans_topk(
-        emb, queries, k=10, n_centroids=8, nprobe=4, seed=42
+        emb, queries, k=_IVF_K, n_centroids=_SD_K, nprobe=_IVF_NPROBE,
+        max_iter=_SD_ITER, seed=_SD_SEED,
     )
 
 
 def diverse_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-balanced sampling: 20 vectors from each of 8 semantic
-    clusters. Iterative fit -> rows-only driver check; coverage,
-    balance-under-skew and partition-determinism pinned in
-    tests/test_clustering.py."""
+    clusters. FULL cross-engine value oracle since r10 (was
+    rows-only): the shared unrolled-Lloyd fit chain plus the
+    md5-smallest-n-per-cluster sample rule (DIVERSE_SAMPLE_SQL);
+    coverage, balance-under-skew and partition-determinism
+    additionally pinned in tests/test_clustering.py."""
     from gapless_deribit_clickhouse_spark.pipelines.clustering import (
         diverse_sample,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return diverse_sample(emb, n_per_cluster=20, k=8, seed=42)
-
-
-# --- semantic dedup (k-means + per-cluster prune) and packing ---
-_SD_K, _SD_THR, _SD_ITER, _SD_TOL, _SD_SEED = 8, 0.35, 8, 1e-6, 42
-_EMB_DIM = 64  # testdata embedding width (pinned by tests/test_demoted_bindings_oracle.py)
-_SD_MAX_CLUSTER = 4096  # semantic_dedup's max_cluster_size default
+    return diverse_sample(
+        emb, n_per_cluster=_DS_N, k=_SD_K, max_iter=_SD_ITER, seed=_SD_SEED
+    )
 
 
 def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1011,9 +1025,6 @@ SELECT vec_id, CAST(cluster_id AS INT) AS cluster_id, centroid_sim FROM (
 """
 
 
-_DS_N = 20  # diverse_sample binding: n_per_cluster
-
-
 def _ivf_kmeans_oracle_sql() -> str:
     """ivf_kmeans_topk = the shared fit chain -> corpus inverted lists
     (argmax assign) -> per-query nprobe nearest centroids (dot DESC,
@@ -1036,7 +1047,11 @@ q AS (
     FROM embeddings
     WHERE vec_id < {_IVF_NQ} AND embedding IS NOT NULL
       AND len(embedding) = {_EMB_DIM})
-  WHERE nrm > 0),
+  -- NOT isnan, not isfinite: the engine's numpy guard (nrms > 0) is
+  -- False for NaN but TRUE for +inf (an inf-norm query normalizes to
+  -- the zero vector on BOTH engines); DuckDB orders NaN above zero,
+  -- so nrm > 0 alone would keep NaN-norm queries the engine drops
+  WHERE nrm > 0 AND NOT isnan(nrm)),
 probes AS (
   SELECT query_id, qv, cid AS cluster_id FROM (
     SELECT q.query_id, q.qv, c.cid,
@@ -1053,8 +1068,6 @@ SELECT query_id, vec_id, CAST(rank AS INT) AS rank, cosine_sim FROM (
   FROM scored) WHERE rank <= {_IVF_K}
 """
 
-
-_IVF_K, _IVF_NPROBE, _IVF_NQ = 10, 4, 20  # ivf_kmeans_topk binding params
 
 DIVERSE_SAMPLE_SQL = _diverse_sample_oracle_sql()
 IVF_KMEANS_TOPK_SQL = _ivf_kmeans_oracle_sql()
@@ -1078,7 +1091,7 @@ def training_set_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_training_set(
         _docs(spark, sf_dir), lang="en", min_quality=0.3,
         dedup_threshold=_DEDUP_THRESHOLD,
-        max_tokens=128, overlap=16, num_shards=16,
+        max_tokens=_TS_BUDGET, overlap=16, num_shards=_PACK_SHARDS,
     )
 
 
@@ -1236,8 +1249,12 @@ TRAINING_SET_CHUNKS_SQL = _training_chunks_sql()
 
 # packer params shared by the sequence_packing binding (512-token
 # budget over raw documents) and its oracle; the shard count is also
-# the training_set flagship's
+# the training_set flagship's, whose chunker AND packer budget is
+# _TS_BUDGET (declared here, before first use — constants after
+# their referencing functions only work until someone moves the
+# module-level *_SQL = fn() calls, r10 self-review)
 _PACK_BUDGET, _PACK_SHARDS = 512, 16
+_TS_BUDGET = 128
 
 
 def _ffd_rec_ctes(
@@ -1251,14 +1268,11 @@ def _ffd_rec_ctes(
     closed at creation and never enter), ``tree_pack`` (open-pack ->
     global pack index), ``next_pack``. First-fit = lowest-index room
     that fits (list_position == the segment tree's prefer-left
-    descent). pack_pos is NOT carried: docs join packs in processing
-    order, so it is a post-hoc window (row_number per pack over the
-    same order)."""
-    fit = (
-        f"CASE WHEN i.n_tokens <= {budget} THEN "
-        # list_position returns 0 (not NULL) when nothing matches
-        "nullif(list_position(list_transform(r.rooms, rm -> rm >= i.n_tokens), true), 0) END"
-    )
+    descent; 0 = not found, hence the nullif). The fit position is
+    computed ONCE per step in a derived table (r10 self-review: six
+    textual inlinings rescanned the rooms list six times). pack_pos
+    is NOT carried: docs join packs in processing order, so it is a
+    post-hoc window (row_number per pack over the same order)."""
     return f"""ord AS MATERIALIZED (
   SELECT *, row_number() OVER (PARTITION BY shard
                                ORDER BY n_tokens DESC, id) AS idx
@@ -1269,20 +1283,26 @@ rec(shard, idx, id, n_tokens, pack_local, rooms, tree_pack, next_pack) AS (
          CAST(0 AS BIGINT)
   FROM (SELECT DISTINCT shard FROM ord)
   UNION ALL
-  SELECT r.shard, i.idx, i.id, i.n_tokens,
-         CASE WHEN {fit} IS NOT NULL THEN r.tree_pack[{fit}]
-              ELSE r.next_pack END,
-         CASE WHEN {fit} IS NOT NULL THEN
-                list_transform(r.rooms, (rm, j) ->
-                  CASE WHEN j = {fit} THEN rm - i.n_tokens ELSE rm END)
-              WHEN i.n_tokens <= {budget} THEN
-                list_append(r.rooms, {budget} - i.n_tokens)
-              ELSE r.rooms END,
-         CASE WHEN {fit} IS NULL AND i.n_tokens <= {budget} THEN
-                list_append(r.tree_pack, r.next_pack)
-              ELSE r.tree_pack END,
-         r.next_pack + CASE WHEN {fit} IS NULL THEN 1 ELSE 0 END
-  FROM rec r JOIN ord i ON i.shard = r.shard AND i.idx = r.idx + 1),
+  SELECT shard, idx, id, n_tokens,
+         CASE WHEN fit IS NOT NULL THEN tree_pack[fit] ELSE next_pack END,
+         CASE WHEN fit IS NOT NULL THEN
+                list_transform(rooms, (rm, j) ->
+                  CASE WHEN j = fit THEN rm - n_tokens ELSE rm END)
+              WHEN n_tokens <= {budget} THEN
+                list_append(rooms, {budget} - n_tokens)
+              ELSE rooms END,
+         CASE WHEN fit IS NULL AND n_tokens <= {budget} THEN
+                list_append(tree_pack, next_pack)
+              ELSE tree_pack END,
+         next_pack + CASE WHEN fit IS NULL THEN 1 ELSE 0 END
+  FROM (
+    SELECT r.shard, i.idx, i.id, i.n_tokens,
+           r.rooms, r.tree_pack, r.next_pack,
+           CASE WHEN i.n_tokens <= {budget} THEN
+             nullif(list_position(
+               list_transform(r.rooms, rm -> rm >= i.n_tokens), true), 0)
+           END AS fit
+    FROM rec r JOIN ord i ON i.shard = r.shard AND i.idx = r.idx + 1)),
 assigned AS (
   SELECT id, n_tokens, shard * {1 << 40} + pack_local AS pack_id
   FROM rec WHERE idx > 0)"""
@@ -1317,8 +1337,6 @@ SELECT c.chunk_uid, c.doc_id, c.chunk_idx, c.chunk_text,
 FROM pos p JOIN chunks c ON c.chunk_uid = p.id
 """
 
-
-_TS_BUDGET = 128  # training_set binding: max_tokens (chunker AND packer)
 
 TRAINING_SET_SQL = _training_set_oracle_sql()
 
@@ -1465,9 +1483,11 @@ BINDINGS = [
     ("doc_fingerprint", fingerprint_q, FINGERPRINT_SQL),
     ("token_counts", token_counts_q, TOKEN_COUNTS_SQL),
     ("pii_scrub", pii_scrub_q, PII_SCRUB_SQL),
-    # iterative / stateful operators: no SQL oracle exists (rows-only
-    # driver check, like egarch_params); value-level behavior is
-    # pinned in tests/test_clustering.py and tests/test_packing.py
+    # iterative operators, ALL fully value-oracled since r10 (the
+    # fixed iteration budgets make them SQL-expressible: unrolled
+    # Lloyd CTEs + keyed recursions); value-level behavior is ALSO
+    # pinned in tests/test_clustering.py and tests/test_packing.py.
+    # egarch_params (extra_ops) is the one remaining rows-only binding.
     ("semantic_dedup", semantic_dedup_q, SEMANTIC_DEDUP_SQL),
     ("sequence_packing", sequence_packing_q, SEQUENCE_PACKING_SQL),
     ("ivf_kmeans_topk", ivf_kmeans_topk_q, IVF_KMEANS_TOPK_SQL),

@@ -125,6 +125,7 @@ def build_training_set(
     max_tokens: int = 2048,
     overlap: int = 64,
     num_shards: int = 64,
+    shard_hash: str = "md5",
 ) -> DataFrame:
     """The end-to-end training-set assembly flagship — the LLM-side
     analog of the analytics tier's ``feature_pipeline``: quality
@@ -182,6 +183,7 @@ def build_training_set(
     packed = pack_sequences(
         chunks, id_col="chunk_uid", text_col="chunk_text",
         max_tokens=max_tokens, num_shards=num_shards,
+        shard_hash=shard_hash,
     )
     return packed.join(
         chunks.select("chunk_uid", id_col, "chunk_idx", "chunk_text"),

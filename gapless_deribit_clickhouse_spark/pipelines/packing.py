@@ -123,7 +123,12 @@ def pack_sequences(
     Sharding is load balancing only — both are uniform — so the
     choice changes WHICH pack a doc lands in but none of the packing
     invariants (r10: the binding's oracle unrolls the FFD walk, which
-    requires reproducing the shard split engine-side).
+    requires reproducing the shard split engine-side). VERSION NOTE:
+    the default was xxhash64 through r9 — pack ids from earlier
+    versions differ for the same corpus; re-pack rather than mixing
+    outputs across versions. The determinism contract (same corpus ->
+    byte-identical packs across runs/partitionings) is per-version
+    and unchanged.
     """
     from gapless_deribit_clickhouse_spark.pipelines.sampling import hash_u32
 
