@@ -97,6 +97,19 @@ CALIBRATION_REF_SF = 0.1
 CALIBRATION_REF_SEC = 1.034
 
 
+def _stamp_load(telemetry: dict, name: str) -> None:
+    """Per-entry 1-min load stamp (r10: the first official r10 run
+    lost ~20 s to a mid-run co-tenant burst that rolled over a block
+    of ADJACENT registry entries with byte-identical stage telemetry
+    — the first/last calibration brackets were both quiet, so the
+    burst was only attributable by re-running. One getloadavg per
+    timed entry makes the attribution a committed artifact.)"""
+    try:
+        telemetry.setdefault(name, {})["load_1m"] = round(os.getloadavg()[0], 2)
+    except OSError:
+        pass
+
+
 def _calibrate(spark, qs, sf_dir: str) -> float | None:
     """Sum of min-of-2 wall seconds over the pinned CALIBRATION set
     (None if the registry no longer carries all three — a renamed
@@ -1013,6 +1026,7 @@ def main() -> None:
         timings[name] = round(t, 4)
         if delta is not None:
             telemetry[name] = delta
+        _stamp_load(telemetry, name)
 
     # write path (setup + one warm-up untimed, then the 2-run protocol)
     for name, setup, run_once in _write_bench_fns(spark, sf_dir, scratch):
@@ -1023,6 +1037,7 @@ def main() -> None:
         timings[name] = round(t, 4)
         if delta is not None:
             telemetry[name] = delta
+        _stamp_load(telemetry, name)
 
     # calibration pass #2: after the last timed batch entry, so the
     # first/last pair brackets the whole measured section; the stamp

@@ -186,3 +186,18 @@ def test_calibrate_returns_none_on_registry_drift():
 
     out = _calibrate(spark=None, qs={"scan_topn": lambda *a: None}, sf_dir="x")
     assert out is None
+
+
+def test_per_entry_load_stamp():
+    """r10: every timed entry gets a load_1m stamp in the telemetry
+    sidecar (mid-run co-tenant bursts hit ADJACENT registry entries
+    with byte-identical stage metrics — the stamp makes attribution a
+    committed artifact instead of a re-run)."""
+    from bench import _stamp_load
+
+    tele = {"q": {"shuffle_read_mb": 1.0}}
+    _stamp_load(tele, "q")
+    _stamp_load(tele, "fresh")
+    assert tele["q"]["load_1m"] >= 0.0
+    assert tele["q"]["shuffle_read_mb"] == 1.0  # merged, not clobbered
+    assert tele["fresh"] == {"load_1m": tele["fresh"]["load_1m"]}
