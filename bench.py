@@ -292,9 +292,15 @@ NEW_IN_R9 = ["egarch_loglik"]
 # at a literal simplex (stable sort + centroid + three probe-point
 # likelihood recursions + acceptance rule — the egarch_params
 # optimizer's loop body under a full DuckDB oracle). The r9->r10 TOTAL
-# otherwise compares like-for-like, EXCEPT egarch_loglik now evaluates
-# two parameter points per group (the smooth recursion plus the
-# stationarity-guard branch) in the same single Arrow crossing.
+# otherwise compares like-for-like, EXCEPT three existing entries
+# changed work (ADVICE r10): egarch_loglik now evaluates two parameter
+# points per group (the smooth recursion plus the stationarity-guard
+# branch) in the same single Arrow crossing; semantic_dedup's binding
+# threshold moved 0.97 -> 0.35 (different prune candidate-set and
+# kept-set sizes); and sequence_packing / training_set switched the
+# FFD shard hash xxhash64 -> md5 (per-row md5 is costlier and the
+# shard repartition distributes differently) so both engines split
+# shards identically for the new full oracle.
 NEW_IN_R10 = ["egarch_nm_step"]
 NEW_IN_R4 = WRITE_BENCHES + [
     "mixture_sample",

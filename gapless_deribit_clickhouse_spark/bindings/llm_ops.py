@@ -1049,8 +1049,10 @@ q AS (
       AND len(embedding) = {_EMB_DIM})
   -- NOT isnan, not isfinite: the engine's numpy guard (nrms > 0) is
   -- False for NaN but TRUE for +inf (an inf-norm query normalizes to
-  -- the zero vector on BOTH engines); DuckDB orders NaN above zero,
-  -- so nrm > 0 alone would keep NaN-norm queries the engine drops
+  -- the SAME NaN-bearing vector on BOTH engines: the inf component
+  -- becomes inf/inf = NaN, finite components become 0 — identical,
+  -- so parity holds); DuckDB orders NaN above zero, so nrm > 0 alone
+  -- would keep NaN-norm queries the engine drops
   WHERE nrm > 0 AND NOT isnan(nrm)),
 probes AS (
   SELECT query_id, qv, cid AS cluster_id FROM (

@@ -100,10 +100,16 @@ def test_embeddings_within_fit_sample_assumption():
     embeddings corpus stays at or under 65,536 rows. Pin that
     assumption for every sf the compares run at, like the dim=64 pin
     above: a regenerated larger corpus must fail HERE, not as an
-    inscrutable centroid mismatch."""
+    inscrutable centroid mismatch. sf0.1 is included (ADVICE r10):
+    oracle_check's docstring recommends it for determinism probes, so
+    the assumption must hold there too."""
     import duckdb as _duck
 
-    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+    for sf_dir in (
+        "/root/testdata/sf0.001",
+        "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1",
+    ):
         n = _duck.connect().execute(
             f"SELECT count(*) FROM '{sf_dir}/embeddings.parquet'"
         ).fetchone()[0]
