@@ -97,17 +97,163 @@ CALIBRATION_REF_SF = 0.1
 CALIBRATION_REF_SEC = 1.034
 
 
-def _stamp_load(telemetry: dict, name: str) -> None:
-    """Per-entry 1-min load stamp (r10: the first official r10 run
-    lost ~20 s to a mid-run co-tenant burst that rolled over a block
-    of ADJACENT registry entries with byte-identical stage telemetry
-    — the first/last calibration brackets were both quiet, so the
-    burst was only attributable by re-running. One getloadavg per
-    timed entry makes the attribution a committed artifact.)"""
+# r11 burst-aware re-timing (VERDICT r10 #1): after the main timed
+# pass, every entry whose de-confounded co-tenant stamp exceeded
+# BURST_OTHER_CORES (non-bench busy cores averaged over the entry) or
+# whose time exceeds its committed quiet envelope by ENVELOPE_FACTOR
+# is re-timed min-of-2 after a bounded re-quiet wait; the kept value
+# is the min and the original lands in the ``burst_hits`` sidecar.
+BURST_OTHER_CORES = 2.5
+ENVELOPE_FACTOR = 1.5
+
+_CLK_TCK = float(os.sysconf("SC_CLK_TCK")) if hasattr(os, "sysconf") else 100.0
+
+
+def _proc_busy_jiffies() -> float | None:
+    """Whole-box non-idle jiffies (user+nice+system+irq+softirq+steal)
+    from /proc/stat's aggregate cpu line."""
     try:
-        telemetry.setdefault(name, {})["load_1m"] = round(os.getloadavg()[0], 2)
+        with open("/proc/stat") as f:
+            vals = [float(x) for x in f.readline().split()[1:]]
+        return sum(vals) - vals[3] - vals[4]  # minus idle + iowait
+    except (OSError, IndexError, ValueError):
+        return None
+
+
+def _tree_jiffies() -> float | None:
+    """utime+stime summed over this process and every live descendant
+    (the py4j-spawned JVM and its workers are descendants), via one
+    /proc walk building a ppid closure. Exited children vanish from
+    the sum, which is fine for per-entry deltas — the JVM persists
+    across the whole bench."""
+    try:
+        me = os.getpid()
+        stats: dict[int, tuple[int, float]] = {}
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit():
+                continue
+            try:
+                with open(f"/proc/{pid}/stat") as f:
+                    raw = f.read()
+            except OSError:
+                continue  # raced a process exit
+            rest = raw.rsplit(")", 1)[1].split()
+            # after comm: [0]=state [1]=ppid ... [11]=utime [12]=stime
+            stats[int(pid)] = (int(rest[1]), float(rest[11]) + float(rest[12]))
+        keep = {me}
+        grew = True
+        while grew:
+            grew = False
+            for pid, (ppid, _) in stats.items():
+                if pid not in keep and ppid in keep:
+                    keep.add(pid)
+                    grew = True
+        return sum(stats[p][1] for p in keep if p in stats)
+    except (OSError, IndexError, ValueError):
+        return None
+
+
+def _cpu_snap() -> dict[str, float | None]:
+    """Snapshot for the de-confounded co-tenant stamp (VERDICT r10 #4
+    + ADVICE r10): wall clock, whole-box busy jiffies, and the bench
+    process tree's own jiffies. The per-entry delta separates
+    'this box was busy' into 'the bench was busy' (expected — a
+    healthy heavy query runs 32 threads) vs 'someone ELSE was busy'
+    (the burst signal the raw 1-min load average conflates away)."""
+    snap: dict[str, float | None] = {
+        "t": time.monotonic(),
+        "busy": _proc_busy_jiffies(),
+        "tree": _tree_jiffies(),
+    }
+    try:
+        snap["load1"] = os.getloadavg()[0]
     except OSError:
-        pass
+        snap["load1"] = None
+    return snap
+
+
+def _other_cores(pre: dict, post: dict) -> float | None:
+    """Non-bench busy cores averaged over the window between two
+    snapshots: ((Δbox_busy − Δbench_tree) / CLK_TCK) / Δwall.
+    ~0 on an idle box even while the bench saturates all 32 threads;
+    a mid-entry co-tenant burst shows as its actual core count."""
+    if any(pre.get(k) is None or post.get(k) is None for k in ("busy", "tree")):
+        return None
+    dt = post["t"] - pre["t"]
+    if dt <= 0:
+        return None
+    other = (post["busy"] - pre["busy"]) - (post["tree"] - pre["tree"])
+    return round(max(0.0, other / _CLK_TCK / dt), 2)
+
+
+def _stamp_entry(
+    telemetry: dict, name: str, pre: dict, post: dict
+) -> None:
+    """Per-entry machine stamps (r10: the first official r10 run lost
+    ~20 s to a mid-run co-tenant burst that rolled over a block of
+    ADJACENT registry entries with byte-identical stage telemetry —
+    the first/last calibration brackets were both quiet, so the burst
+    was only attributable by re-running).
+
+    ``load_1m`` (post-entry) is RELATIVE — the bench's own 32-thread
+    load dominates it during heavy entries (ADVICE r10), so it only
+    ranks adjacent entries. ``load_1m_pre`` (sampled before the
+    entry's timed runs) and ``other_cores`` (non-bench busy cores from
+    /proc/stat minus the bench tree's /proc/<pid>/stat time) are the
+    absolute burst signals; ``other_cores`` is what the re-time pass
+    triggers on."""
+    rec = telemetry.setdefault(name, {})
+    if pre.get("load1") is not None:
+        rec["load_1m_pre"] = round(pre["load1"], 2)
+    if post.get("load1") is not None:
+        rec["load_1m"] = round(post["load1"], 2)
+    oc = _other_cores(pre, post)
+    if oc is not None:
+        rec["other_cores"] = oc
+
+
+def _load_envelope(sf: float | None) -> dict[str, float]:
+    """Per-entry committed quiet envelope (VERDICT r10 #5):
+    ENVELOPE.json at the repo root holds the per-entry min over
+    verified-quiet committed runs at sf0.1. Empty dict (disabling the
+    envelope trigger, never the stamp trigger) when the file is
+    missing or the bench runs at a different scale factor."""
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "ENVELOPE.json"
+    )
+    try:
+        with open(path) as f:
+            env = json.load(f)
+    except (OSError, ValueError):
+        return {}
+    if env.get("sf") != sf:
+        return {}
+    return {k: float(v) for k, v in env.get("sec", {}).items()}
+
+
+def _burst_suspects(
+    timings: dict[str, float],
+    telemetry: dict,
+    envelope: dict[str, float],
+) -> dict[str, str]:
+    """Entries whose kept timing is not trustworthy: over the quiet
+    envelope by ENVELOPE_FACTOR, or stamped with an over-bar co-tenant
+    burst while ALSO over the envelope at all (a burst that didn't
+    slow the entry needs no re-time; an entry with no envelope row —
+    a new binding — re-times on the stamp alone)."""
+    out: dict[str, str] = {}
+    for name, t in timings.items():
+        env = envelope.get(name)
+        stamp = telemetry.get(name, {}).get("other_cores")
+        if env is not None and t > ENVELOPE_FACTOR * env:
+            out[name] = "envelope"
+        elif (
+            stamp is not None
+            and stamp > BURST_OTHER_CORES
+            and (env is None or t > env)
+        ):
+            out[name] = "stamp"
+    return out
 
 
 def _calibrate(spark, qs, sf_dir: str) -> float | None:
@@ -1025,29 +1171,76 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     telemetry: dict[str, dict[str, float]] = {}
+    runners: dict[str, object] = {}  # kept for the burst re-time pass
     for name in names:
-        t, delta = _timed_runs(
-            spark, lambda n=name: _run(qs[n], spark, sf_dir)
-        )
+        runner = lambda n=name: _run(qs[n], spark, sf_dir)  # noqa: E731
+        runners[name] = runner
+        pre = _cpu_snap()
+        t, delta = _timed_runs(spark, runner)
+        post = _cpu_snap()
         timings[name] = round(t, 4)
         if delta is not None:
             telemetry[name] = delta
-        _stamp_load(telemetry, name)
+        _stamp_entry(telemetry, name, pre, post)
 
     # write path (setup + one warm-up untimed, then the 2-run protocol)
     for name, setup, run_once in _write_bench_fns(spark, sf_dir, scratch):
         if setup is not None:
             setup()
         run_once()
+        runners[name] = run_once
+        pre = _cpu_snap()
         t, delta = _timed_runs(spark, run_once)
+        post = _cpu_snap()
         timings[name] = round(t, 4)
         if delta is not None:
             telemetry[name] = delta
-        _stamp_load(telemetry, name)
+        _stamp_entry(telemetry, name, pre, post)
 
-    # calibration pass #2: after the last timed batch entry, so the
-    # first/last pair brackets the whole measured section; the stamp
-    # lands in the conditions dict the headline + telemetry both carry
+    # burst-aware re-timing (VERDICT r10 #1): the r10 official artifact
+    # overstated ~10 entries 2-4x because a co-tenant burst rolled
+    # through the middle of the run while both calibration brackets
+    # were quiet. Re-time every suspect (over-envelope or over-bar
+    # co-tenant stamp) min-of-2 after a bounded re-quiet wait; keep
+    # the min, record the original in the burst_hits sidecar so the
+    # published number never silently carries a burst.
+    envelope = _load_envelope(sf)
+    suspects = _burst_suspects(timings, telemetry, envelope)
+    burst_hits: dict[str, dict] = {}
+    if suspects:
+        regate = _wait_for_quiet(max_wait=300.0)
+        for name, reason in suspects.items():
+            pre = _cpu_snap()
+            t2, delta2 = _timed_runs(spark, runners[name])
+            post = _cpu_snap()
+            hit = {
+                "original_sec": timings[name],
+                "retimed_sec": round(t2, 4),
+                "reason": reason,
+                "envelope_sec": envelope.get(name),
+                "other_cores_original": telemetry.get(name, {}).get(
+                    "other_cores"
+                ),
+                "other_cores_retime": _other_cores(pre, post),
+            }
+            if t2 < timings[name]:
+                timings[name] = round(t2, 4)
+                if delta2 is not None:
+                    tele = telemetry.setdefault(name, {})
+                    tele.update(delta2)
+                _stamp_entry(telemetry, name, pre, post)
+            burst_hits[name] = hit
+        conditions["retime"] = {
+            "n": len(suspects),
+            "quiet_gate": regate,
+            "stamp_bar_other_cores": BURST_OTHER_CORES,
+            "envelope_factor": ENVELOPE_FACTOR,
+        }
+
+    # calibration pass #2: after the last timed batch entry (including
+    # any re-times), so the first/last pair brackets the whole measured
+    # section; the stamp lands in the conditions dict the headline +
+    # telemetry both carry
     cal_last = _calibrate(spark, qs, sf_dir)
     conditions["calibration"] = _calibration_stamp(cal_first, cal_last, sf)
 
@@ -1098,6 +1291,12 @@ def main() -> None:
         "telemetry": telemetry,
         "timings_4dp": timings,  # full precision; headline carries 2dp
         "conditions": conditions,
+        "burst_hits": burst_hits,
+        "envelope": {
+            "n_entries": len(envelope),
+            "factor": ENVELOPE_FACTOR,
+            "stamp_bar_other_cores": BURST_OTHER_CORES,
+        },
         "streaming": streaming,
         "sketch": sketch,
         "indexed_dedup": indexed_dedup,

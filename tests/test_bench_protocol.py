@@ -188,16 +188,68 @@ def test_calibrate_returns_none_on_registry_drift():
     assert out is None
 
 
-def test_per_entry_load_stamp():
-    """r10: every timed entry gets a load_1m stamp in the telemetry
-    sidecar (mid-run co-tenant bursts hit ADJACENT registry entries
-    with byte-identical stage metrics — the stamp makes attribution a
-    committed artifact instead of a re-run)."""
-    from bench import _stamp_load
+def test_per_entry_stamp_merges_and_deconfounds():
+    """r11 (VERDICT r10 #6 + ADVICE r10): every timed entry gets
+    pre/post 1-min load stamps AND a de-confounded ``other_cores``
+    stamp (whole-box busy jiffies minus the bench process tree's own
+    jiffies) so a heavy query's own 32 threads don't read as a
+    co-tenant burst."""
+    from bench import _cpu_snap, _other_cores, _stamp_entry
 
+    pre = _cpu_snap()
+    post = _cpu_snap()
     tele = {"q": {"shuffle_read_mb": 1.0}}
-    _stamp_load(tele, "q")
-    _stamp_load(tele, "fresh")
+    _stamp_entry(tele, "q", pre, post)
+    _stamp_entry(tele, "fresh", pre, post)
     assert tele["q"]["load_1m"] >= 0.0
+    assert tele["q"]["load_1m_pre"] >= 0.0
     assert tele["q"]["shuffle_read_mb"] == 1.0  # merged, not clobbered
-    assert tele["fresh"] == {"load_1m": tele["fresh"]["load_1m"]}
+    assert "load_1m" in tele["fresh"]
+    # a zero-work window on this process: other never goes negative
+    oc = _other_cores(pre, post)
+    assert oc is None or oc >= 0.0
+
+
+def test_other_cores_separates_bench_from_cotenant():
+    """The de-confound math itself: 100 busy jiffies on the box, 80 of
+    them ours, over 1 s at CLK_TCK=100 -> 0.2 non-bench cores; and the
+    bench's own work alone stamps ~0 (clamped, never negative)."""
+    import bench as b
+
+    mk = lambda t, busy, tree: {"t": t, "busy": busy, "tree": tree}  # noqa: E731
+    assert b._other_cores(mk(0.0, 0.0, 0.0), mk(1.0, 100.0, 80.0)) == round(
+        20.0 / b._CLK_TCK, 2
+    )
+    assert b._other_cores(mk(0.0, 0.0, 0.0), mk(1.0, 100.0, 120.0)) == 0.0
+    assert b._other_cores(mk(0.0, None, 0.0), mk(1.0, 100.0, 80.0)) is None
+
+
+def test_burst_suspects_triggers():
+    """r11 (VERDICT r10 #1): re-time on over-envelope (>1.5x the
+    committed quiet time), on an over-bar co-tenant stamp only when
+    the entry ALSO ran over its envelope, and on the stamp alone for
+    entries with no envelope row (new bindings)."""
+    from bench import _burst_suspects
+
+    env = {"a": 1.0, "b": 1.0, "c": 1.0}
+    tele = {
+        "a": {"other_cores": 0.1},   # quiet but 2x envelope
+        "b": {"other_cores": 9.0},   # burst stamp, time over envelope
+        "c": {"other_cores": 9.0},   # burst stamp but time AT envelope
+        "new": {"other_cores": 9.0}, # no envelope row -> stamp alone
+    }
+    out = _burst_suspects(
+        {"a": 2.0, "b": 1.2, "c": 0.9, "new": 0.5}, tele, env
+    )
+    assert out == {"a": "envelope", "b": "stamp", "new": "stamp"}
+
+
+def test_envelope_ignored_at_other_sf(tmp_path):
+    """ENVELOPE.json is sf-pinned: at any other scale factor the
+    envelope trigger is disabled (empty dict), never misapplied."""
+    from bench import _load_envelope
+
+    env = _load_envelope(0.1)
+    assert len(env) > 100 and all(v > 0 for v in env.values())
+    assert _load_envelope(0.01) == {}
+    assert _load_envelope(None) == {}
