@@ -122,6 +122,16 @@ _DEMOTED = (
     # SAME brute-force cosine top-k within the selected cells — the
     # strictly-harder composed form) + embedding_near_dup (same
     # pairwise-cosine algebra, threshold-join form); CI value-oracle
+    # --- round-11 rotation (VERDICT r10 #3): promote the flagship ---
+    "curate_corpus",  # sibling: training_set (composes the SAME
+    # curation gate as its first stage, then near-dedup + chunk +
+    # pack on top — the strictly-harder end-to-end form, fully
+    # oracled in r10); CI value-oracle
+    "egarch_loglik",  # sibling: egarch_nm_step (evaluates the SAME
+    # grouped EGARCH negative log-likelihood at FOUR simplex/probe
+    # points inside one Nelder-Mead iteration, plus sort/centroid/
+    # acceptance — the strictly-harder composed form, fully oracled
+    # in r10); CI value-oracle
 )
 
 # Promoted INTO the checked window at rotation (placed in the last
@@ -150,6 +160,15 @@ _DEMOTED = (
 #   sequence-matching within a sliding event-time window, a family
 #   the window never exercised); both carried CI value-oracles before
 #   promotion
+# - r11 (VERDICT r10 #3): training_set (the flagship curate ->
+#   near-dedup -> chunk -> pack composition, fully oracled end to end
+#   in r10 but never driver-checked) and egarch_nm_step (one full
+#   Nelder-Mead iteration at a literal simplex under a keyed WITH
+#   RECURSIVE oracle, r10-new). egarch_loglik rotates OUT to the
+#   demoted tail (nm_step evaluates the same objective at four probe
+#   points — the strictly-harder composed form) alongside
+#   curate_corpus (training_set composes the same curation gate);
+#   both keep their CI value-oracles.
 _PROMOTED = (
     "ohlc_gapless_interp",
     "q21_waiting_supplier",
@@ -159,8 +178,9 @@ _PROMOTED = (
     "overlap_hot_hours",
     "kmeans_assign_step",
     "containment_pairs",
-    "egarch_loglik",
     "window_funnel",
+    "training_set",
+    "egarch_nm_step",
 )
 
 _dem = [b for b in ALL_BINDINGS if b[0] in _DEMOTED]

@@ -50,6 +50,9 @@ SIBLINGS = {
     # round-10 rotation (VERDICT r9 #3)
     "top1_min_value": ["contract_chain_select"],
     "cosine_topk": ["ivf_topk", "embedding_near_dup"],
+    # round-11 rotation (VERDICT r10 #3)
+    "curate_corpus": ["training_set"],
+    "egarch_loglik": ["egarch_nm_step"],
 }
 
 # rotated INTO the window — operator families the window never
@@ -59,7 +62,10 @@ SIBLINGS = {
 # overlap join; r9: the oracled single Lloyd's iteration, asymmetric
 # containment dedup; r10: the WITH RECURSIVE-oracled EGARCH objective
 # incl. its stationarity-guard branch, ClickHouse windowFunnel
-# sequence matching); every promotion carried a CI value-oracle
+# sequence matching; r11: the fully-oracled training_set flagship and
+# the oracled single Nelder-Mead iteration — egarch_loglik rotated
+# back out to the tail, superseded in-window by the strictly-harder
+# egarch_nm_step); every promotion carried a CI value-oracle
 # beforehand
 PROMOTED = (
     "ohlc_gapless_interp",
@@ -70,8 +76,9 @@ PROMOTED = (
     "overlap_hot_hours",
     "kmeans_assign_step",
     "containment_pairs",
-    "egarch_loglik",
     "window_funnel",
+    "training_set",
+    "egarch_nm_step",
 )
 
 
