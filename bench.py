@@ -235,15 +235,25 @@ def _burst_suspects(
     timings: dict[str, float],
     telemetry: dict,
     envelope: dict[str, float],
+    box_ratio: float = 1.0,
 ) -> dict[str, str]:
     """Entries whose kept timing is not trustworthy: over the quiet
     envelope by ENVELOPE_FACTOR, or stamped with an over-bar co-tenant
     burst while ALSO over the envelope at all (a burst that didn't
     slow the entry needs no re-time; an entry with no envelope row —
-    a new binding — re-times on the stamp alone)."""
+    a new binding — re-times on the stamp alone).
+
+    ``box_ratio`` rescales the envelope bar for a box that is
+    legitimately slower than the envelope's reference box (the
+    calibration-first total over CALIBRATION_REF_SEC, clamped to
+    [1, 2]): without it, a quiet-but-1.3x-slower box would flag
+    dozens of healthy entries and re-time them all to no effect."""
+    ratio = min(2.0, max(1.0, box_ratio))
     out: dict[str, str] = {}
     for name, t in timings.items():
         env = envelope.get(name)
+        if env is not None:
+            env *= ratio
         stamp = telemetry.get(name, {}).get("other_cores")
         if env is not None and t > ENVELOPE_FACTOR * env:
             out[name] = "envelope"
@@ -1205,7 +1215,12 @@ def main() -> None:
     # the min, record the original in the burst_hits sidecar so the
     # published number never silently carries a burst.
     envelope = _load_envelope(sf)
-    suspects = _burst_suspects(timings, telemetry, envelope)
+    box_ratio = (
+        cal_first / CALIBRATION_REF_SEC
+        if cal_first is not None and sf == CALIBRATION_REF_SF
+        else 1.0
+    )
+    suspects = _burst_suspects(timings, telemetry, envelope, box_ratio)
     burst_hits: dict[str, dict] = {}
     if suspects:
         regate = _wait_for_quiet(max_wait=300.0)
@@ -1235,6 +1250,7 @@ def main() -> None:
             "quiet_gate": regate,
             "stamp_bar_other_cores": BURST_OTHER_CORES,
             "envelope_factor": ENVELOPE_FACTOR,
+            "box_ratio": round(min(2.0, max(1.0, box_ratio)), 3),
         }
 
     # calibration pass #2: after the last timed batch entry (including

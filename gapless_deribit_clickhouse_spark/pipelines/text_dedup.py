@@ -558,7 +558,16 @@ def simhash_near_pairs(
     without the barrier the whole tokenize+explode+15-lane vote
     aggregation — the corpus-scale cost of the operator — executes
     once per side. The checkpoint is one long per document,
-    metadata-scale."""
+    metadata-scale.
+
+    Pair dedup is a FILTER, not a ``distinct()`` (r11): a pair whose
+    signatures agree in m chunks comes out of the chunk-bucket join
+    exactly m times — once per shared chunk — and "this chunk is the
+    first zero 15-bit slice of sh_a XOR sh_b" is true for exactly one
+    of those copies. The old distinct shuffled the full candidate set
+    (the operator's only post-checkpoint exchange); the filter does
+    the same dedup with pure column algebra, and at 100 TB removes the
+    one stage whose cost grows with the candidate count."""
     sig = simhash64(df, text_col, id_col, base_hash).localCheckpoint(eager=False, storageLevel=BARRIER_STORAGE)
     chunks = F.array(*[
         F.shiftright(F.col("simhash"), c * 15).bitwiseAND(F.lit(0x7FFF)).alias(f"c{c}")
@@ -570,16 +579,23 @@ def simhash_near_pairs(
         .join(b.alias("y"), on=["chunk", "chunk_val"])
         .filter(F.col("x.id") < F.col("y.id"))
         .select(
+            F.col("chunk"),
             F.col("x.id").alias("id_a"),
             F.col("y.id").alias("id_b"),
-            F.col("x.simhash").alias("sh_a"),
-            F.col("y.simhash").alias("sh_b"),
+            F.col("x.simhash").bitwiseXOR(F.col("y.simhash")).alias("xr"),
         )
-        .distinct()
     )
-    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return cand.withColumn("hamming", ham).filter(F.col("hamming") <= max_hamming).select(
-        "id_a", "id_b", "hamming"
+    first_zero_chunk = (
+        F.when(F.expr("(xr & 32767L) = 0"), 0)
+        .when(F.expr("(shiftright(xr, 15) & 32767L) = 0"), 1)
+        .when(F.expr("(shiftright(xr, 30) & 32767L) = 0"), 2)
+        .otherwise(3)
+    )
+    return (
+        cand.filter(F.col("chunk") == first_zero_chunk)
+        .withColumn("hamming", F.bit_count(F.col("xr")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
     )
 
 

@@ -244,6 +244,22 @@ def test_burst_suspects_triggers():
     assert out == {"a": "envelope", "b": "stamp", "new": "stamp"}
 
 
+def test_burst_suspects_box_ratio_rescales_envelope():
+    """A quiet-but-slower box (calibration ratio > 1) must not flag
+    healthy entries: the envelope bar scales by the ratio, clamped to
+    [1, 2] so a garbage calibration can't disable the trigger."""
+    from bench import _burst_suspects
+
+    env = {"a": 1.0}
+    quiet = {"a": {"other_cores": 0.1}}
+    assert _burst_suspects({"a": 1.6}, quiet, env, 1.0) == {"a": "envelope"}
+    assert _burst_suspects({"a": 1.6}, quiet, env, 1.3) == {}
+    assert _burst_suspects({"a": 2.2}, quiet, env, 1.3) == {"a": "envelope"}
+    # clamp: ratio 10 behaves as 2, a faster box (0.5) as 1
+    assert _burst_suspects({"a": 3.1}, quiet, env, 10.0) == {"a": "envelope"}
+    assert _burst_suspects({"a": 1.6}, quiet, env, 0.5) == {"a": "envelope"}
+
+
 def test_envelope_ignored_at_other_sf(tmp_path):
     """ENVELOPE.json is sf-pinned: at any other scale factor the
     envelope trigger is disabled (empty dict), never misapplied."""

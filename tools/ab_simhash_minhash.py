@@ -1,0 +1,77 @@
+"""Stamped interleaved A/B: simhash_near_pairs vs minhash_lsh_pairs.
+
+VERDICT r10 #2: the committed r10 quiet bench has simhash at 2.75 s
+while the judge's min-of-3 probes measured 4.5-5.3 s on sessions where
+sibling minhash_lsh_pairs held r9 parity — either extreme
+box-sensitivity of the signature-checkpoint + chunked self-join chain
+or a real variance mode. This tool interleaves the two bindings N
+times each (alternating, same session, same sf dir), stamping each
+individual run with the de-confounded co-tenant signal
+(``other_cores`` from bench.py) so a burst cannot masquerade as
+operator variance. Output: one JSON line per run + a summary table.
+
+Usage: python tools/ab_simhash_minhash.py [sf_dir] [n_rounds]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from bench import _cpu_snap, _other_cores, _run
+from gapless_deribit_clickhouse_spark.core.session import get_spark
+
+ENTRIES = ["simhash_near_pairs", "minhash_lsh_pairs"]
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    spark = get_spark(app_name="ab_simhash")
+    spark.range(1000).count()
+    for name in ENTRIES:  # one untimed warm-up each, bench protocol
+        _run(qs[name], spark, sf_dir)
+
+    results: dict[str, list[dict]] = {name: [] for name in ENTRIES}
+    for i in range(n):
+        for name in ENTRIES:
+            pre = _cpu_snap()
+            t0 = time.perf_counter()
+            _run(qs[name], spark, sf_dir)
+            dt = time.perf_counter() - t0
+            post = _cpu_snap()
+            rec = {
+                "round": i + 1,
+                "name": name,
+                "sec": round(dt, 3),
+                "other_cores": _other_cores(pre, post),
+                "load_1m": round(os.getloadavg()[0], 2),
+            }
+            results[name].append(rec)
+            print(json.dumps(rec), flush=True)
+
+    summary = {}
+    for name, recs in results.items():
+        secs = [r["sec"] for r in recs]
+        summary[name] = {
+            "min": min(secs),
+            "median": sorted(secs)[len(secs) // 2],
+            "max": max(secs),
+            "max_other_cores": max(
+                (r["other_cores"] or 0.0) for r in recs
+            ),
+        }
+    print(json.dumps({"summary": summary, "sf_dir": sf_dir}), flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
