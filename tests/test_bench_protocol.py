@@ -258,6 +258,12 @@ def test_burst_suspects_box_ratio_rescales_envelope():
     # clamp: ratio 10 behaves as 2, a faster box (0.5) as 1
     assert _burst_suspects({"a": 3.1}, quiet, env, 10.0) == {"a": "envelope"}
     assert _burst_suspects({"a": 1.6}, quiet, env, 0.5) == {"a": "envelope"}
+    # stamp guard uses the UNSCALED envelope (r11 live test: an
+    # 8-core-stamped entry over its quiet envelope but under the
+    # ratio-scaled 1.5x bar must still re-time)
+    stamped = {"a": {"other_cores": 8.0}}
+    assert _burst_suspects({"a": 1.6}, stamped, env, 1.3) == {"a": "stamp"}
+    assert _burst_suspects({"a": 0.9}, stamped, env, 1.3) == {}
 
 
 def test_envelope_ignored_at_other_sf(tmp_path):
