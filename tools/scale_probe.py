@@ -186,8 +186,10 @@ NOTES = {
     ),
     "simhash_near_pairs": (
         "pair growth: chunk-bucket candidates grow with the planted "
-        "structure; the Hamming verify is per-candidate, behind the "
-        "checkpointed signature table (one shuffle)"
+        "structure; the Hamming verify and the first-zero-XOR-chunk "
+        "pair dedup (r11, replaced the distinct() shuffle) are "
+        "per-candidate filters behind the checkpointed signature "
+        "table (zero post-checkpoint shuffles)"
     ),
     "minhash_lsh_pairs": (
         "candidate growth: band buckets grow linearly with the "
@@ -669,7 +671,7 @@ def main() -> None:
     # same bounded wait as bench.py, BEFORE the JVM starts
     from bench import _wait_for_quiet
 
-    gate = _wait_for_quiet()
+    gate = _wait_for_quiet(notify_stream=sys.stderr)
     if gate:
         print(f"quiet gate: {gate}", file=sys.stderr)
 
