@@ -247,9 +247,10 @@ def _burst_suspects(
 
     ``box_ratio`` rescales the envelope bar for a box that is
     legitimately slower than the envelope's reference box (the
-    calibration-first total over CALIBRATION_REF_SEC, clamped to
-    [1, 2]): without it, a quiet-but-1.3x-slower box would flag
-    dozens of healthy entries and re-time them all to no effect."""
+    quieter of the pre-pass and post-pass calibration totals over
+    CALIBRATION_REF_SEC, clamped to [1, 2]): without it, a
+    quiet-but-1.3x-slower box would flag dozens of healthy entries
+    and re-time them all to no effect."""
     ratio = min(2.0, max(1.0, box_ratio))
     out: dict[str, str] = {}
     for name, t in timings.items():
