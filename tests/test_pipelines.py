@@ -1543,3 +1543,79 @@ def test_containment_catches_what_jaccard_misses(spark):
     assert r.jaccard < 0.1  # symmetric measure misses this pair
     # symmetric operator at the same corpus finds nothing at 0.5
     assert ngram_jaccard_pairs(df, threshold=0.5).count() == 0
+
+
+def test_simhash_chunk_filter_dedup_equals_distinct(spark):
+    """r11 rework guard: candidate-pair dedup moved from distinct()
+    to the first-zero-XOR-chunk filter (a pair matching in m chunks
+    exits the bucket join m times; exactly one copy sits at the first
+    zero 15-bit slice of the XOR). The two must produce EXACTLY the
+    same pair set — rebuilt here via the old distinct() route over
+    the same signatures, on a corpus salted with exact dups,
+    multi-chunk near-dups, and unrelated docs."""
+    from pyspark.sql import functions as F
+
+    from gapless_deribit_clickhouse_spark.pipelines.text_dedup import (
+        simhash64,
+        simhash_near_pairs,
+    )
+
+    base = [
+        "the quick brown fox jumps over the lazy dog",
+        "pack my box with five dozen liquor jugs",
+        "how vexingly quick daft zebras jump",
+        "sphinx of black quartz judge my vow",
+    ]
+    rows = []
+    did = 0
+    for i, b in enumerate(base):
+        for copy in range(3):  # exact dups -> hamming 0, all 4 chunks match
+            rows.append((did, b))
+            did += 1
+        rows.append((did, b + f" salt{i}"))  # near-dup of the clique
+        did += 1
+    for j in range(40):  # unrelated filler
+        rows.append((did, f"unique document number {j} token{j} filler{j * 7}"))
+        did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    for k in (0, 3, 10):
+        new = {
+            (r.id_a, r.id_b, r.hamming)
+            for r in simhash_near_pairs(docs, max_hamming=k).collect()
+        }
+        # the pre-r11 route: explode chunks, bucket self-join, distinct
+        sig = simhash64(docs, "text", "doc_id", "md5")
+        chunks = F.array(*[
+            F.shiftright(F.col("simhash"), c * 15)
+            .bitwiseAND(F.lit(0x7FFF))
+            .alias(f"c{c}")
+            for c in range(4)
+        ])
+        b = sig.select(
+            "id", "simhash", F.posexplode(chunks).alias("chunk", "chunk_val")
+        )
+        cand = (
+            b.alias("x")
+            .join(b.alias("y"), on=["chunk", "chunk_val"])
+            .filter(F.col("x.id") < F.col("y.id"))
+            .select(
+                F.col("x.id").alias("id_a"),
+                F.col("y.id").alias("id_b"),
+                F.col("x.simhash").alias("sh_a"),
+                F.col("y.simhash").alias("sh_b"),
+            )
+            .distinct()
+        )
+        ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+        old = {
+            (r.id_a, r.id_b, r.hamming)
+            for r in cand.withColumn("hamming", ham)
+            .filter(F.col("hamming") <= k)
+            .select("id_a", "id_b", "hamming")
+            .collect()
+        }
+        assert new == old, f"k={k}: filter dedup != distinct dedup"
+        if k == 0:
+            # every exact-dup clique pair must be present: 3 per clique
+            assert len(new) >= 4 * 3
