@@ -115,3 +115,21 @@ def test_python_only_at_declared_edges(spark, name, fn):
         assert crossings >= 1, f"{name} should use an Arrow-batched op"
     elif name not in ALLOWED_PYTHON:
         assert crossings == 0, f"{name} crosses into Python unexpectedly"
+
+
+def test_simhash_has_no_post_checkpoint_exchange(spark):
+    """r11 rework pin: simhash_near_pairs' candidate dedup is a
+    first-zero-XOR-chunk filter, not a distinct() — the visible plan
+    (everything downstream of the checkpointed signature table) must
+    contain NO Exchange at all. A refactor that reintroduces a
+    shuffle over the candidate set fails here, not in a bench diff."""
+    import re
+
+    from gapless_deribit_clickhouse_spark.bindings import ALL_BINDINGS
+
+    fn = next(f for n, f, _ in ALL_BINDINGS if n == "simhash_near_pairs")
+    plan = _plan(fn, spark)
+    exchanges = len(re.findall(r"\bExchange\b", plan)) - len(
+        re.findall(r"ReusedExchange", plan)
+    )
+    assert exchanges == 0, f"simhash candidate stage shuffles:\n{plan[:2000]}"
