@@ -1243,26 +1243,55 @@ def main() -> None:
     if suspects:
         regate = _wait_for_quiet(max_wait=300.0)
         for name, reason in suspects.items():
-            pre = _cpu_snap()
-            t2, delta2 = _timed_runs(spark, runners[name])
-            post = _cpu_snap()
-            hit = {
-                "original_sec": timings[name],
-                "retimed_sec": round(t2, 4),
+            env = envelope.get(name)
+            original_sec = timings[name]
+            original_oc = telemetry.get(name, {}).get("other_cores")
+            attempts = []
+            # up to TWO re-time attempts: if the first re-time is
+            # itself burst-stamped AND the kept value still exceeds
+            # the envelope bar, the burst simply moved — one more
+            # bounded wait + attempt defends the single-run artifact
+            # (the r11 min-of-3 merge showed exactly this mode:
+            # weighted_median's first re-time landed in the next wave)
+            for _attempt in range(2):
+                pre = _cpu_snap()
+                t2, delta2 = _timed_runs(spark, runners[name])
+                post = _cpu_snap()
+                oc2 = _other_cores(pre, post)
+                attempts.append({"sec": round(t2, 4), "other_cores": oc2})
+                if t2 < timings[name]:
+                    timings[name] = round(t2, 4)
+                    if delta2 is not None:
+                        tele = telemetry.setdefault(name, {})
+                        tele.update(delta2)
+                    _stamp_entry(telemetry, name, pre, post)
+                elif oc2 is not None and oc2 <= BURST_OTHER_CORES:
+                    # a quiet re-time that did NOT beat the original
+                    # CONFIRMS it (a burst only slows, so hitting the
+                    # original under load means quiet would match or
+                    # beat it) — record the confirmation next to the
+                    # original's over-bar stamp instead of rewriting
+                    # history
+                    telemetry.setdefault(name, {})[
+                        "retime_confirmed_other_cores"
+                    ] = oc2
+                still_bad = (
+                    oc2 is not None
+                    and oc2 > BURST_OTHER_CORES
+                    and env is not None
+                    and timings[name] > ENVELOPE_FACTOR * env
+                )
+                if not still_bad:
+                    break
+                _wait_for_quiet(max_wait=120.0)
+            burst_hits[name] = {
+                "original_sec": original_sec,
+                "kept_sec": timings[name],
+                "attempts": attempts,
                 "reason": reason,
-                "envelope_sec": envelope.get(name),
-                "other_cores_original": telemetry.get(name, {}).get(
-                    "other_cores"
-                ),
-                "other_cores_retime": _other_cores(pre, post),
+                "envelope_sec": env,
+                "other_cores_original": original_oc,
             }
-            if t2 < timings[name]:
-                timings[name] = round(t2, 4)
-                if delta2 is not None:
-                    tele = telemetry.setdefault(name, {})
-                    tele.update(delta2)
-                _stamp_entry(telemetry, name, pre, post)
-            burst_hits[name] = hit
         conditions["retime"] = {
             "n": len(suspects),
             "quiet_gate": regate,
