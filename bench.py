@@ -108,6 +108,28 @@ CALIBRATION_REF_SEC = 0.877
 BURST_OTHER_CORES = 2.5
 ENVELOPE_FACTOR = 1.5
 
+# quiet-CONFIRMATION bar for short entries (VERDICT r11 #4): a re-time
+# that fails to beat the original only proves the original was honest
+# if the re-time itself ran quiet — and for a sub-second entry, one
+# co-tenant core is a double-digit-percent distortion, so the 2.5-core
+# re-TRIGGER bar is far too loose as a CONFIRMATION bar. The bar
+# scales with the re-timed entry's own duration: 0.25 cores below 1 s,
+# the full trigger bar at 5 s and above, linear between.
+QUIET_CONFIRM_SHORT = 0.25
+
+
+def _quiet_confirm_bar(sec: float) -> float:
+    """Max ``other_cores`` under which a non-improving re-time of a
+    ``sec``-long entry counts as confirming the original timing."""
+    if sec < 1.0:
+        return QUIET_CONFIRM_SHORT
+    if sec >= 5.0:
+        return BURST_OTHER_CORES
+    frac = (sec - 1.0) / 4.0
+    return round(
+        QUIET_CONFIRM_SHORT + frac * (BURST_OTHER_CORES - QUIET_CONFIRM_SHORT), 3
+    )
+
 _CLK_TCK = float(os.sysconf("SC_CLK_TCK")) if hasattr(os, "sysconf") else 100.0
 
 
@@ -125,9 +147,15 @@ def _proc_busy_jiffies() -> float | None:
 def _tree_jiffies() -> float | None:
     """utime+stime summed over this process and every live descendant
     (the py4j-spawned JVM and its workers are descendants), via one
-    /proc walk building a ppid closure. Exited children vanish from
-    the sum, which is fine for per-entry deltas — the JVM persists
-    across the whole bench."""
+    /proc walk building a ppid closure. Reaped children stay counted
+    (ADVICE r11): each kept process also contributes cutime+cstime, so
+    a bench child that exits mid-entry moves its jiffies into its
+    parent's reaped-children counters instead of vanishing from the
+    tree delta while staying in the box-wide busy delta (which made
+    ``other_cores`` over-read for entries spawning short-lived
+    processes). A live child is counted via its own utime/stime and
+    only enters a parent's cutime AFTER it exits, so the two terms
+    never double-count within one delta window."""
     try:
         me = os.getpid()
         stats: dict[int, tuple[int, float]] = {}
@@ -141,7 +169,14 @@ def _tree_jiffies() -> float | None:
                 continue  # raced a process exit
             rest = raw.rsplit(")", 1)[1].split()
             # after comm: [0]=state [1]=ppid ... [11]=utime [12]=stime
-            stats[int(pid)] = (int(rest[1]), float(rest[11]) + float(rest[12]))
+            #             [13]=cutime [14]=cstime (reaped children)
+            stats[int(pid)] = (
+                int(rest[1]),
+                float(rest[11])
+                + float(rest[12])
+                + float(rest[13])
+                + float(rest[14]),
+            )
         keep = {me}
         grew = True
         while grew:
@@ -231,6 +266,21 @@ def _load_envelope(sf: float | None) -> dict[str, float]:
     if env.get("sf") != sf:
         return {}
     return {k: float(v) for k, v in env.get("sec", {}).items()}
+
+
+def _envelope_stale() -> list[str]:
+    """The ``stale`` list tools/make_envelope.py emits into
+    ENVELOPE.json (VERDICT r11 #7): entries whose min comes from an
+    old source run with no recent run within 1.3x. Copied into the
+    telemetry sidecar so the flag travels with every bench artifact."""
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "ENVELOPE.json"
+    )
+    try:
+        with open(path) as f:
+            return list(json.load(f).get("stale", []))
+    except (OSError, ValueError):
+        return []
 
 
 def _burst_suspects(
@@ -477,6 +527,38 @@ NEW_IN_R4 = WRITE_BENCHES + [
     "q19_discounted_revenue",
     "training_set",
 ]
+
+
+def _producer_stamp() -> dict:
+    """Which code produced this artifact (ADVICE r11): the repo HEAD at
+    run time (None outside a git checkout), a schema version bumped
+    whenever sidecar field names change, and the pinned calibration
+    reference — so a committed artifact and the bench.py that allegedly
+    produced it can be cross-checked without forensics."""
+    head = None
+    try:
+        import subprocess
+
+        out = subprocess.run(
+            ["git", "-C", os.path.dirname(os.path.abspath(__file__)),
+             "rev-parse", "--short", "HEAD"],
+            capture_output=True,
+            text=True,
+            timeout=10,
+        )
+        if out.returncode == 0:
+            head = out.stdout.strip()
+    except Exception:  # noqa: BLE001 — stamp is best-effort
+        pass
+    return {
+        "git_head": head,
+        # schema 2 = r12: burst_hits rows carry kept_sec/attempts (not
+        # r11-interim retimed_sec/other_cores_retime), headline carries
+        # value_normalized/calibration_ratio/n_retimed, envelope section
+        # carries stale flags
+        "sidecar_schema": 2,
+        "calibration_ref_sec": CALIBRATION_REF_SEC,
+    }
 
 
 def _run(fn, spark, sf_dir) -> None:
@@ -1120,6 +1202,18 @@ def emit_headline(
         "queries": {k: round(v, 2) for k, v in timings.items()},
         "sf": sf,
     }
+    # self-normalizing record (VERDICT r11 #1): the official r11 line
+    # read 140.36 s on a box the calibration stamp showed ran 1.327x
+    # slow — a 13% "win" over r10 that was really flat-at-parity, but
+    # only visible after three levels of telemetry archaeology. The
+    # parsed line itself now carries the normalized total (raw total /
+    # calibration ratio), the ratio, and how many entries were
+    # re-timed, so r{N} -> r{N+1} compares from the parsed lines alone.
+    cal_ratio = (conditions.get("calibration") or {}).get("ratio")
+    if cal_ratio:
+        headline_full["calibration_ratio"] = cal_ratio
+        headline_full["value_normalized"] = round(total / cal_ratio, 2)
+    headline_full["n_retimed"] = (conditions.get("retime") or {}).get("n", 0)
     # self-labeling loaded-machine runs (VERDICT r4 #6: the r4 bench
     # ran at load 5.73 and the judge had to prove the one "regression"
     # was noise)
@@ -1133,13 +1227,22 @@ def emit_headline(
         json.dump(headline_full, f)
     headline = {
         k: headline_full[k]
-        for k in ("metric", "value", "unit", "sf", "warn")
+        for k in (
+            "metric",
+            "value",
+            "value_normalized",
+            "calibration_ratio",
+            "n_retimed",
+            "unit",
+            "sf",
+            "warn",
+        )
         if k in headline_full
     }
     headline["n_queries"] = len(timings)
     headline["detail"] = os.path.basename(head_path)
     line = json.dumps(headline)
-    assert len(line) <= 300, f"headline line too long: {len(line)}B"
+    assert len(line) <= 400, f"headline line too long: {len(line)}B"
     return line
 
 
@@ -1181,6 +1284,12 @@ def main() -> None:
     except OSError:
         conditions = {}
     conditions.update(gate)
+    # producer stamp (ADVICE r11): the committed r11 telemetry was
+    # emitted by a pre-HEAD bench.py iteration, so its field names and
+    # calibration reference disagreed with the code at HEAD — stamp the
+    # producing commit + the pinned reference so artifact and code are
+    # matchable without forensics
+    conditions["producer"] = _producer_stamp()
 
     # warm the session + each query shape once (untimed)
     spark.range(1000).count()
@@ -1265,13 +1374,17 @@ def main() -> None:
                         tele = telemetry.setdefault(name, {})
                         tele.update(delta2)
                     _stamp_entry(telemetry, name, pre, post)
-                elif oc2 is not None and oc2 <= BURST_OTHER_CORES:
+                elif oc2 is not None and oc2 <= _quiet_confirm_bar(t2):
                     # a quiet re-time that did NOT beat the original
                     # CONFIRMS it (a burst only slows, so hitting the
                     # original under load means quiet would match or
                     # beat it) — record the confirmation next to the
                     # original's over-bar stamp instead of rewriting
-                    # history
+                    # history. The confirmation bar scales with the
+                    # entry's duration (VERDICT r11 #4): a sub-second
+                    # entry is only "confirmed quiet" if the re-time
+                    # saw <=0.25 non-bench cores, not the 2.5-core
+                    # re-trigger bar.
                     telemetry.setdefault(name, {})[
                         "retime_confirmed_other_cores"
                     ] = oc2
@@ -1359,6 +1472,11 @@ def main() -> None:
             "n_entries": len(envelope),
             "factor": ENVELOPE_FACTOR,
             "stamp_bar_other_cores": BURST_OTHER_CORES,
+            # staleness flags (VERDICT r11 #7): entries whose envelope
+            # min comes from a >3-round-old run that no recent run has
+            # come within 1.3x of — re-verify them in the next quiet
+            # run instead of trusting an unreproducible historical min
+            "stale_flags": _envelope_stale(),
         },
         "streaming": streaming,
         "sketch": sketch,

@@ -35,7 +35,7 @@ def test_final_line_compact_at_any_registry_size(tmp_path):
     # scaling with the registry — assert it no longer does
     for n in (10, 136, 500):
         line = emit_headline(_timings(n), 617.25, 0.1, {}, str(tmp_path))
-        assert len(line) <= 300, f"{n} queries -> {len(line)}B line"
+        assert len(line) <= 400, f"{n} queries -> {len(line)}B line"
         parsed = json.loads(line)
         assert parsed["metric"] == "headline_queries_total_runtime"
         assert parsed["value"] == 617.25
@@ -43,6 +43,36 @@ def test_final_line_compact_at_any_registry_size(tmp_path):
         assert parsed["sf"] == 0.1
         assert parsed["n_queries"] == n
         assert "queries" not in parsed  # the dict lives ONLY in the sidecar
+
+
+def test_final_line_carries_normalized_total(tmp_path):
+    """VERDICT r11 #1: with a calibration ratio in the conditions, the
+    PARSED line itself carries value_normalized (= value / ratio),
+    calibration_ratio, and n_retimed — cross-round comparison from the
+    parsed lines alone, no telemetry archaeology. Without a ratio
+    (wrong sf, registry drift) the normalized fields are absent, never
+    fabricated, but n_retimed still lands."""
+    conditions = {
+        "calibration": {"ratio": 1.327},
+        "retime": {"n": 18},
+    }
+    line = emit_headline(_timings(147), 140.36, 0.1, conditions, str(tmp_path))
+    assert len(line) <= 400
+    parsed = json.loads(line)
+    assert parsed["calibration_ratio"] == 1.327
+    assert parsed["value_normalized"] == round(140.36 / 1.327, 2)
+    assert parsed["n_retimed"] == 18
+    side = json.load(open(tmp_path / "BENCH_HEADLINE.json"))
+    assert side["value_normalized"] == parsed["value_normalized"]
+    assert side["calibration_ratio"] == 1.327
+    assert side["n_retimed"] == 18
+
+    bare = json.loads(
+        emit_headline(_timings(3), 10.0, 0.01, {"calibration": {"ratio": None}}, str(tmp_path))
+    )
+    assert "value_normalized" not in bare
+    assert "calibration_ratio" not in bare
+    assert bare["n_retimed"] == 0
 
 
 def test_line_survives_2000_char_tail_capture(tmp_path):
@@ -264,6 +294,96 @@ def test_burst_suspects_box_ratio_rescales_envelope():
     stamped = {"a": {"other_cores": 8.0}}
     assert _burst_suspects({"a": 1.6}, stamped, env, 1.3) == {"a": "stamp"}
     assert _burst_suspects({"a": 0.9}, stamped, env, 1.3) == {}
+
+
+def test_quiet_confirm_bar_scales_with_duration():
+    """VERDICT r11 #4: a non-improving re-time only counts as
+    'quiet-confirmed' under a bar that scales with the entry's own
+    duration — 0.25 non-bench cores below 1 s (one co-tenant core is a
+    10-30% distortion there), the full 2.5-core trigger bar at 5 s and
+    above, linear between. Monotone, continuous at both knees."""
+    from bench import BURST_OTHER_CORES, QUIET_CONFIRM_SHORT, _quiet_confirm_bar
+
+    assert _quiet_confirm_bar(0.2) == QUIET_CONFIRM_SHORT
+    assert _quiet_confirm_bar(0.999) == QUIET_CONFIRM_SHORT
+    assert _quiet_confirm_bar(1.0) == QUIET_CONFIRM_SHORT
+    assert _quiet_confirm_bar(5.0) == BURST_OTHER_CORES
+    assert _quiet_confirm_bar(60.0) == BURST_OTHER_CORES
+    mid = _quiet_confirm_bar(3.0)
+    assert QUIET_CONFIRM_SHORT < mid < BURST_OTHER_CORES
+    assert mid == round((QUIET_CONFIRM_SHORT + BURST_OTHER_CORES) / 2, 3)
+    # a 1.07-core re-time (the r11 enrich_with_spot case) no longer
+    # "confirms quiet" for a ~1.4 s entry
+    assert 1.07 > _quiet_confirm_bar(1.44)
+    bars = [_quiet_confirm_bar(s / 10) for s in range(1, 80)]
+    assert bars == sorted(bars)
+
+
+def test_producer_stamp_fields():
+    """ADVICE r11: every artifact stamps the producing commit, a
+    sidecar schema version, and the pinned calibration reference so
+    artifact-vs-code forensics are a dict lookup."""
+    from bench import CALIBRATION_REF_SEC, _producer_stamp
+
+    stamp = _producer_stamp()
+    assert stamp["calibration_ref_sec"] == CALIBRATION_REF_SEC
+    assert stamp["sidecar_schema"] == 2
+    # in this checkout git is available: the stamp carries a short sha
+    assert stamp["git_head"] is None or len(stamp["git_head"]) >= 7
+
+
+def test_envelope_staleness_rule():
+    """VERDICT r11 #7: an entry whose min comes from an old run that
+    no recent run has come within 1.3x of is flagged stale; an old min
+    that recent runs still approach is NOT; overrides are never
+    stale (they carry their own evidence)."""
+    from tools.make_envelope import build
+
+    loaded = [
+        ("old_run", {"a": 1.0, "b": 1.0, "c": 1.0, "d": 5.0}),
+        ("recent_run", {"a": 1.5, "b": 1.2, "d": 4.0}),
+    ]
+    sec, src, stale = build(loaded, overrides={}, recent=1)
+    # a: old min 1.0, recent best 1.5 > 1.3 -> stale
+    # b: old min 1.0, recent best 1.2 <= 1.3 -> fresh
+    # c: absent from recent runs -> cannot be judged, not flagged
+    # d: min comes FROM the recent run -> fresh by construction
+    assert stale == ["a"]
+    assert sec == {"a": 1.0, "b": 1.0, "c": 1.0, "d": 4.0}
+    assert src == {"a": "old_run", "b": "old_run", "c": "old_run", "d": "recent_run"}
+    # an override clears the flag and stamps its provenance
+    sec2, src2, stale2 = build(loaded, overrides={"a": 1.4}, recent=1)
+    assert stale2 == [] and sec2["a"] == 1.4 and src2["a"] == "override"
+
+
+def test_committed_envelope_regenerates_and_flags():
+    """The committed ENVELOPE.json matches its own regeneration
+    command (pure per-entry min + the single changed-work override —
+    ADVICE r11 medium: no narrative overrides), and bench.py surfaces
+    its stale list."""
+    import bench
+    from tools.make_envelope import _load_run, build
+
+    specs = [
+        "17b9416:BENCH_HEADLINE.json",
+        "2ae0b71:BENCH_HEADLINE.json",
+        "26791ab:BENCH_HEADLINE.json",
+        "9fe27db:BENCH_HEADLINE.json",
+        "8f1b39d:BENCH_HEADLINE.json",
+    ]
+    loaded = [(s, _load_run(s)) for s in specs]
+    sec, src, stale = build(loaded, overrides={"egarch_loglik": 0.99}, recent=2)
+    committed = json.load(
+        open(os.path.join(os.path.dirname(__file__), "..", "ENVELOPE.json"))
+    )
+    assert committed["sec"] == sec
+    assert committed["src"] == src
+    assert committed["stale"] == stale
+    # the r9-era narrative overrides are gone: pure mins stand
+    assert committed["sec"]["coverage_by_underlying"] == 0.42
+    assert committed["sec"]["enrich_with_spot"] == 0.75
+    assert committed["src"]["egarch_loglik"] == "override"
+    assert bench._envelope_stale() == stale
 
 
 def test_envelope_ignored_at_other_sf(tmp_path):

@@ -20,7 +20,7 @@ import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from bench import _cpu_snap, _other_cores, _run
 from gapless_deribit_clickhouse_spark.core.session import get_spark
@@ -61,13 +61,18 @@ def main() -> None:
     summary = {}
     for name, recs in results.items():
         secs = [r["sec"] for r in recs]
+        # an unavailable stamp (a /proc read failed mid-run) must NOT
+        # fold into the quiet max as 0.0 — that would summarize an
+        # unverifiable run as verified-quiet, the exact confound this
+        # tool exists to rule out (ADVICE r11). Report the stamped max
+        # (null if nothing was stamped) plus the unstamped count.
+        stamped = [r["other_cores"] for r in recs if r["other_cores"] is not None]
         summary[name] = {
             "min": min(secs),
             "median": sorted(secs)[len(secs) // 2],
             "max": max(secs),
-            "max_other_cores": max(
-                (r["other_cores"] or 0.0) for r in recs
-            ),
+            "max_other_cores": max(stamped) if stamped else None,
+            "n_unstamped": len(recs) - len(stamped),
         }
     print(json.dumps({"summary": summary, "sf_dir": sf_dir}), flush=True)
     spark.stop()
