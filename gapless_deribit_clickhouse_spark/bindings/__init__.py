@@ -132,6 +132,20 @@ _DEMOTED = (
     # points inside one Nelder-Mead iteration, plus sort/centroid/
     # acceptance — the strictly-harder composed form, fully oracled
     # in r10); CI value-oracle
+    # --- round-12 rotation (VERDICT r11 #2): the last two oracled
+    # heavyweights that never had a driver row move in ---
+    "kmeans_assign_step",  # sibling: semantic_dedup (composes the SAME
+    # broadcast-centroid Lloyd's step — assign map + per-cluster
+    # partial-sum reduction — EIGHT times inside its spherical k-means
+    # fit, then prunes per cluster: the strictly-harder composed form,
+    # fully oracled via 8 unrolled CTE iterations since r10); CI
+    # value-oracle
+    "dedup_exact",  # sibling: training_set (its curation gate computes
+    # the SAME min-id-over-md5(normalized_text) exact-duplicate winner
+    # rule — curation.py:curate_corpus is_canonical — and its
+    # near-dedup stage anti-joins on the same digest: the
+    # strictly-harder composed form); doc_fingerprint's CI oracle also
+    # pins the bare digest core; CI value-oracle
 )
 
 # Promoted INTO the checked window at rotation (placed in the last
@@ -169,6 +183,16 @@ _DEMOTED = (
 #   points — the strictly-harder composed form) alongside
 #   curate_corpus (training_set composes the same curation gate);
 #   both keep their CI value-oracles.
+# - r12 (VERDICT r11 #2): the last two never-driver-checked oracled
+#   heavyweights move in — semantic_dedup (SemDeDup: 8-iteration
+#   spherical k-means fit + per-cluster greedy cosine prune, full
+#   cross-engine oracle since r10) and sequence_packing (first-fit-
+#   decreasing under a token budget as a keyed FFD recursion oracle,
+#   full oracle since r10). kmeans_assign_step rotates OUT
+#   (semantic_dedup composes the same Lloyd step eight times) and
+#   dedup_exact rotates OUT (training_set composes the same
+#   min-id-per-digest winner rule in its curation gate); both keep
+#   their CI value-oracles in the tail.
 _PROMOTED = (
     "ohlc_gapless_interp",
     "q21_waiting_supplier",
@@ -176,11 +200,12 @@ _PROMOTED = (
     "attribution_first_touch",
     "snapshot_diff",
     "overlap_hot_hours",
-    "kmeans_assign_step",
     "containment_pairs",
     "window_funnel",
     "training_set",
     "egarch_nm_step",
+    "semantic_dedup",
+    "sequence_packing",
 )
 
 _dem = [b for b in ALL_BINDINGS if b[0] in _DEMOTED]

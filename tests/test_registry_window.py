@@ -53,6 +53,12 @@ SIBLINGS = {
     # round-11 rotation (VERDICT r10 #3)
     "curate_corpus": ["training_set"],
     "egarch_loglik": ["egarch_nm_step"],
+    # round-12 rotation (VERDICT r11 #2): semantic_dedup composes the
+    # same broadcast-centroid Lloyd step eight times inside its fit;
+    # training_set's curation gate computes the same
+    # min-id-over-md5(normalized_text) exact-duplicate winner rule
+    "kmeans_assign_step": ["semantic_dedup"],
+    "dedup_exact": ["training_set"],
 }
 
 # rotated INTO the window — operator families the window never
@@ -65,8 +71,12 @@ SIBLINGS = {
 # sequence matching; r11: the fully-oracled training_set flagship and
 # the oracled single Nelder-Mead iteration — egarch_loglik rotated
 # back out to the tail, superseded in-window by the strictly-harder
-# egarch_nm_step); every promotion carried a CI value-oracle
-# beforehand
+# egarch_nm_step; r12: the last two never-driver-checked oracled
+# heavyweights, semantic_dedup and sequence_packing —
+# kmeans_assign_step rotated back out, superseded in-window by
+# semantic_dedup's eight composed Lloyd steps, and dedup_exact rotated
+# out, superseded by training_set's composed curation gate); every
+# promotion carried a CI value-oracle beforehand
 PROMOTED = (
     "ohlc_gapless_interp",
     "q21_waiting_supplier",
@@ -74,11 +84,12 @@ PROMOTED = (
     "attribution_first_touch",
     "snapshot_diff",
     "overlap_hot_hours",
-    "kmeans_assign_step",
     "containment_pairs",
     "window_funnel",
     "training_set",
     "egarch_nm_step",
+    "semantic_dedup",
+    "sequence_packing",
 )
 
 
