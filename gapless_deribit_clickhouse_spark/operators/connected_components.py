@@ -91,9 +91,17 @@ def connected_components(
     dst: str = "id_b",
     max_iter: int = 25,
     local_threshold: int = 2_000_000,
+    stats: dict | None = None,
 ) -> DataFrame:
     """(node, component) for every node appearing in ``pairs``;
-    component = minimum node id in the component."""
+    component = minimum node id in the component.
+
+    ``stats`` (optional out-param) is filled with the run's shape —
+    ``input_edges``, ``rounds`` (distributed star rounds executed),
+    ``local_tier`` (whether the bounded union-find finish ran) and
+    ``local_edges`` (edge count it collected) — so a scaling probe can
+    attribute wall-clock growth to pair-count growth vs round-count
+    growth (VERDICT r11 #5) without re-deriving the loop."""
     spark = pairs.sparkSession
     id_type = pairs.schema[src].dataType
     out_schema = StructType(
@@ -115,12 +123,20 @@ def connected_components(
         return e, (sig["n"], sig["h"])
 
     edges, prev_sig = materialize(edges)
+    if stats is not None:
+        stats.update(
+            {"input_edges": prev_sig[0], "rounds": 0, "local_tier": False}
+        )
     converged = False
     for _ in range(max_iter):
         if prev_sig[0] <= local_threshold:
+            if stats is not None:
+                stats.update({"local_tier": True, "local_edges": prev_sig[0]})
             rows = [(r["u"], r["v"]) for r in edges.collect()]
             return spark.createDataFrame(_local_union_find(rows), out_schema)
         edges, sig = materialize(_round(edges))
+        if stats is not None:
+            stats["rounds"] += 1
         if sig == prev_sig:
             converged = True
             break

@@ -822,13 +822,30 @@ def test_connected_components_and_dedup_clusters(spark):
     expected = {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
     # local union-find tier (default threshold) and distributed
     # star-contraction tier (threshold 0) must agree
-    comp = {r.node: r.component for r in connected_components(pairs).collect()}
+    st_local: dict = {}
+    comp = {
+        r.node: r.component
+        for r in connected_components(pairs, stats=st_local).collect()
+    }
     assert comp == expected
+    st_dist: dict = {}
     dist = {
         r.node: r.component
-        for r in connected_components(pairs, local_threshold=0).collect()
+        for r in connected_components(
+            pairs, local_threshold=0, stats=st_dist
+        ).collect()
     }
     assert dist == expected
+    # stats out-param (VERDICT r11 #5): the scaling probe attributes
+    # growth to pair count vs star-round count from these fields
+    assert st_local == {
+        "input_edges": 7,
+        "rounds": 0,
+        "local_tier": True,
+        "local_edges": 7,
+    }
+    assert st_dist["input_edges"] == 7 and st_dist["local_tier"] is False
+    assert st_dist["rounds"] >= 1  # star rounds actually ran
 
     universe = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 12, 20, 21, 99]], "doc long")
     out = dedup_clusters(universe, pairs, id_col="doc").toPandas().set_index("doc")
