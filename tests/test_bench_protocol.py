@@ -395,3 +395,61 @@ def test_envelope_ignored_at_other_sf(tmp_path):
     assert len(env) > 100 and all(v > 0 for v in env.values())
     assert _load_envelope(0.01) == {}
     assert _load_envelope(None) == {}
+
+
+def test_merge_bench_runs_per_entry_min_and_provenance():
+    """tools/merge_bench_runs.py: the committed min-of-N artifact is
+    now produced by a committed tool (r10/r11 used ad-hoc snippets;
+    ADVICE r11 flagged the resulting artifact/code drift). Per-entry
+    MIN, winner's stamps, min-ratio normalization, summed n_retimed,
+    full per-run provenance."""
+    from tools.merge_bench_runs import merge
+
+    h1 = {
+        "metric": "headline_queries_total_runtime",
+        "value": 3.0,
+        "sf": 0.1,
+        "queries": {"a": 1.0, "b": 2.0},
+        "calibration_ratio": 1.4,
+        "n_retimed": 3,
+    }
+    t1 = {
+        "timings_4dp": {"a": 1.0001, "b": 2.0002},
+        "telemetry": {"a": {"other_cores": 0.9}, "b": {"other_cores": 0.8}},
+        "burst_hits": {"a": {"kept_sec": 1.0}},
+        "conditions": {"calibration": {"ratio": 1.4}, "retime": {"n": 3}},
+    }
+    h2 = {
+        "metric": "headline_queries_total_runtime",
+        "value": 2.7,
+        "sf": 0.1,
+        "queries": {"a": 1.2, "b": 1.5},
+        "calibration_ratio": 1.0,
+        "n_retimed": 1,
+    }
+    t2 = {
+        "timings_4dp": {"a": 1.2003, "b": 1.5004},
+        "telemetry": {"a": {"other_cores": 0.1}, "b": {"other_cores": 0.0}},
+        "burst_hits": {},
+        "conditions": {"calibration": {"ratio": 1.0}, "retime": {"n": 1}},
+        "streaming": {"x": 1},
+    }
+    headline, tele = merge([(h1, t1), (h2, t2)], note="test-merge")
+    # per-entry min: a from run 1, b from run 2
+    assert headline["queries"] == {"a": 1.0, "b": 1.5}
+    assert headline["value"] == 2.5
+    # min ratio across runs normalizes the merged total
+    assert headline["calibration_ratio"] == 1.0
+    assert headline["value_normalized"] == 2.5
+    assert headline["n_retimed"] == 4
+    # winner's stamps travel with the entry
+    assert tele["telemetry"]["a"] == {"other_cores": 0.9}
+    assert tele["telemetry"]["b"] == {"other_cores": 0.0}
+    assert tele["burst_hits"] == {"a": {"kept_sec": 1.0}}
+    assert tele["timings_4dp"] == {"a": 1.0001, "b": 1.5004}
+    # provenance: every run's total + conditions, the note verbatim
+    runs = tele["min_of_runs"]["runs"]
+    assert [r["total_sec"] for r in runs] == [3.0, 2.7]
+    assert tele["min_of_runs"]["note"] == "test-merge"
+    # non-merged sections come from the LAST run
+    assert tele["streaming"] == {"x": 1}
