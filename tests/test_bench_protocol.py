@@ -370,6 +370,7 @@ def test_committed_envelope_regenerates_and_flags():
         "26791ab:BENCH_HEADLINE.json",
         "9fe27db:BENCH_HEADLINE.json",
         "8f1b39d:BENCH_HEADLINE.json",
+        "bac652c:BENCH_HEADLINE.json",
     ]
     loaded = [(s, _load_run(s)) for s in specs]
     sec, src, stale = build(loaded, overrides={"egarch_loglik": 0.99}, recent=2)
@@ -383,6 +384,10 @@ def test_committed_envelope_regenerates_and_flags():
     assert committed["sec"]["coverage_by_underlying"] == 0.42
     assert committed["sec"]["enrich_with_spot"] == 0.75
     assert committed["src"]["egarch_loglik"] == "override"
+    # the r11 cosine_topk stale flag cleared: the r12 merged run (a
+    # recent spec) came within STALE_FACTOR of the r9-era min — the
+    # staleness loop's first full cycle (flag -> re-verify -> clear)
+    assert stale == []
     assert bench._envelope_stale() == stale
 
 
