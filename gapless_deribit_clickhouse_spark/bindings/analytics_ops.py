@@ -26,7 +26,8 @@ YEAR_SECONDS = 365.25 * 24 * 3600.0
 # --- Greeks (SURVEY §2.8 Financial; zero UDFs, whole-stage codegen) ---
 def greeks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = with_greeks(
-        trades_view(spark, sf_dir),
+        # parallel: single-split scan + heavy CDF trees (optimization r12)
+        trades_view(spark, sf_dir, parallel=True),
         spot_col="index_price",
         strike_col="strike",
         ts_col="timestamp",

@@ -80,8 +80,27 @@ GROUP BY 1, 2
 """
 
 
-def trades_view(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "events").selectExpr(*[s for s, _ in _DERIVE])
+def trades_view(
+    spark: SparkSession, sf_dir: str, parallel: bool = False
+) -> DataFrame:
+    """``parallel=True`` round-robin-repartitions the RAW events scan
+    to core count before the derive projection (optimization r12,
+    guide §2.5 input skew / §1.2 step 1): the sf testdata parquet is a
+    single row group, so the scan is ONE split and every downstream
+    per-row expression tree (Black-Scholes CDFs, regex parse) runs
+    single-threaded. The repartition shuffles the narrow RAW columns
+    once and is a no-op at scale (``ensure_parallelism`` keeps
+    existing splits when there are enough). Opt-in per binding:
+    map-heavy consumers take it; cheap aggregations skip the extra
+    exchange."""
+    ev = load_table(spark, sf_dir, "events")
+    if parallel:
+        from gapless_deribit_clickhouse_spark.core.partitioning import (
+            ensure_parallelism,
+        )
+
+        ev = ensure_parallelism(ev)
+    return ev.selectExpr(*[s for s, _ in _DERIVE])
 
 
 def spot_view(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -44,8 +44,10 @@ YEAR_SECONDS = 365.25 * 24 * 3600.0
 
 
 def _greeked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # parallel=True: the CDF expression trees are the dominant per-row
+    # cost; a single-split scan runs them on one core (optimization r12)
     return with_greeks(
-        trades_view(spark, sf_dir),
+        trades_view(spark, sf_dir, parallel=True),
         spot_col="index_price",
         strike_col="strike",
         ts_col="timestamp",
@@ -417,7 +419,7 @@ def instrument_parse_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         parse_instrument_cols,
     )
 
-    t = trades_view(spark, sf_dir)
+    t = trades_view(spark, sf_dir, parallel=True)
     named = t.select(
         "trade_id",
         format_instrument_col(

