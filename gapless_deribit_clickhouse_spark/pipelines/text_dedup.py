@@ -26,7 +26,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from gapless_deribit_clickhouse_spark.core.partitioning import ensure_parallelism
+from gapless_deribit_clickhouse_spark.core.partitioning import (
+    ensure_parallelism,
+    spread_expansion,
+)
 from gapless_deribit_clickhouse_spark.core.barrier import BARRIER_STORAGE
 
 
@@ -117,6 +120,15 @@ def _shingle_pair_intersections(
     ds = sh.groupBy("shingle").agg(F.collect_list(F.struct("id", "sz")).alias("ds"))
     if max_shingle_freq is not None:
         ds = ds.filter(F.size("ds") <= max_shingle_freq)
+    # The in-bucket pair EXPLOSION below emits ~4x its input bytes
+    # (f(f-1)/2 pairs per f-doc bucket), but AQE sizes the post-agg
+    # stage by the exchange's INPUT bytes and coalesces it to a
+    # handful of tasks (4 tasks / 1.1 s of the entry's 1.5-1.9 s at
+    # sf0.1 — guide §2.5: output-expanding stages need parallelism the
+    # input size doesn't justify). Re-spreading the narrow bucket rows
+    # costs one cheap exchange and runs the expansion at core count
+    # (optimization r12).
+    ds = spread_expansion(ds)
     pairs_col = F.flatten(
         F.transform(
             "ds",
@@ -993,7 +1005,12 @@ def substring_dup_fraction(
         F.size(toks).alias("n_tokens"),
         F.posexplode(F.transform(gram_array(toks, window), lambda g: F.xxhash64(g)))
         .alias("pos", "h"),
-    )
+        # base feeds BOTH the duplicated-window aggregation and the
+        # coverage join probe; without the lazy barrier the
+        # tokenize+gram+hash pass (the dominant map cost — ~2/3 of
+        # the entry's executor time at sf0.1) executes once per
+        # consumer (optimization r12; the bigram_lm_score pattern)
+    ).localCheckpoint(eager=False, storageLevel=BARRIER_STORAGE)
     dup_h = (
         base.groupBy("h")
         .agg(F.count_distinct("id").alias("nd"))

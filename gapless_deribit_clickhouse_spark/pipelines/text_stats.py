@@ -430,7 +430,11 @@ def bigram_lm_score(
     toks = F.split(t, " ")
     n = F.size(toks)
     pairs = (
-        docs.filter(F.length(t) > 0)
+        # single-split scan guard (optimization r12): the tokenize+
+        # explode pass below is the dominant map cost and otherwise
+        # runs in one task on a one-row-group input file
+        ensure_parallelism(docs)
+        .filter(F.length(t) > 0)
         .filter(n >= 2)
         .select(
             F.col(id_col),
