@@ -17,7 +17,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from gapless_deribit_clickhouse_spark.core.partitioning import ensure_parallelism
+from gapless_deribit_clickhouse_spark.core.partitioning import (
+    ensure_parallelism,
+    spread_expansion,
+)
 from gapless_deribit_clickhouse_spark.pipelines.text_dedup import normalized_text, shingles
 from gapless_deribit_clickhouse_spark.core.barrier import BARRIER_STORAGE
 from gapless_deribit_clickhouse_spark.pipelines.text_stats import (
@@ -175,9 +178,19 @@ def build_training_set(
     # chunks feed BOTH the packer and the final text join; the lazy
     # localCheckpoint cuts the lineage so the curate->dedup->chunk
     # prefix executes once, not once per consumer (the
-    # near_dedup_corpus pattern)
+    # near_dedup_corpus pattern).
+    # spread_expansion first (optimization r12): ``survivors`` is
+    # checkpointed on the SCAN's partitioning (one split on a
+    # single-row-group input) and the anti join is broadcast, so the
+    # chunker's interpreted window/slice/concat expansion — the
+    # single most expensive stage of the flagship (4.5 s CPU in ONE
+    # task at sf0.1) — inherited a one-partition layout; the chunk
+    # checkpoint blocks then kept the packer's token-count projection
+    # serial too. One narrow exchange of the deduped rows runs the
+    # explode at core count and leaves 32 checkpoint blocks for the
+    # downstream consumers.
     chunks = chunk_documents(
-        deduped, id_col=id_col, text_col=text_col,
+        spread_expansion(deduped), id_col=id_col, text_col=text_col,
         max_tokens=max_tokens, overlap=overlap,
     ).localCheckpoint(eager=False, storageLevel=BARRIER_STORAGE)
     packed = pack_sequences(
