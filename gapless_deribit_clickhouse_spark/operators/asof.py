@@ -64,6 +64,15 @@ def _tag_sides(
     ``bucket_of`` maps the ``__ts`` Column to the coarse bucket (the
     directional plan mirrors it with the direction sign; nearest
     buckets on unsigned time)."""
+    # ONE select per side (optimization r12): the previous shape
+    # chained withColumn calls and read .schema off intermediate
+    # frames, costing five analysis passes per asof construction; the
+    # __row struct type is derivable from left.schema directly, so
+    # both tagged sides build in a single projection each with the
+    # identical expressions.
+    from pyspark.sql import types as T
+
+    row_t = T.StructType(list(left.schema.fields))
     r_tag = right.select(
         *on,
         F.col(right_ts).alias("__ts"),
@@ -72,7 +81,9 @@ def _tag_sides(
             F.col(right_ts).cast("double").alias("__rts"),
             *[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
         ).alias("__payload"),
-    ).withColumn("__bucket", bucket_of(F.col("__ts")))
+        F.lit(None).cast(row_t).alias("__row"),
+        bucket_of(F.col(right_ts)).alias("__bucket"),
+    )
     payload_t = r_tag.schema["__payload"].dataType
     l_tag = left.select(
         *on,
@@ -80,9 +91,7 @@ def _tag_sides(
         F.lit(1).alias("__side"),
         F.lit(None).cast(payload_t).alias("__payload"),
         F.struct(*[F.col(c) for c in left.columns]).alias("__row"),
-    ).withColumn("__bucket", bucket_of(F.col("__ts")))
-    r_tag = r_tag.withColumn(
-        "__row", F.lit(None).cast(l_tag.schema["__row"].dataType)
+        bucket_of(F.col(left_ts)).alias("__bucket"),
     )
     return l_tag, r_tag
 
@@ -203,11 +212,11 @@ def asof_join(
         .orderBy(F.col("__bucket"))
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    carry = (
-        kb.withColumn("__carry", F.last("__p", ignorenulls=True).over(wk))
-        .filter(F.col("__carry").isNotNull())
-        .select(*on, "__bucket", "__carry")
-    )
+    carry = kb.select(
+        *on,
+        "__bucket",
+        F.last("__p", ignorenulls=True).over(wk).alias("__carry"),
+    ).filter(F.col("__carry").isNotNull())
 
     # Attach carries with a join the big side never re-shuffles for:
     # the left rows are already hash-partitioned by exactly the join
@@ -225,20 +234,14 @@ def asof_join(
         within = (
             (F.col("__ts").cast("double") - rts_f) * F.lit(sign)
         ) <= float(tolerance_seconds)
-        matched = matched.select(
-            "__row",
-            *[
-                F.when(within, pf.getField(name)).alias(name)
-                for name in out_names
-            ],
-        )
+        outs = [F.when(within, pf.getField(name)).alias(name) for name in out_names]
     else:
-        matched = matched.select(
-            "__row",
-            *[pf.getField(name).alias(name) for name in out_names],
-        )
+        outs = [pf.getField(name).alias(name) for name in out_names]
+    # one fused projection: unwrap the left row and emit the asof
+    # values in the same select (two chained selects cost two
+    # analysis passes over the widest plan in the operator)
     return matched.select(
-        *[F.col(f"__row.{c}").alias(c) for c in left.columns], *out_names
+        *[F.col("__row").getField(c).alias(c) for c in left.columns], *outs
     )
 
 
@@ -301,10 +304,10 @@ def _asof_nearest(
         .orderBy(-ord_val, F.col("__side"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = (
-        l_tag.unionByName(r_tag)
-        .withColumn("__pb", F.last("__payload", ignorenulls=True).over(wb))
-        .withColumn("__pf", F.last("__payload", ignorenulls=True).over(wf))
+    filled = l_tag.unionByName(r_tag).select(
+        "*",
+        F.last("__payload", ignorenulls=True).over(wb).alias("__pb"),
+        F.last("__payload", ignorenulls=True).over(wf).alias("__pf"),
     )
     if single_pass:
         filled = filled.localCheckpoint(eager=False, storageLevel=BARRIER_STORAGE)
@@ -334,12 +337,12 @@ def _asof_nearest(
         .orderBy(F.col("__bucket").desc())
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    carry = (
-        kb.withColumn("__cb", F.last("__pl", ignorenulls=True).over(wkb))
-        .withColumn("__cf", F.last("__pe", ignorenulls=True).over(wkf))
-        .filter(F.col("__cb").isNotNull() | F.col("__cf").isNotNull())
-        .select(*on, "__bucket", "__cb", "__cf")
-    )
+    carry = kb.select(
+        *on,
+        "__bucket",
+        F.last("__pl", ignorenulls=True).over(wkb).alias("__cb"),
+        F.last("__pe", ignorenulls=True).over(wkf).alias("__cf"),
+    ).filter(F.col("__cb").isNotNull() | F.col("__cf").isNotNull())
 
     matched = filled.filter(F.col("__side") == 1).join(
         carry, [*on, "__bucket"], "left"
@@ -357,15 +360,13 @@ def _asof_nearest(
         b_ok = pb.isNotNull()
         f_ok = pf.isNotNull()
     choose_b = b_ok & (~f_ok | F.coalesce(age_b <= age_f, F.lit(True)))
-    matched = matched.select(
-        "__row",
+    # one fused projection (the directional path's shape)
+    return matched.select(
+        *[F.col("__row").getField(c).alias(c) for c in left.columns],
         *[
             F.when(choose_b, pb.getField(name))
             .when(f_ok, pf.getField(name))
             .alias(name)
             for name in out_names
         ],
-    )
-    return matched.select(
-        *[F.col(f"__row.{c}").alias(c) for c in left.columns], *out_names
     )
