@@ -432,10 +432,16 @@ def bigram_lm_score(
     pairs = (
         # single-split scan guard (optimization r12): the tokenize+
         # explode pass below is the dominant map cost and otherwise
-        # runs in one task on a one-row-group input file
+        # runs in one task on a one-row-group input file. The former
+        # length(t) > 0 / n >= 2 pre-filters are gone: they were
+        # pushed below the repartition (Catalyst pushes deterministic
+        # predicates through Repartition), forcing a serial
+        # regex+split pass on the single-split scan side — and they
+        # were semantically redundant, because a doc with fewer than
+        # two tokens zips to EMPTY shifted slices and explode emits
+        # nothing for it (null text likewise: explode(null) emits no
+        # rows), so the pairs output is identical without them.
         ensure_parallelism(docs)
-        .filter(F.length(t) > 0)
-        .filter(n >= 2)
         .select(
             F.col(id_col),
             F.explode(
