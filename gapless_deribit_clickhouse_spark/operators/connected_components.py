@@ -129,6 +129,13 @@ def connected_components(
         )
     converged = False
     for _ in range(max_iter):
+        if prev_sig[0] == 0:
+            # empty edge set (common at steady state: a clean batch has
+            # no near-dup pairs) — the union-find result is empty, so
+            # skip the collect job entirely (optimization r13)
+            if stats is not None:
+                stats.update({"local_tier": True, "local_edges": 0})
+            return spark.createDataFrame([], out_schema)
         if prev_sig[0] <= local_threshold:
             if stats is not None:
                 stats.update({"local_tier": True, "local_edges": prev_sig[0]})

@@ -92,14 +92,20 @@ def contamination_check(
     )
     # materialize the gram array once per row (a projection boundary),
     # then derive size + explode from the bound column — shingling is
-    # the dominant row cost and must not run twice
+    # the dominant row cost and must not run twice. explode_OUTER
+    # (optimization r13): plain explode lets InferFiltersFromGenerate
+    # synthesize `size(__grams) > 0 AND isnotnull(__grams)` and push
+    # the whole shingle transform below the parallelizing exchange
+    # onto the single-split scan task; outer explode admits no such
+    # inference, and the null-gram rows it emits for empty docs are
+    # dropped by the inner broadcast join on `gram` — output identical.
     doc_grams = (
         ensure_parallelism(docs)
         .select(F.col(id_col), shingles(F.col(text_col), n).alias("__grams"))
         .select(
             F.col(id_col),
             F.size("__grams").alias("n_grams"),
-            F.explode("__grams").alias("gram"),
+            F.explode_outer("__grams").alias("gram"),
         )
     )
     matched = doc_grams.join(F.broadcast(bench_grams), "gram")
@@ -229,9 +235,17 @@ def quality_gate(
         quality_score,
     )
 
+    # the lazy localCheckpoint is a PUSHDOWN FENCE, not a reuse cache
+    # (optimization r13): without it Catalyst substitutes the
+    # quality_score alias into the >= min_quality filter below and
+    # pushes the whole regex gauntlet through the parallelizing
+    # exchange onto the single-split scan task — the score was being
+    # computed twice, once SERIALLY below the exchange (the filter)
+    # and once above it (the projection). The checkpointed frame is
+    # two columns per doc, metadata-scale.
     q = quality_score(df, text_col=text_col, id_col=id_col).select(
         id_col, "quality_score"
-    )
+    ).localCheckpoint(eager=False, storageLevel=BARRIER_STORAGE)
     lm = bigram_lm_score(df, text_col=text_col, id_col=id_col).select(
         id_col, "ppl"
     # the median scalar and the join side must read the SAME

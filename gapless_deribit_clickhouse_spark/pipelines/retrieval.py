@@ -151,12 +151,18 @@ def bm25_topk(
     # regex-heavy pass (text_stats convention); it wraps only THIS
     # branch — the (N, avgdl) scalar agg below stays on the raw scan,
     # where map-side partials need no repartition
+    # explode_OUTER (optimization r13): plain explode lets
+    # InferFiltersFromGenerate synthesize `size(__arr) > 0` and push
+    # the whole normalize+split below the parallelizing exchange onto
+    # the single-split scan task; outer explode admits no such
+    # inference, and the null token it emits for an empty doc fails
+    # the existing length(token) > 0 filter — output identical.
     toks = (
         ensure_parallelism(docs).select(F.col(id_col), F.split(t, " ").alias("__arr"))
         .select(
             F.col(id_col),
             F.size("__arr").alias("dl"),
-            F.explode("__arr").alias("token"),
+            F.explode_outer("__arr").alias("token"),
         )
         .filter(F.length("token") > 0)
     )

@@ -23,6 +23,8 @@ and tests can reproduce values exactly.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -663,7 +665,13 @@ def near_dedup_corpus(
         threshold=threshold,
         base_hash=base_hash,
     )
-    comp = connected_components(pairs)
+    cc_stats: dict = {}
+    comp = connected_components(pairs, stats=cc_stats)
+    if cc_stats.get("input_edges") == 0:
+        # no near-dup pairs at all (the steady-state common case for a
+        # clean corpus): the loser set is empty by construction, so the
+        # anti join is the identity — skip it (optimization r13)
+        return survivors
     losers = comp.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias(id_col)
     )
@@ -711,12 +719,36 @@ def incremental_dedup(
         num_hashes = auto_hashes if num_hashes is None else num_hashes
         bands = auto_bands if bands is None else bands
 
-    # (1) within-batch exact + near dedup; localCheckpoint because the
-    # surviving batch feeds BOTH the signature path and the final anti
-    # join (without the cut, the whole within-batch chain re-executes)
+    # Corpus-side hashed shingles FIRST (optimization r13, guide §2.6
+    # overlap): the pass is checkpointed and entirely independent of
+    # the batch, so a background action materializes its blocks while
+    # the driver constructs the within-batch pipeline — whose
+    # connected-components stage runs eager jobs that would otherwise
+    # leave the corpus-side map pass to serialize after them inside
+    # the final action. FIFO scheduling back-fills idle cores; if the
+    # warm-up fails (or is still running) the main lineage simply
+    # computes the missing partitions itself.
+    harr_corp = _hashed_shingles(
+        corpus_df, text_col, id_col, n, base_hash
+    ).localCheckpoint(eager=False, storageLevel=BARRIER_STORAGE)
+
+    def _warm_corpus() -> None:
+        try:
+            harr_corp.count()
+        except Exception:
+            pass  # the main path recomputes (and reports) on its own
+
+    threading.Thread(target=_warm_corpus, daemon=True).start()
+
+    # (1) within-batch exact + near dedup. No extra barrier here: the
+    # chain's reuse point is the post-digest checkpoint below, and
+    # near_dedup_corpus's own ``survivors`` checkpoint already cuts
+    # the expensive prefix, so this plan segment executes exactly once
+    # (optimization r13 removed a redundant second block-store write
+    # of the full batch text between the two).
     batch = near_dedup_corpus(
         new_df, text_col, id_col, n, threshold, num_hashes, bands, base_hash
-    ).localCheckpoint(eager=False, storageLevel=BARRIER_STORAGE)
+    )
 
     # (2) exact tier vs corpus: anti-join on the normalized digest
     # (temp column name dodges any real column on the caller's input —
@@ -742,9 +774,6 @@ def incremental_dedup(
     # passes — the same trade ``survivors`` above already makes for
     # the batch text itself.
     harr_new = _hashed_shingles(batch, text_col, id_col, n, base_hash).localCheckpoint(eager=False, storageLevel=BARRIER_STORAGE)
-    harr_corp = _hashed_shingles(
-        corpus_df, text_col, id_col, n, base_hash
-    ).localCheckpoint(eager=False, storageLevel=BARRIER_STORAGE)
     sig_new = _signatures_from_hashed(harr_new, num_hashes)
     sig_corp = _signatures_from_hashed(harr_corp, num_hashes)
     cand = (
