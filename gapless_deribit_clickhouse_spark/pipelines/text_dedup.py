@@ -371,13 +371,24 @@ def _signatures_from_hashed(harr: DataFrame, num_hashes: int) -> DataFrame:
     # pmod reduces the unreduced base into [0, p) first (matching the
     # former reduced-at-hash-time values exactly: 60-bit md5 prefixes
     # are non-negative so % == pmod, and the xxhash64 branch always
-    # used pmod), then the affine family; (p-1)^2 fits in int64
+    # used pmod), then the affine family; (p-1)^2 fits in int64.
+    # The (a, b) family is a LITERAL struct array folded by ONE outer
+    # lambda (optimization r13): the former num_hashes separate
+    # `array_min(transform(...))` expressions each carried their own
+    # lambda, and analyzing/optimizing 210 lambda bindings (the
+    # auto-sized threshold-0.8 family) cost ~4x this form per
+    # construction — same integer arithmetic, element order, and
+    # values, byte-identical signatures.
     p = MINHASH_PRIME
-    mins = ", ".join(
-        f"array_min(transform(__harr, h -> (pmod(h, {p}L) * {a}L + {b}L) % {p}L))"
+    fam = ", ".join(
+        f"named_struct('a', {a}L, 'b', {b}L)"
         for a, b in minhash_affine_params(num_hashes)
     )
-    return harr.select("id", F.expr(f"array({mins})").alias("signature"))
+    sig = (
+        f"transform(array({fam}), pr -> "
+        f"array_min(transform(__harr, h -> (pmod(h, {p}L) * pr.a + pr.b) % {p}L)))"
+    )
+    return harr.select("id", F.expr(sig).alias("signature"))
 
 
 def minhash_params(
