@@ -1040,17 +1040,27 @@ def substring_dup_fraction(
     :func:`gram_array`.
     """
     toks = F.split(normalized_text(F.col(text_col)), " ")
-    base = ensure_parallelism(df).select(
+    # The barrier sits BEFORE the positional explode (optimization
+    # r13, revising r12's post-explode placement that regressed at
+    # sf0.1): the heavy tokenize+gram+hash pass still runs exactly
+    # once for all three consumers, but the block store now holds ONE
+    # compact int64-array row per document instead of ~n_tokens
+    # exploded rows — the r12 barrier's block-store tax exceeded the
+    # saved map pass at bench scale. Each consumer re-runs only the
+    # posexplode (pure expansion of in-memory longs). Interleaved
+    # A/B/C at sf0.1: post-explode ckpt 1.24s / no ckpt 1.15s / this
+    # form 1.12s (and this form is the only one that also feeds
+    # per_doc below without a THIRD tokenize pass).
+    hbase = ensure_parallelism(df).select(
         F.col(id_col).alias("id"),
         F.size(toks).alias("n_tokens"),
-        F.posexplode(F.transform(gram_array(toks, window), lambda g: F.xxhash64(g)))
-        .alias("pos", "h"),
-        # base feeds BOTH the duplicated-window aggregation and the
-        # coverage join probe; without the lazy barrier the
-        # tokenize+gram+hash pass (the dominant map cost — ~2/3 of
-        # the entry's executor time at sf0.1) executes once per
-        # consumer (optimization r12; the bigram_lm_score pattern)
+        F.transform(gram_array(toks, window), lambda g: F.xxhash64(g)).alias(
+            "__harr"
+        ),
     ).localCheckpoint(eager=False, storageLevel=BARRIER_STORAGE)
+    base = hbase.select(
+        "id", "n_tokens", F.posexplode("__harr").alias("pos", "h")
+    )
     dup_h = (
         base.groupBy("h")
         .agg(F.count_distinct("id").alias("nd"))
@@ -1072,9 +1082,10 @@ def substring_dup_fraction(
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("n_dup_positions"))
     )
-    per_doc = df.select(
-        F.col(id_col).alias("id"), F.size(toks).alias("n_tokens")
-    )
+    # token counts ride the checkpoint — the former df.select(size(
+    # toks)) branch re-ran the whole normalize+split serially on the
+    # scan task just to count tokens (optimization r13)
+    per_doc = hbase.select("id", "n_tokens")
     return (
         per_doc.join(covered, "id", "left")
         .select(
