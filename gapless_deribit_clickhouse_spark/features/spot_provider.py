@@ -64,7 +64,20 @@ def enrich_with_spot(
     )
     # batched construction (optimization r12): the former 4-withColumn
     # + drop chain cost six analysis passes per call over the widest
-    # frames in the feature tier; same expressions, two projections
+    # frames in the feature tier; same expressions, two projections.
+    # The select("*", ...) form APPENDS — fail loudly on a name clash
+    # the old withColumn form would have silently overwritten
+    # (ADVICE r12).
+    clash = [
+        c
+        for c in ("__sym", "__w", "binance_spot", "spot_price", "moneyness")
+        if c in trades.columns
+    ]
+    if clash:
+        raise ValueError(
+            f"enrich_with_spot: input already carries column(s) {clash}; "
+            "drop or rename them before enriching"
+        )
     joined = trades.select(
         "*",
         symbol_col(F.col(underlying_col)).alias("__sym"),

@@ -157,6 +157,20 @@ def with_greeks(
     # NORM_CDF_SQL/NORM_PDF_SQL templates — the identical IEEE-754
     # sequence the DuckDB oracle evaluates, verified bit-identical to
     # the previous Column build.
+    # the select("*", ...) form APPENDS; a pre-existing column of the
+    # same name would duplicate (AMBIGUOUS_REFERENCE downstream) — the
+    # old withColumn form silently overwrote instead. Fail loudly
+    # (ADVICE r12).
+    added = (
+        "t_years", "delta", "gamma", "vega", "theta", "adjusted_delta",
+        "__d1", "__d2", "__pdf_d1", "__nd1", "__nd2", "__nmd2",
+    )
+    clash = [c for c in added if c in df.columns]
+    if clash:
+        raise ValueError(
+            f"with_greeks: input already carries column(s) {clash}; "
+            "drop or rename them before enriching"
+        )
     spot, strike, iv = f"`{spot_col}`", f"`{strike_col}`", f"`{iv_col}`"
     r = repr(float(rate))
     t = "t_years"

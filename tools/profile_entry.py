@@ -74,20 +74,21 @@ def main() -> None:
         print(f"\n=== {name}: wall {wall:.3f}s, {len(stages)} stages, "
               f"executor-run total {total_run/1000.0:.2f}s ===")
         for s in stages[:14]:
-            sub = (
-                time.strptime(s["submissionTime"][:19], "%Y-%m-%dT%H:%M:%S")
-                if s.get("submissionTime")
-                else None
-            )
             dur = None
             if s.get("submissionTime") and s.get("completionTime"):
                 from datetime import datetime
 
-                fmt = "%Y-%m-%dT%H:%M:%S.%f%Z"
+                # REST timestamps end in a literal zone name ('GMT');
+                # %Z fails to consume it on some platforms — strip it
+                fmt = "%Y-%m-%dT%H:%M:%S.%f"
                 try:
-                    a = datetime.strptime(s["submissionTime"], fmt)
-                    b = datetime.strptime(s["completionTime"], fmt)
-                    dur = (b - a).total_seconds()
+                    a = datetime.strptime(
+                        s["submissionTime"].replace("GMT", ""), fmt
+                    )
+                    b = datetime.strptime(
+                        s["completionTime"].replace("GMT", ""), fmt
+                    )
+                    dur = round((b - a).total_seconds(), 3)
                 except ValueError:
                     dur = None
             print(
